@@ -1,0 +1,98 @@
+"""KV scatter ops: roundtrip tests.
+
+Replicates the reference's `reshape_and_cache` roundtrip oracle
+(`vllmini/tests/kernels/paged_attention.py:63-82`): scatter, then index the pool
+back out and compare.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllmini_tpu.ops.kv_write import (
+    copy_pages,
+    gather_pages,
+    scatter_pages,
+    write_kv_decode,
+    write_kv_prefill,
+)
+
+
+def test_decode_roundtrip_and_padding_drop():
+    kvh, npages, psize, hd, batch = 2, 8, 4, 8, 3
+    k_pages = jnp.zeros((kvh, npages, psize, hd))
+    v_pages = jnp.zeros_like(k_pages)
+    key = jax.random.PRNGKey(0)
+    k_new = jax.random.normal(key, (batch, kvh, hd))
+    v_new = k_new + 1.0
+    page_tables = jnp.array([[0, 1], [2, 3], [4, 5]], jnp.int32)
+    positions = jnp.array([5, 0, 7], jnp.int32)  # page1/off1, page2/off0, page5/off3
+    active = jnp.array([True, True, False])
+
+    k_out, v_out = write_kv_decode(k_pages, v_pages, k_new, v_new,
+                                   positions, page_tables, active)
+    np.testing.assert_allclose(np.asarray(k_out[:, 1, 1, :]),
+                               np.asarray(k_new[0].reshape(kvh, hd)))
+    np.testing.assert_allclose(np.asarray(v_out[:, 2, 0, :]),
+                               np.asarray(v_new[1].reshape(kvh, hd)))
+    # Inactive row 2 dropped: page 5 untouched.
+    assert np.all(np.asarray(k_out[:, 5]) == 0.0)
+
+
+def test_prefill_roundtrip_multi_page():
+    kvh, npages, psize, hd = 2, 10, 4, 8
+    k_pages = jnp.zeros((kvh, npages, psize, hd))
+    v_pages = jnp.zeros_like(k_pages)
+    L_pad, seq_len = 12, 10  # spans 3 pages, 2 padding tokens
+    key = jax.random.PRNGKey(1)
+    k_new = jax.random.normal(key, (L_pad, kvh, hd))
+    v_new = k_new * 2.0
+    page_table = jnp.array([7, 3, 9, 0], jnp.int32)
+
+    k_out, v_out = write_kv_prefill(k_pages, v_pages, k_new, v_new,
+                                    page_table, jnp.int32(seq_len))
+    for t in range(seq_len):
+        pg = int(page_table[t // psize])
+        off = t % psize
+        np.testing.assert_allclose(np.asarray(k_out[:, pg, off, :]),
+                                   np.asarray(k_new[t]), atol=1e-6)
+    # Padding tokens 10,11 (page 9, offsets 2,3) dropped.
+    assert np.all(np.asarray(k_out[:, 9, 2:, :]) == 0.0)
+    # Untouched page stays zero.
+    assert np.all(np.asarray(v_out[:, 1]) == 0.0)
+
+
+def test_quantized_prefill_roundtrip():
+    kvh, npages, psize, hd = 1, 4, 4, 16
+    k_pages = jnp.zeros((kvh, npages, psize, hd), jnp.int8)
+    v_pages = jnp.zeros_like(k_pages)
+    k_scales = jnp.zeros((kvh, npages, psize), jnp.float32)
+    v_scales = jnp.zeros_like(k_scales)
+    L = 8
+    key = jax.random.PRNGKey(2)
+    k_new = jax.random.normal(key, (L, kvh, hd))
+    v_new = k_new * 0.5
+    page_table = jnp.array([1, 2], jnp.int32)
+    k_out, v_out, ks_out, vs_out = write_kv_prefill(
+        k_pages, v_pages, k_new, v_new, page_table, jnp.int32(L),
+        k_scales=k_scales, v_scales=v_scales)
+    # Dequantized roundtrip within int8 tolerance.
+    for t in range(L):
+        pg, off = int(page_table[t // psize]), t % psize
+        deq = np.asarray(k_out[:, pg, off, :], np.float32) * \
+            np.asarray(ks_out[:, pg, off])[:, None]
+        np.testing.assert_allclose(deq, np.asarray(k_new[t]), atol=2e-2)
+
+
+def test_copy_and_swap_pages():
+    kvh, npages, psize, hd = 2, 6, 4, 8
+    pages = jax.random.normal(jax.random.PRNGKey(3), (kvh, npages, psize, hd))
+    out = copy_pages(pages, jnp.array([0, 1]), jnp.array([4, 5]))
+    np.testing.assert_allclose(np.asarray(out[:, 4]), np.asarray(pages[:, 0]))
+    np.testing.assert_allclose(np.asarray(out[:, 5]), np.asarray(pages[:, 1]))
+
+    # swap out -> zero -> swap in restores contents
+    dense = gather_pages(pages, jnp.array([2, 3]))
+    cleared = pages.at[:, jnp.array([2, 3])].set(0.0)
+    restored = scatter_pages(cleared, jnp.array([2, 3]), dense)
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(pages))

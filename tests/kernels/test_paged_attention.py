@@ -1,0 +1,106 @@
+"""Paged-attention decode kernel vs naive oracle.
+
+Mirrors the reference's oracle pattern (`vllmini/tests/kernels/paged_attention.py:84-139`:
+paged kernel vs hand-written vanilla attention, atol=1e-2) but runs on CPU via Pallas
+interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllmini_tpu.ops.paged_attention import (
+    paged_attention,
+    paged_attention_reference,
+)
+
+
+def make_inputs(key, *, batch, num_q_heads, num_kv_heads, head_dim, num_pages,
+                page_size, pages_per_seq, seq_lens, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (batch, num_q_heads, head_dim), dtype)
+    k_pages = jax.random.normal(
+        ks[1], (num_kv_heads, num_pages, page_size, head_dim), dtype)
+    v_pages = jax.random.normal(
+        ks[2], (num_kv_heads, num_pages, page_size, head_dim), dtype)
+    # Distinct physical pages per (seq, logical page) — exercise the indirection.
+    perm = jax.random.permutation(ks[3], num_pages)[: batch * pages_per_seq]
+    page_tables = perm.reshape(batch, pages_per_seq).astype(jnp.int32)
+    seq_lens = jnp.asarray(seq_lens, jnp.int32)
+    return q, k_pages, v_pages, seq_lens, page_tables
+
+
+@pytest.mark.parametrize(
+    "batch,num_q_heads,num_kv_heads,head_dim,page_size,pages_per_seq,seq_lens",
+    [
+        (1, 4, 4, 64, 16, 4, [37]),                      # MHA, mid-page length
+        (3, 8, 2, 64, 16, 4, [64, 1, 17]),               # GQA group=4
+        (2, 4, 1, 128, 8, 8, [64, 33]),                  # MQA, head_dim=128
+        (4, 4, 4, 64, 16, 4, [16, 0, 5, 64]),            # inactive slot (len 0)
+    ],
+)
+def test_matches_oracle(batch, num_q_heads, num_kv_heads, head_dim, page_size,
+                        pages_per_seq, seq_lens):
+    key = jax.random.PRNGKey(0)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=batch, num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, num_pages=batch * pages_per_seq + 3,
+        page_size=page_size, pages_per_seq=pages_per_seq, seq_lens=seq_lens)
+    out = paged_attention(q, kp, vp, sl, pt, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # Inactive slots produce exact zeros.
+    for b, L in enumerate(np.asarray(sl)):
+        if L == 0:
+            assert np.all(np.asarray(out[b]) == 0.0)
+
+
+def test_multi_block_iteration():
+    """seq spans several compute blocks -> exercises double-buffered loop."""
+    key = jax.random.PRNGKey(1)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
+        num_pages=70, page_size=16, pages_per_seq=32, seq_lens=[512, 200])
+    out = paged_attention(q, kp, vp, sl, pt,
+                          pages_per_compute_block=4, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_quantized_int8_kv():
+    key = jax.random.PRNGKey(2)
+    batch, heads, hd, psize, pps = 2, 4, 64, 16, 4
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
+        num_pages=16, page_size=psize, pages_per_seq=pps, seq_lens=[40, 64])
+    # Quantize per token (per page row) to int8.
+    def quant(p):
+        amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+        return qv, scale[..., 0]
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    out = paged_attention(q, kq, vq, sl, pt, k_scales=ks, v_scales=vs,
+                          interpret=True)
+    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    # int8 KV error budget
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_bfloat16_io():
+    key = jax.random.PRNGKey(3)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
+        num_pages=12, page_size=16, pages_per_seq=4, seq_lens=[20, 64],
+        dtype=jnp.bfloat16)
+    out = paged_attention(q, kp, vp, sl, pt, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)

@@ -1,0 +1,230 @@
+"""Configuration system for vllmini-tpu.
+
+The reference hardcodes every knob (see SURVEY.md §5.6: `vllmini/server.py:37-41,50`,
+`vllmini/model/gpt2.py:18-19`, `vllmini/scheduler.py:146-148`). Here every constant the
+reference buries in code is an explicit, validated dataclass field, so one engine binary
+serves GPT-2 124M on CPU and Llama-70B on a multi-host v5e slice from config alone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+# Dtype names accepted in configs -> jnp dtypes.
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+    "int8": jnp.int8,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
+def resolve_dtype(name) -> jnp.dtype:
+    if not isinstance(name, str):
+        return name
+    try:
+        return _DTYPES[name]
+    except KeyError:
+        raise ValueError(f"unknown dtype {name!r}; expected one of {sorted(_DTYPES)}")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (model-family agnostic).
+
+    Covers GPT-2-style (learned positions, fused QKV, GELU MLP) and Llama-style
+    (RoPE, GQA, SwiGLU, RMSNorm) families via the `family` switch.
+    """
+
+    family: str = "gpt2"  # "gpt2" | "llama"
+    vocab_size: int = 50257
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    num_kv_heads: Optional[int] = None  # None -> MHA (== num_heads)
+    head_dim: Optional[int] = None  # None -> hidden_size // num_heads
+    intermediate_size: Optional[int] = None  # None -> 4*hidden (gpt2) / family default
+    max_position_embeddings: int = 1024
+    layer_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0  # llama only
+    tie_word_embeddings: bool = True
+    dtype: str = "bfloat16"
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads if self.num_kv_heads is not None else self.num_heads
+
+    @property
+    def head_size(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    @property
+    def mlp_size(self) -> int:
+        if self.intermediate_size is not None:
+            return self.intermediate_size
+        return 4 * self.hidden_size
+
+    @property
+    def jnp_dtype(self):
+        return resolve_dtype(self.dtype)
+
+    def __post_init__(self):
+        if self.hidden_size % self.num_heads != 0 and self.head_dim is None:
+            raise ValueError("hidden_size must be divisible by num_heads")
+        if self.num_kv_heads is not None and self.num_heads % self.num_kv_heads != 0:
+            raise ValueError("num_heads must be a multiple of num_kv_heads (GQA)")
+
+    @staticmethod
+    def gpt2_124m(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(family="gpt2", dtype=dtype)
+
+    @staticmethod
+    def gpt2_xl(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(
+            family="gpt2", hidden_size=1600, num_layers=48, num_heads=25, dtype=dtype
+        )
+
+    @staticmethod
+    def llama3_8b(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(
+            family="llama",
+            vocab_size=128256,
+            hidden_size=4096,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            intermediate_size=14336,
+            max_position_embeddings=8192,
+            layer_norm_eps=1e-5,
+            rope_theta=500000.0,
+            tie_word_embeddings=False,
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def llama3_70b(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(
+            family="llama",
+            vocab_size=128256,
+            hidden_size=8192,
+            num_layers=80,
+            num_heads=64,
+            num_kv_heads=8,
+            intermediate_size=28672,
+            max_position_embeddings=8192,
+            rope_theta=500000.0,
+            tie_word_embeddings=False,
+            dtype=dtype,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV cache geometry + quantization.
+
+    Reference counterpart: `vllmini/kv_cache.py:10-19` (num_blocks/block_size/
+    max_blocks_per_seq hardcoded at `vllmini/server.py:37-41`). Unlike the reference,
+    one page table is shared across layers (SURVEY.md §7 design deltas) and the cache
+    dtype is configurable, including int8/fp8 with per-token scales.
+    """
+
+    num_pages: int = 1024
+    page_size: int = 16
+    max_pages_per_seq: int = 16
+    kv_dtype: str = "bfloat16"  # "bfloat16"|"float32"|"int8"|"fp8_e4m3"|"fp8_e5m2"
+
+    @property
+    def max_context_len(self) -> int:
+        return self.max_pages_per_seq * self.page_size
+
+    @property
+    def jnp_kv_dtype(self):
+        return resolve_dtype(self.kv_dtype)
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv_dtype in ("int8", "fp8_e4m3", "fp8_e5m2")
+
+    def __post_init__(self):
+        if self.page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        if self.num_pages < 1:
+            raise ValueError("num_pages must be >= 1")
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching scheduler knobs.
+
+    The reference runs strict FCFS, one sequence and one token per forward
+    (`vllmini/scheduler.py:60,78-98`); here decode runs a fixed-shape batch of
+    `max_decode_slots` slots with admission on token boundaries.
+    """
+
+    max_decode_slots: int = 8
+    max_queued_requests: int = 1024
+    prefill_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512, 1024)
+    default_max_new_tokens: int = 20
+    # Preemption: when the page pool is exhausted mid-decode, evict the
+    # most-recently-admitted sequence (the reference's OOM policy,
+    # `vllmini/scheduler.py:117-130`) and either swap its pages to host or requeue.
+    preemption_mode: str = "swap"  # "swap" | "recompute"
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Weight quantization. KV-cache quantization lives in CacheConfig."""
+
+    weight_dtype: str = "none"  # "none" | "int8" | "int4"
+    group_size: int = 128  # per-group scales along the contraction dim
+
+    @property
+    def enabled(self) -> bool:
+        return self.weight_dtype != "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh geometry. axis names: "data" (DP) × "model" (TP)."""
+
+    data_parallel: int = 1
+    tensor_parallel: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.data_parallel * self.tensor_parallel
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling parameters.
+
+    The reference hardcodes top_k=50, temperature=1.0 (`vllmini/scheduler.py:146-148`)
+    and ignores the request's max_length (`vllmini/server.py:13-14` vs `:50`). Here both
+    are honored per request.
+    """
+
+    max_new_tokens: int = 20
+    temperature: float = 1.0
+    top_k: int = 50
+    top_p: float = 1.0
+    greedy: bool = False
+    stop_token_ids: Sequence[int] = ()
+    seed: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    # hf model id used by the weight loader; None -> random init
+    hf_model: Optional[str] = "gpt2"
+    seed: int = 0

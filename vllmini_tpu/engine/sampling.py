@@ -1,0 +1,56 @@
+"""On-device batched sampling.
+
+Reference counterpart: `sample_next_token` (`/root/reference/vllmini/scheduler.py:
+144-153`) — hardcoded top-k=50/temperature=1.0, one sequence at a time, with a host
+sync per token. Here sampling runs inside the jitted decode step for the whole slot
+batch, parameterized per slot by (temperature, top_k, top_p) ARRAYS so different
+requests' settings never trigger a recompile. temperature == 0 selects greedy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Static cap on per-request top_k; requests may ask for any k <= MAX_TOP_K.
+MAX_TOP_K = 64
+
+
+def sample_tokens(
+    logits: jax.Array,        # [B, vocab] f32
+    rng: jax.Array,           # PRNG key
+    temperatures: jax.Array,  # [B] f32 (0 -> greedy)
+    top_ks: jax.Array,        # [B] int32 (<=0 or >MAX_TOP_K -> no top-k cut)
+    top_ps: jax.Array,        # [B] f32 (1.0 -> no nucleus cut)
+) -> jax.Array:
+    """Returns [B] int32 sampled token ids."""
+    B, vocab = logits.shape
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # Work in the static top-MAX_TOP_K candidate set (ample for top-k<=64 and
+    # for top-p in practice; top-p mass beyond rank 64 is negligible).
+    top_logits, top_idx = jax.lax.top_k(logits, MAX_TOP_K)  # [B, K]
+    ranks = jnp.arange(MAX_TOP_K)[None, :]
+
+    # per-slot top-k cut
+    k = jnp.where((top_ks <= 0) | (top_ks > MAX_TOP_K), MAX_TOP_K, top_ks)
+    keep = ranks < k[:, None]
+
+    # temperature scaling (guard 0 for the greedy lanes)
+    temp = jnp.maximum(temperatures, 1e-6)[:, None]
+    scaled = top_logits / temp
+    scaled = jnp.where(keep, scaled, -jnp.inf)
+
+    # nucleus (top-p) cut on the candidate set
+    probs = jax.nn.softmax(scaled, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens while the cumulative mass BEFORE them is < top_p.
+    nucleus = (csum - probs) < top_ps[:, None]
+    scaled = jnp.where(nucleus, scaled, -jnp.inf)
+
+    gumbel = jax.random.gumbel(rng, scaled.shape)
+    choice = jnp.argmax(scaled + gumbel, axis=-1)  # [B]
+    sampled_tok = jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
+
+    return jnp.where(temperatures <= 0.0, greedy_tok,
+                     sampled_tok.astype(jnp.int32))

@@ -1,0 +1,61 @@
+"""Per-request sequence state.
+
+The reference keeps this in four parallel dicts on the scheduler
+(`/root/reference/vllmini/scheduler.py:17-20`) and ships a dead `SequenceManager`
+(`sequence_manager.py`, imported nowhere — SURVEY.md §1). Here it is one live
+dataclass owned by the scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import itertools
+import time
+from typing import List, Optional
+
+from ..config import SamplingParams
+
+_seq_counter = itertools.count(1)
+
+
+class SequenceState(enum.Enum):
+    WAITING = "waiting"      # queued, no KV allocated
+    RUNNING = "running"      # holds a decode slot + KV pages
+    SWAPPED = "swapped"      # preempted; KV on host, no pages
+    FINISHED = "finished"
+    FAILED = "failed"
+
+
+class FinishReason(enum.Enum):
+    STOP_TOKEN = "stop_token"
+    MAX_NEW_TOKENS = "max_new_tokens"
+    MAX_CONTEXT = "max_context"
+    ABORTED = "aborted"
+
+
+@dataclasses.dataclass
+class Sequence:
+    prompt_ids: List[int]
+    sampling: SamplingParams
+    seq_id: int = dataclasses.field(default_factory=lambda: next(_seq_counter))
+    arrival_time: float = dataclasses.field(default_factory=time.monotonic)
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    state: SequenceState = SequenceState.WAITING
+    finish_reason: Optional[FinishReason] = None
+    slot: Optional[int] = None       # decode slot while RUNNING
+    tokens_in_kv: int = 0            # KV entries committed to the pool
+    last_token: Optional[int] = None  # sampled but not yet in KV
+    # set when admitted; used for deterministic per-seq sampling streams
+    admission_index: int = 0
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.prompt_ids) + len(self.output_ids)
+
+    @property
+    def is_finished(self) -> bool:
+        return self.state in (SequenceState.FINISHED, SequenceState.FAILED)
+
+    def all_token_ids(self) -> List[int]:
+        return list(self.prompt_ids) + list(self.output_ids)

@@ -1,0 +1,188 @@
+"""Host-side page allocator for the paged KV cache.
+
+Reference counterparts: the free-list in `KVCache` (`/root/reference/vllmini/
+kv_cache.py:16,21-37,56-73,81-86`) and the per-layer table juggling in
+`BlockManager.decode_step` (`block_manager.py:28-63`). Design deltas (SURVEY.md §7):
+
+- ONE page table per sequence shared by all layers (the layer dim lives in the
+  device pool arrays), removing the reference's 12x per-token Python loop;
+- reference counts per page, enabling copy-on-write forks (the capability the
+  reference's `copy_blocks` kernel exists for but never uses);
+- fixed-shape padded tables (`pages_per_seq_max`, padded with an out-of-range
+  sentinel) so the jitted step functions never see a shape change;
+- swap bookkeeping for preempted sequences (the reference's swap path is broken —
+  `block_manager.py:81` calls a nonexistent method — and unreachable).
+
+A C++ implementation of the same interface lives in `native/`; this Python version
+is the always-available fallback and the behavioral spec.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# Padding sentinel: an index >= num_pages, so device-side scatters drop it and
+# gathers read garbage that is masked by seq_len anyway.
+def pad_index(num_pages: int) -> int:
+    return num_pages
+
+
+class OutOfPages(RuntimeError):
+    """Raised when the pool cannot satisfy an allocation; the scheduler reacts by
+    preempting (the reference's OOM-evict path, `vllmini/scheduler.py:110-130`)."""
+
+
+class PageAllocator:
+    """Free-list allocator with refcounts over a fixed pool of KV pages."""
+
+    def __init__(self, num_pages: int, page_size: int, pages_per_seq_max: int):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.pages_per_seq_max = pages_per_seq_max
+        self._free: List[int] = list(range(num_pages - 1, -1, -1))  # pop() -> 0,1,2..
+        self._refcount = np.zeros(num_pages, dtype=np.int32)
+        # seq_id -> list of page indices (logical order)
+        self._tables: Dict[int, List[int]] = {}
+        # seq_id -> true token length (for swap bookkeeping / table rebuild)
+        self._lengths: Dict[int, int] = {}
+
+    # ------------------------------------------------------------------ queries
+
+    @property
+    def num_free_pages(self) -> int:
+        return len(self._free)
+
+    def pages_needed(self, num_tokens: int) -> int:
+        return -(-num_tokens // self.page_size)
+
+    def can_allocate(self, num_tokens: int) -> bool:
+        return self.pages_needed(num_tokens) <= len(self._free)
+
+    def has_seq(self, seq_id: int) -> bool:
+        return seq_id in self._tables
+
+    def seq_pages(self, seq_id: int) -> List[int]:
+        return list(self._tables[seq_id])
+
+    def seq_len(self, seq_id: int) -> int:
+        return self._lengths[seq_id]
+
+    # -------------------------------------------------------------- allocation
+
+    def _take_page(self) -> int:
+        if not self._free:
+            raise OutOfPages("KV page pool exhausted")
+        p = self._free.pop()
+        self._refcount[p] = 1
+        return p
+
+    def allocate(self, seq_id: int, num_tokens: int) -> List[int]:
+        """Allocate pages for a new sequence with `num_tokens` of context
+        (prefill). Analog of `allocate_for_prefill` (`kv_cache.py:21-37`) minus
+        its one-page-per-layer bug."""
+        if seq_id in self._tables:
+            raise ValueError(f"sequence {seq_id} already allocated")
+        n = self.pages_needed(max(num_tokens, 1))
+        if n > self.pages_per_seq_max:
+            raise ValueError(
+                f"sequence needs {n} pages > pages_per_seq_max="
+                f"{self.pages_per_seq_max}")
+        if n > len(self._free):
+            raise OutOfPages(
+                f"need {n} pages, only {len(self._free)} free")
+        pages = [self._take_page() for _ in range(n)]
+        self._tables[seq_id] = pages
+        self._lengths[seq_id] = num_tokens
+        return pages
+
+    def append_token(self, seq_id: int) -> Optional[int]:
+        """Advance a sequence by one token; allocates a fresh page on a page
+        boundary. Returns the new page index or None. Analog of `decode_step`'s
+        append logic (`block_manager.py:41-53`) without the per-layer loop and
+        without its full-table scan bug."""
+        pages = self._tables[seq_id]
+        length = self._lengths[seq_id]
+        new_page = None
+        if length == len(pages) * self.page_size:  # current pages full
+            if len(pages) >= self.pages_per_seq_max:
+                raise ValueError(
+                    f"sequence {seq_id} exceeds max context "
+                    f"{self.pages_per_seq_max * self.page_size}")
+            new_page = self._take_page()
+            pages.append(new_page)
+        # COW: if the page being written is shared, fork it first via fork_last_page.
+        self._lengths[seq_id] = length + 1
+        return new_page
+
+    def free(self, seq_id: int) -> List[int]:
+        """Release a sequence; returns pages whose refcount dropped to zero."""
+        pages = self._tables.pop(seq_id)
+        self._lengths.pop(seq_id)
+        released = []
+        for p in pages:
+            self._refcount[p] -= 1
+            if self._refcount[p] == 0:
+                self._free.append(p)
+                released.append(p)
+        return released
+
+    # ------------------------------------------------------------ copy-on-write
+
+    def fork(self, parent_seq_id: int, child_seq_id: int) -> None:
+        """Fork a sequence (beam search / n-best sampling): the child shares all
+        parent pages (refcount++), copy happens lazily on next write."""
+        if child_seq_id in self._tables:
+            raise ValueError(f"sequence {child_seq_id} already allocated")
+        pages = self._tables[parent_seq_id]
+        for p in pages:
+            self._refcount[p] += 1
+        self._tables[child_seq_id] = list(pages)
+        self._lengths[child_seq_id] = self._lengths[parent_seq_id]
+
+    def cow_last_page(self, seq_id: int):
+        """If the sequence's last page is shared, allocate a private copy.
+
+        Returns (src_page, dst_page) for the device-side `copy_pages`, or None
+        if the page was already exclusive.
+        """
+        pages = self._tables[seq_id]
+        last = pages[-1]
+        if self._refcount[last] == 1:
+            return None
+        dst = self._take_page()
+        self._refcount[last] -= 1
+        pages[-1] = dst
+        return (last, dst)
+
+    # ------------------------------------------------------------------- tables
+
+    def padded_table(self, seq_id: int) -> np.ndarray:
+        """Fixed-shape [pages_per_seq_max] int32 table, padded with the OOB
+        sentinel — what the jitted step functions consume."""
+        out = np.full(self.pages_per_seq_max, pad_index(self.num_pages),
+                      dtype=np.int32)
+        pages = self._tables[seq_id]
+        out[: len(pages)] = pages
+        return out
+
+    # --------------------------------------------------------------------- swap
+
+    def release_for_swap(self, seq_id: int) -> List[int]:
+        """Drop a sequence's pages from the pool but remember its length; the
+        engine copies page contents to host first. Returns the page list (in
+        logical order) that was backing the sequence."""
+        pages = self._tables.pop(seq_id)
+        self._lengths.pop(seq_id)
+        for p in pages:
+            self._refcount[p] -= 1
+            if self._refcount[p] == 0:
+                self._free.append(p)
+        return pages
+
+    def allocate_for_swap_in(self, seq_id: int, num_tokens: int) -> List[int]:
+        """Re-allocate pages for a swapped-out sequence (possibly different
+        physical pages). Fixes the reference's broken `swap_from_cpu`
+        (`block_manager.py:75-88`)."""
+        return self.allocate(seq_id, num_tokens)

@@ -1,0 +1,85 @@
+"""Shared model building blocks (functional, pytree params).
+
+Norms run in fp32 regardless of activation dtype; matmuls dispatch through
+`linear()` so weight-only-quantized layers (QuantizedWeight) transparently use the
+fused dequant matmul kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedWeight:
+    """Weight-only quantized linear weight.
+
+    qvalues: int8 [in, out] (int4 packs two nibbles per int8 -> [in//2, out])
+    scales:  f32 [in//group_size, out] per-group scales along the contraction dim
+    """
+
+    qvalues: jax.Array
+    scales: jax.Array
+    bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    group_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+
+    @property
+    def shape(self):
+        in_dim = self.qvalues.shape[0] * (2 if self.bits == 4 else 1)
+        return (in_dim, self.qvalues.shape[1])
+
+
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ w (+ b), dispatching on plain vs quantized weights."""
+    if isinstance(w, QuantizedWeight):
+        from ..ops.quant_matmul import quantized_matmul
+        y = quantized_matmul(x, w)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * gamma + beta).astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * gamma).astype(x.dtype)
+
+
+def rope_table(positions: jax.Array, head_dim: int,
+               theta: float = 10000.0):
+    """Rotary embedding cos/sin for given absolute positions.
+
+    positions: [...] int32 -> (cos, sin): [..., head_dim//2] f32
+    """
+    half = head_dim // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., half]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate pairs (x1, x2) = (x[..., :half], x[..., half:]) — the HF/Llama
+    "rotate_half" convention. x: [..., head_dim]; cos/sin broadcastable to
+    [..., head_dim//2]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)

@@ -1,0 +1,208 @@
+"""GPT-2 with paged KV cache (JAX functional).
+
+Reference counterpart: `/root/reference/vllmini/model/gpt2.py` (from-scratch GPT-2
+whose attention always scatters K/V into the paged cache and uses masked dense
+attention for prefill, the paged kernel for decode — `gpt2.py:43-63`). Differences
+(deliberate, SURVEY.md §7):
+
+- functional params pytree + pure forward functions, jit-compiled once per shape
+  bucket (the reference allocates fresh CUDA tensors per token);
+- prefill uses the flash kernel (no O(L^2) mask tensor, cf. the reference's
+  `generate_triangular_mask`);
+- decode runs a fixed-shape BATCH of sequences in one forward (the reference is
+  strictly batch-1, `scheduler.py:78-98`);
+- `seq_lens` passed to decode attention INCLUDE the current token, fixing the
+  reference's off-by-one (`scheduler.py:96` — a token never attends to itself).
+
+Weight names/layout follow HF GPT-2 (Conv1D weights already transposed to
+[in, out] by the loader, cf. `gpt2.py:316-317`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..memory.kv_cache import KVPool
+from ..ops.flash_attention import flash_attention_prefill
+from ..ops.kv_write import write_kv_decode, write_kv_prefill
+from ..ops.paged_attention import paged_attention
+from .common import layer_norm, linear
+
+Params = Dict[str, Any]
+
+
+def init_params(config: ModelConfig, key: jax.Array) -> Params:
+    """Random init (tests / benchmarks without HF weights)."""
+    dt = config.jnp_dtype
+    h, L = config.hidden_size, config.num_layers
+    m = config.mlp_size
+    keys = jax.random.split(key, 2 + 4 * L)
+    std = 0.02
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dt)
+
+    params: Params = {
+        "wte": norm(keys[0], (config.vocab_size, h)),
+        "wpe": norm(keys[1], (config.max_position_embeddings, h)),
+        "ln_f": {"g": jnp.ones(h, dt), "b": jnp.zeros(h, dt)},
+        "blocks": [],
+    }
+    for i in range(L):
+        k0, k1, k2, k3 = keys[2 + 4 * i: 6 + 4 * i]
+        params["blocks"].append({
+            "ln_1": {"g": jnp.ones(h, dt), "b": jnp.zeros(h, dt)},
+            "attn": {
+                "c_attn_w": norm(k0, (h, 3 * h)),
+                "c_attn_b": jnp.zeros(3 * h, dt),
+                "c_proj_w": norm(k1, (h, h)),
+                "c_proj_b": jnp.zeros(h, dt),
+            },
+            "ln_2": {"g": jnp.ones(h, dt), "b": jnp.zeros(h, dt)},
+            "mlp": {
+                "c_fc_w": norm(k2, (h, m)),
+                "c_fc_b": jnp.zeros(m, dt),
+                "c_proj_w": norm(k3, (m, h)),
+                "c_proj_b": jnp.zeros(h, dt),
+            },
+        })
+    return params
+
+
+def _update_pool_layer(pool: KVPool, i: int, k_pages, v_pages, k_scales,
+                       v_scales) -> KVPool:
+    import dataclasses as _dc
+    return _dc.replace(
+        pool,
+        k_pages=pool.k_pages.at[i].set(k_pages),
+        v_pages=pool.v_pages.at[i].set(v_pages),
+        k_scales=(pool.k_scales.at[i].set(k_scales)
+                  if k_scales is not None else pool.k_scales),
+        v_scales=(pool.v_scales.at[i].set(v_scales)
+                  if v_scales is not None else pool.v_scales),
+    )
+
+
+def _split_qkv(qkv: jax.Array, num_heads: int, num_kv_heads: int,
+               head_dim: int):
+    """[T, h + 2*kv_h*d] -> q [T, H, d], k [T, Hkv, d], v [T, Hkv, d]."""
+    T = qkv.shape[0]
+    q_size = num_heads * head_dim
+    kv_size = num_kv_heads * head_dim
+    q = qkv[:, :q_size].reshape(T, num_heads, head_dim)
+    k = qkv[:, q_size:q_size + kv_size].reshape(T, num_kv_heads, head_dim)
+    v = qkv[:, q_size + kv_size:].reshape(T, num_kv_heads, head_dim)
+    return q, k, v
+
+
+def _mlp(block: Params, x: jax.Array) -> jax.Array:
+    h = linear(x, block["mlp"]["c_fc_w"], block["mlp"]["c_fc_b"])
+    h = jax.nn.gelu(h, approximate=True)  # HF gelu_new
+    return linear(h, block["mlp"]["c_proj_w"], block["mlp"]["c_proj_b"])
+
+
+def prefill_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,   # [L_pad] int32
+    seq_len: jax.Array,     # scalar int32 true length
+    page_table: jax.Array,  # [pages_per_seq_max] int32
+    start_pos: int | jax.Array = 0,
+    *,
+    interpret: bool = False,
+):
+    """Run one sequence's (padded) prompt; returns (last_token_logits, pool)."""
+    L_pad = token_ids.shape[0]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    positions = start_pos + jnp.arange(L_pad, dtype=jnp.int32)
+    # Clamp padding positions into range for the wpe lookup.
+    safe_pos = jnp.minimum(positions, config.max_position_embeddings - 1)
+    x = params["wte"][token_ids] + params["wpe"][safe_pos]  # [L, h]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = layer_norm(x, block["ln_1"]["g"], block["ln_1"]["b"],
+                        config.layer_norm_eps)
+        qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
+        q, k, v = _split_qkv(qkv, H, Hkv, d)
+
+        kp, vp, ks, vs = pool.layer(i)
+        out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
+                               start_pos=start_pos, k_scales=ks, v_scales=vs)
+        if pool.quantized:
+            kp, vp, ks, vs = out
+        else:
+            kp, vp = out
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+
+        attn = flash_attention_prefill(
+            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+            seq_len, causal=True, interpret=interpret,
+        ).transpose(1, 0, 2).reshape(L_pad, H * d)
+        x = x + linear(attn, block["attn"]["c_proj_w"],
+                       block["attn"]["c_proj_b"])
+
+        h2 = layer_norm(x, block["ln_2"]["g"], block["ln_2"]["b"],
+                        config.layer_norm_eps)
+        x = x + _mlp(block, h2)
+
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
+                   config.layer_norm_eps)
+    last = x[seq_len - 1]
+    logits = jnp.dot(last, params["wte"].T,
+                     preferred_element_type=jnp.float32)
+    return logits, pool
+
+
+def decode_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B] int32 — current token per slot
+    positions: jax.Array,    # [B] int32 — its absolute position
+    seq_lens: jax.Array,     # [B] int32 — length INCLUDING current token
+    page_tables: jax.Array,  # [B, pages_per_seq_max] int32
+    active: jax.Array,       # [B] bool
+    *,
+    interpret: bool = False,
+):
+    """One batched decode step; returns (logits [B, vocab] f32, pool)."""
+    B = token_ids.shape[0]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    safe_pos = jnp.clip(positions, 0, config.max_position_embeddings - 1)
+    x = params["wte"][token_ids] + params["wpe"][safe_pos]  # [B, h]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = layer_norm(x, block["ln_1"]["g"], block["ln_1"]["b"],
+                        config.layer_norm_eps)
+        qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
+        q, k, v = _split_qkv(qkv, H, Hkv, d)  # [B,H,d], [B,Hkv,d]
+
+        kp, vp, ks, vs = pool.layer(i)
+        out = write_kv_decode(kp, vp, k, v, positions, page_tables, active,
+                              k_scales=ks, v_scales=vs)
+        if pool.quantized:
+            kp, vp, ks, vs = out
+        else:
+            kp, vp = out
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+
+        masked_lens = jnp.where(active, seq_lens, 0)
+        attn = paged_attention(q, kp, vp, masked_lens, page_tables,
+                               k_scales=ks, v_scales=vs,
+                               interpret=interpret)  # [B, H, d]
+        x = x + linear(attn.reshape(B, H * d), block["attn"]["c_proj_w"],
+                       block["attn"]["c_proj_b"])
+
+        h2 = layer_norm(x, block["ln_2"]["g"], block["ln_2"]["b"],
+                        config.layer_norm_eps)
+        x = x + _mlp(block, h2)
+
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
+                   config.layer_norm_eps)
+    logits = jnp.dot(x, params["wte"].T, preferred_element_type=jnp.float32)
+    return logits, pool

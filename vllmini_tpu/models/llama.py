@@ -1,0 +1,168 @@
+"""Llama-family model with paged KV cache (JAX functional).
+
+Capability extension beyond the reference (which serves only GPT-2,
+`/root/reference/vllmini/server.py:34`), required by the target configs
+(BASELINE.md: Llama-3-8B/70B). Same paged-KV contract as `gpt2.py`: shared page
+table across layers, cache-then-attend, seq_lens include the current token.
+
+Architecture: RMSNorm, RoPE (rotate-half convention matching HF), GQA, SwiGLU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..memory.kv_cache import KVPool
+from ..ops.flash_attention import flash_attention_prefill
+from ..ops.kv_write import write_kv_decode, write_kv_prefill
+from ..ops.paged_attention import paged_attention
+from .common import apply_rope, linear, rms_norm, rope_table
+from .gpt2 import _update_pool_layer
+
+Params = Dict[str, Any]
+
+
+def init_params(config: ModelConfig, key: jax.Array) -> Params:
+    dt = config.jnp_dtype
+    h, L = config.hidden_size, config.num_layers
+    m = config.mlp_size
+    d, H, Hkv = config.head_size, config.num_heads, config.kv_heads
+    keys = jax.random.split(key, 2 + 7 * L)
+    std = 0.02
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dt)
+
+    params: Params = {
+        "embed": norm(keys[0], (config.vocab_size, h)),
+        "norm_f": jnp.ones(h, dt),
+        "lm_head": (None if config.tie_word_embeddings
+                    else norm(keys[1], (h, config.vocab_size))),
+        "blocks": [],
+    }
+    for i in range(L):
+        ks = keys[2 + 7 * i: 9 + 7 * i]
+        params["blocks"].append({
+            "input_norm": jnp.ones(h, dt),
+            "post_attn_norm": jnp.ones(h, dt),
+            "attn": {
+                "wq": norm(ks[0], (h, H * d)),
+                "wk": norm(ks[1], (h, Hkv * d)),
+                "wv": norm(ks[2], (h, Hkv * d)),
+                "wo": norm(ks[3], (H * d, h)),
+            },
+            "mlp": {
+                "w_gate": norm(ks[4], (h, m)),
+                "w_up": norm(ks[5], (h, m)),
+                "w_down": norm(ks[6], (m, h)),
+            },
+        })
+    return params
+
+
+def _mlp(block: Params, x: jax.Array) -> jax.Array:
+    gate = jax.nn.silu(linear(x, block["mlp"]["w_gate"]))
+    up = linear(x, block["mlp"]["w_up"])
+    return linear(gate * up, block["mlp"]["w_down"])
+
+
+def _logits(params: Params, x: jax.Array) -> jax.Array:
+    if params.get("lm_head") is not None:
+        return jnp.dot(x, params["lm_head"],
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
+
+
+def prefill_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,   # [L_pad] int32
+    seq_len: jax.Array,     # scalar int32
+    page_table: jax.Array,  # [pages_per_seq_max] int32
+    start_pos: int | jax.Array = 0,
+    *,
+    interpret: bool = False,
+):
+    L_pad = token_ids.shape[0]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    positions = start_pos + jnp.arange(L_pad, dtype=jnp.int32)
+    cos, sin = rope_table(positions, d, config.rope_theta)  # [L, d/2]
+    x = params["embed"][token_ids]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        q = linear(h1, block["attn"]["wq"]).reshape(L_pad, H, d)
+        k = linear(h1, block["attn"]["wk"]).reshape(L_pad, Hkv, d)
+        v = linear(h1, block["attn"]["wv"]).reshape(L_pad, Hkv, d)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+
+        kp, vp, ks, vs = pool.layer(i)
+        out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
+                               start_pos=start_pos, k_scales=ks, v_scales=vs)
+        if pool.quantized:
+            kp, vp, ks, vs = out
+        else:
+            kp, vp = out
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+
+        attn = flash_attention_prefill(
+            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+            seq_len, causal=True, interpret=interpret,
+        ).transpose(1, 0, 2).reshape(L_pad, H * d)
+        x = x + linear(attn, block["attn"]["wo"])
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        x = x + _mlp(block, h2)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    return _logits(params, x[seq_len - 1]), pool
+
+
+def decode_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B]
+    positions: jax.Array,    # [B]
+    seq_lens: jax.Array,     # [B] (include current token)
+    page_tables: jax.Array,  # [B, pages_per_seq_max]
+    active: jax.Array,       # [B] bool
+    *,
+    interpret: bool = False,
+):
+    B = token_ids.shape[0]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    cos, sin = rope_table(positions, d, config.rope_theta)  # [B, d/2]
+    x = params["embed"][token_ids]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        q = linear(h1, block["attn"]["wq"]).reshape(B, H, d)
+        k = linear(h1, block["attn"]["wk"]).reshape(B, Hkv, d)
+        v = linear(h1, block["attn"]["wv"]).reshape(B, Hkv, d)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+
+        kp, vp, ks, vs = pool.layer(i)
+        out = write_kv_decode(kp, vp, k, v, positions, page_tables, active,
+                              k_scales=ks, v_scales=vs)
+        if pool.quantized:
+            kp, vp, ks, vs = out
+        else:
+            kp, vp = out
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+
+        masked_lens = jnp.where(active, seq_lens, 0)
+        attn = paged_attention(q, kp, vp, masked_lens, page_tables,
+                               k_scales=ks, v_scales=vs, interpret=interpret)
+        x = x + linear(attn.reshape(B, H * d), block["attn"]["wo"])
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        x = x + _mlp(block, h2)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    return _logits(params, x), pool

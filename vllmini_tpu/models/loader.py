@@ -1,0 +1,161 @@
+"""HF weight loading.
+
+Reference counterpart: `load_huggingface_weights` (`/root/reference/vllmini/model/
+gpt2.py:276-331`), which downloads `gpt2`, key-remaps, and TRANSPOSES Conv1D weights
+because its Linear layers are [out, in]. Our linear layout is [in, out] — the same
+as HF's Conv1D storage — so GPT-2 needs NO transpose; Llama (true nn.Linear,
+[out, in]) is transposed here instead.
+
+Sources, tried in order by `load_params`:
+1. an in-memory `transformers` model object (tests construct tiny random models —
+   the environment has no network/HF cache),
+2. a local directory with HF safetensors / torch weights,
+3. an HF hub id (works only where the hub cache or network exists).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+
+def _to_np(t) -> np.ndarray:
+    """torch tensor (possibly bf16) -> numpy f32."""
+    import torch
+
+    with torch.no_grad():
+        return t.detach().to(torch.float32).cpu().numpy()
+
+
+def config_from_hf(hf_config) -> ModelConfig:
+    """Derive our ModelConfig from a transformers config object."""
+    mt = getattr(hf_config, "model_type", "gpt2")
+    if mt == "gpt2":
+        return ModelConfig(
+            family="gpt2",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            max_position_embeddings=hf_config.n_positions,
+            layer_norm_eps=hf_config.layer_norm_epsilon,
+        )
+    if mt == "llama":
+        return ModelConfig(
+            family="llama",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            intermediate_size=hf_config.intermediate_size,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            layer_norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        )
+    raise ValueError(f"unsupported HF model_type {mt!r}")
+
+
+def gpt2_params_from_state_dict(sd: Dict[str, Any], config: ModelConfig,
+                                dtype=None) -> Dict[str, Any]:
+    dt = dtype or config.jnp_dtype
+
+    def g(name):
+        key = name if name in sd else "transformer." + name
+        return jnp.asarray(_to_np(sd[key]), dt)
+
+    params = {
+        "wte": g("wte.weight"),
+        "wpe": g("wpe.weight"),
+        "ln_f": {"g": g("ln_f.weight"), "b": g("ln_f.bias")},
+        "blocks": [],
+    }
+    for i in range(config.num_layers):
+        p = f"h.{i}."
+        params["blocks"].append({
+            "ln_1": {"g": g(p + "ln_1.weight"), "b": g(p + "ln_1.bias")},
+            "attn": {
+                # HF Conv1D stores [in, out] — matches our layout, no transpose
+                # (unlike the reference, gpt2.py:316-317).
+                "c_attn_w": g(p + "attn.c_attn.weight"),
+                "c_attn_b": g(p + "attn.c_attn.bias"),
+                "c_proj_w": g(p + "attn.c_proj.weight"),
+                "c_proj_b": g(p + "attn.c_proj.bias"),
+            },
+            "ln_2": {"g": g(p + "ln_2.weight"), "b": g(p + "ln_2.bias")},
+            "mlp": {
+                "c_fc_w": g(p + "mlp.c_fc.weight"),
+                "c_fc_b": g(p + "mlp.c_fc.bias"),
+                "c_proj_w": g(p + "mlp.c_proj.weight"),
+                "c_proj_b": g(p + "mlp.c_proj.bias"),
+            },
+        })
+    return params
+
+
+def llama_params_from_state_dict(sd: Dict[str, Any], config: ModelConfig,
+                                 dtype=None) -> Dict[str, Any]:
+    dt = dtype or config.jnp_dtype
+
+    def g(name, transpose=False):
+        key = name if name in sd else "model." + name
+        arr = _to_np(sd[key])
+        if transpose:
+            arr = arr.T  # nn.Linear [out, in] -> our [in, out]
+        return jnp.asarray(arr, dt)
+
+    params = {
+        "embed": g("embed_tokens.weight"),
+        "norm_f": g("norm.weight"),
+        "blocks": [],
+    }
+    if config.tie_word_embeddings:
+        params["lm_head"] = None
+    else:
+        params["lm_head"] = g("lm_head.weight", transpose=True)
+    for i in range(config.num_layers):
+        p = f"layers.{i}."
+        params["blocks"].append({
+            "input_norm": g(p + "input_layernorm.weight"),
+            "post_attn_norm": g(p + "post_attention_layernorm.weight"),
+            "attn": {
+                "wq": g(p + "self_attn.q_proj.weight", transpose=True),
+                "wk": g(p + "self_attn.k_proj.weight", transpose=True),
+                "wv": g(p + "self_attn.v_proj.weight", transpose=True),
+                "wo": g(p + "self_attn.o_proj.weight", transpose=True),
+            },
+            "mlp": {
+                "w_gate": g(p + "mlp.gate_proj.weight", transpose=True),
+                "w_up": g(p + "mlp.up_proj.weight", transpose=True),
+                "w_down": g(p + "mlp.down_proj.weight", transpose=True),
+            },
+        })
+    return params
+
+
+def params_from_hf_model(hf_model, config: ModelConfig | None = None,
+                         dtype=None):
+    """Convert an in-memory transformers model. Returns (config, params)."""
+    if config is None:
+        config = config_from_hf(hf_model.config)
+    sd = hf_model.state_dict()
+    if config.family == "gpt2":
+        return config, gpt2_params_from_state_dict(sd, config, dtype)
+    if config.family == "llama":
+        return config, llama_params_from_state_dict(sd, config, dtype)
+    raise ValueError(config.family)
+
+
+def load_params(model_id_or_path: str, dtype=None):
+    """Load from a local path or HF hub id. Returns (config, params)."""
+    import transformers
+
+    cfg = transformers.AutoConfig.from_pretrained(model_id_or_path)
+    model = transformers.AutoModelForCausalLM.from_pretrained(model_id_or_path)
+    our_cfg = config_from_hf(cfg)
+    return params_from_hf_model(model, our_cfg, dtype)

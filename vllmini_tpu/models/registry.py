@@ -1,0 +1,43 @@
+"""Model family registry: maps ModelConfig.family -> forward fns + init/loader."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+from ..config import ModelConfig
+from . import gpt2, llama
+from .loader import (
+    gpt2_params_from_state_dict,
+    llama_params_from_state_dict,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFamily:
+    name: str
+    init_params: Callable[..., Any]
+    prefill_forward: Callable[..., Any]
+    decode_forward: Callable[..., Any]
+    params_from_state_dict: Callable[..., Any]
+
+
+_FAMILIES = {
+    "gpt2": ModelFamily(
+        "gpt2", gpt2.init_params, gpt2.prefill_forward, gpt2.decode_forward,
+        gpt2_params_from_state_dict,
+    ),
+    "llama": ModelFamily(
+        "llama", llama.init_params, llama.prefill_forward,
+        llama.decode_forward, llama_params_from_state_dict,
+    ),
+}
+
+
+def get_family(config: ModelConfig) -> ModelFamily:
+    try:
+        return _FAMILIES[config.family]
+    except KeyError:
+        raise ValueError(
+            f"unknown model family {config.family!r}; "
+            f"known: {sorted(_FAMILIES)}")

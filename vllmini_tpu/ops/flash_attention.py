@@ -1,0 +1,180 @@
+"""Causal flash-attention prefill kernel (Pallas/TPU).
+
+The reference's prefill path is plain torch matmul+mask+softmax
+(`/root/reference/vllmini/model/gpt2.py:71-78`) with an additive -inf mask built on
+host (`generate_triangular_mask.py`). On TPU that materializes an O(L^2) scores
+matrix in HBM; here prefill is a tiled online-softmax kernel instead (flash
+attention), with:
+
+- grid (q_head, q_block, kv_block), kv innermost; fp32 running max/normalizer/
+  accumulator in VMEM scratch persisting across kv blocks,
+- whole-block causal skip above the diagonal plus elementwise causal + actual-
+  length masking inside diagonal blocks (prompt lengths are bucket-padded),
+- GQA folded into the index map (q head h reads kv head h // group).
+
+Short prompts (below one 128-token tile) fall back to a dense jnp path — masking
+cost is trivial there and tiles would be sub-minimal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(
+    seq_len_ref,            # scalar prefetch: [1] int32 true length
+    q_ref,                  # [1, block_q, head_dim]
+    k_ref,                  # [1, block_kv, head_dim]
+    v_ref,
+    o_ref,                  # [1, block_q, head_dim]
+    m_scratch, l_scratch,   # [block_q, 1] f32
+    acc_scratch,            # [block_q, head_dim] f32
+    *,
+    sm_scale: float,
+    causal: bool,
+    mask_value: float,
+):
+    i = pl.program_id(1)   # q block
+    j = pl.program_id(2)   # kv block
+    block_q = q_ref.shape[1]
+    block_kv = k_ref.shape[1]
+    num_kv_blocks = pl.num_programs(2)
+    seq_len = seq_len_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Whole-block causal skip: block strictly above the diagonal.
+    run = True
+    if causal:
+        run = (j * block_kv) <= ((i + 1) * block_q - 1)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32) * sm_scale
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_kv]
+
+        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = col < seq_len
+        if causal:
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, mask_value)
+
+        m_prev, l_prev = m_scratch[...], l_scratch[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...], l_scratch[...] = m_next, l_next
+
+        v = v_ref[0].astype(jnp.float32)
+        acc_scratch[...] = alpha * acc_scratch[...] + jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _():
+        l = l_scratch[...]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] / l).astype(o_ref.dtype)
+
+
+def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value):
+    """Dense fallback/oracle: [h, L, d] x [kvh, L, d] -> [h, L, d]."""
+    num_q_heads, L, head_dim = q.shape
+    num_kv_heads = k.shape[0]
+    group = num_q_heads // num_kv_heads
+    qf = q.reshape(num_kv_heads, group, L, head_dim).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    s = jnp.einsum("hgqd,hkd->hgqk", qf, kf) * sm_scale
+    row = jnp.arange(L)[:, None]
+    col = jnp.arange(L)[None, :]
+    mask = col < seq_len
+    if causal:
+        mask = jnp.logical_and(mask, col <= row)
+    s = jnp.where(mask[None, None], s, mask_value)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("hgqk,hkd->hgqd", p, vf)
+    return o.reshape(num_q_heads, L, head_dim).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "causal", "block_q", "block_kv", "interpret"),
+)
+def flash_attention_prefill(
+    q: jax.Array,   # [num_q_heads, L, head_dim]
+    k: jax.Array,   # [num_kv_heads, L, head_dim]
+    v: jax.Array,
+    seq_len: jax.Array | None = None,  # scalar int32 true length (<= L)
+    *,
+    sm_scale: float | None = None,
+    causal: bool = True,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    num_q_heads, L, head_dim = q.shape
+    num_kv_heads = k.shape[0]
+    assert num_q_heads % num_kv_heads == 0
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim ** -0.5
+    if seq_len is None:
+        seq_len = jnp.int32(L)
+    seq_len = jnp.asarray(seq_len, jnp.int32).reshape(1)
+
+    if L % block_q != 0 or L % block_kv != 0 or L < max(block_q, block_kv):
+        return _dense_reference(q, k, v, seq_len[0], sm_scale, causal,
+                                DEFAULT_MASK_VALUE)
+
+    grid = (num_q_heads, L // block_q, L // block_kv)
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, causal=causal,
+        mask_value=DEFAULT_MASK_VALUE,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, head_dim),
+                             lambda h, i, j, *_: (h, i, 0)),
+                pl.BlockSpec((1, block_kv, head_dim),
+                             lambda h, i, j, *_: (h // group, j, 0)),
+                pl.BlockSpec((1, block_kv, head_dim),
+                             lambda h, i, j, *_: (h // group, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, head_dim),
+                                   lambda h, i, j, *_: (h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_q_heads, L, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seq_len, q, k, v)

@@ -1,0 +1,345 @@
+"""Paged-attention decode kernel (Pallas/TPU).
+
+TPU-native equivalent of the reference's `paged_attention_v1` CUDA kernel
+(`/root/reference/paged_attention_ext/paged_attention_cuda/attention_kernels.cu:86-496`):
+one query token per sequence attends over a page-table-indirected KV cache. The CUDA
+design (warp-per-KV-block iteration, fp32 softmax in shared memory) maps to TPU as:
+
+- grid over (batch, kv_head); each step processes one sequence x one KV head,
+- the KV pool stays in HBM; pages are gathered by index via async DMA into a
+  double-buffered VMEM scratch (pages are non-contiguous, so one DMA per page,
+  all started concurrently),
+- online softmax (running max m, normalizer l, fp32 accumulator) over page blocks,
+  i.e. the flash-decoding structure of the reference's `paged_attention_v2`
+  (`attention_kernels.cu:534-669`) fused into a single kernel,
+- GQA: the q heads sharing a KV head are computed together as a [group, head_dim]
+  tile (the CUDA kernel's num_queries_per_kv, `attention_kernels.cu:152-153`),
+- optional int8/fp8 KV with per-token scales dequantized in-register after DMA
+  (the reference's fp8 `scaled_convert` machinery, `quantization/fp8/**`).
+
+Layouts are TPU-first (head_dim on the 128-lane axis), not the reference's 16-byte
+LDG-vectorized key layout (`cache_kernels.cu:184-194`), per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# -0.7 * max-float instead of -inf: avoids NaN from exp(-inf - (-inf)).
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class _PageGatherCopy:
+    """Async-gather of `pages_per_block` non-contiguous KV pages into one VMEM slot.
+
+    Pages live at arbitrary indices of the HBM pool, so a single strided DMA cannot
+    fetch a compute block; instead one DMA per page is issued and all are started
+    back-to-back (the DMA engine keeps them in flight concurrently).
+    """
+
+    def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref, seq_idx,
+                 head_idx, block_idx, slot, pages_per_block):
+        self._copies = []
+        for j in range(pages_per_block):
+            page_idx = page_tables_ref[seq_idx, block_idx * pages_per_block + j]
+            self._copies.append(
+                pltpu.make_async_copy(
+                    pages_hbm_ref.at[head_idx, page_idx],
+                    vmem_buf.at[slot, j],
+                    sem,
+                )
+            )
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+def _paged_attention_kernel(
+    # scalar prefetch
+    seq_lens_ref,      # [batch] int32 (length INCLUDES the current token)
+    page_tables_ref,   # [batch, pages_per_seq_max] int32
+    # inputs
+    q_ref,             # [1, group, head_dim] VMEM
+    k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size, head_dim] HBM/ANY
+    v_pages_hbm_ref,
+    k_scales_hbm_ref,  # [num_kv_heads, num_pages, page_size] or None
+    v_scales_hbm_ref,
+    # outputs
+    o_ref,             # [1, group, head_dim] VMEM
+    # scratch
+    k_buf, v_buf,      # [2, pages_per_block, page_size, head_dim] VMEM
+    k_scale_buf, v_scale_buf,  # [2, pages_per_block, page_size] VMEM or None
+    k_sem, v_sem, scale_sem,
+    *,
+    pages_per_block: int,
+    page_size: int,
+    sm_scale: float,
+    mask_value: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    seq_len = seq_lens_ref[b]
+    # q block is [1, 1, group, head_dim] (one seq x one kv head).
+    group, head_dim = q_ref.shape[2], q_ref.shape[3]
+    block_tokens = pages_per_block * page_size
+    quantized = k_scale_buf is not None
+
+    num_blocks = pl.cdiv(seq_len, block_tokens)
+
+    def start_block(block_idx, slot):
+        _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
+                        b, h, block_idx, slot, pages_per_block).start()
+        _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
+                        b, h, block_idx, slot, pages_per_block).start()
+        if quantized:
+            _PageGatherCopy(k_scales_hbm_ref, k_scale_buf, scale_sem,
+                            page_tables_ref, b, h, block_idx, slot,
+                            pages_per_block).start()
+            _PageGatherCopy(v_scales_hbm_ref, v_scale_buf, scale_sem,
+                            page_tables_ref, b, h, block_idx, slot,
+                            pages_per_block).start()
+
+    def wait_block(block_idx, slot):
+        _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
+                        b, h, block_idx, slot, pages_per_block).wait()
+        _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
+                        b, h, block_idx, slot, pages_per_block).wait()
+        if quantized:
+            _PageGatherCopy(k_scales_hbm_ref, k_scale_buf, scale_sem,
+                            page_tables_ref, b, h, block_idx, slot,
+                            pages_per_block).wait()
+            _PageGatherCopy(v_scales_hbm_ref, v_scale_buf, scale_sem,
+                            page_tables_ref, b, h, block_idx, slot,
+                            pages_per_block).wait()
+
+    @pl.when(seq_len == 0)
+    def _():
+        # Inactive batch slot: emit zeros, no DMA.
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(seq_len > 0)
+    def _():
+        start_block(0, 0)
+
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [group, head_dim]
+
+        def body(i, carry):
+            m_prev, l_prev, acc_prev = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < num_blocks)
+            def _():
+                start_block(i + 1, jax.lax.rem(i + 1, 2))
+
+            wait_block(i, slot)
+
+            k = k_buf[slot].reshape(block_tokens, head_dim).astype(jnp.float32)
+            if quantized:
+                k = k * k_scale_buf[slot].reshape(block_tokens, 1).astype(jnp.float32)
+
+            # [group, block_tokens] scores, fp32 accumulation on the MXU.
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            # Mask positions beyond the sequence length.
+            token_pos = (
+                i * block_tokens
+                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            )
+            s = jnp.where(token_pos < seq_len, s, mask_value)
+
+            m_cur = jnp.max(s, axis=-1, keepdims=True)          # [group, 1]
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)                             # [group, bt]
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+            v = v_buf[slot].reshape(block_tokens, head_dim).astype(jnp.float32)
+            if quantized:
+                v = v * v_scale_buf[slot].reshape(block_tokens, 1).astype(jnp.float32)
+
+            o_cur = jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_next = alpha * acc_prev + o_cur
+            return m_next, l_next, acc_next
+
+        m0 = jnp.full((group, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((group, 1), jnp.float32)
+        acc0 = jnp.zeros((group, head_dim), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "pages_per_compute_block", "mask_value", "interpret",
+    ),
+)
+def paged_attention(
+    q: jax.Array,            # [batch, num_q_heads, head_dim]
+    k_pages: jax.Array,      # [num_kv_heads, num_pages, page_size, head_dim]
+    v_pages: jax.Array,
+    seq_lens: jax.Array,     # [batch] int32, length INCLUDING current token
+    page_tables: jax.Array,  # [batch, pages_per_seq_max] int32
+    *,
+    sm_scale: float | None = None,
+    pages_per_compute_block: int | None = None,
+    k_scales: jax.Array | None = None,  # [num_kv_heads, num_pages, page_size]
+    v_scales: jax.Array | None = None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token-per-sequence attention over a paged KV cache.
+
+    Unlike the reference (`vllmini/scheduler.py:96` passes seq_lens *excluding* the
+    just-cached token, so a token never attends to itself — SURVEY.md "bugs"),
+    `seq_lens` here includes the current token: KV for position `seq_lens-1` must
+    already be written (cache-then-attend order).
+    """
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, num_pages, page_size, head_dim_k = k_pages.shape
+    assert head_dim == head_dim_k
+    assert num_q_heads % num_kv_heads == 0
+    group = num_q_heads // num_kv_heads
+    pages_per_seq = page_tables.shape[1]
+
+    if sm_scale is None:
+        sm_scale = head_dim ** -0.5
+    if pages_per_compute_block is None:
+        # Target ~128 tokens per compute block for MXU-friendly score tiles.
+        pages_per_compute_block = max(1, min(pages_per_seq, 128 // page_size))
+    # The page table is processed in whole compute blocks; pad table length.
+    if pages_per_seq % pages_per_compute_block != 0:
+        pad = pages_per_compute_block - pages_per_seq % pages_per_compute_block
+        page_tables = jnp.pad(page_tables, ((0, 0), (0, pad)))
+        pages_per_seq += pad
+
+    quantized = k_scales is not None
+    if quantized:
+        assert v_scales is not None
+
+    grid = (batch, num_kv_heads)
+    kernel = functools.partial(
+        _paged_attention_kernel,
+        pages_per_block=pages_per_compute_block,
+        page_size=page_size,
+        sm_scale=sm_scale,
+        mask_value=mask_value,
+    )
+
+    def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref,
+                      k_hbm, v_hbm, *rest):
+        if quantized:
+            ks_hbm, vs_hbm, o_ref, kb, vb, ksb, vsb, ks, vs, ss = rest
+            kernel(seq_lens_ref, page_tables_ref, q_ref, k_hbm, v_hbm,
+                   ks_hbm, vs_hbm, o_ref, kb, vb, ksb, vsb, ks, vs, ss)
+        else:
+            o_ref, kb, vb, ks, vs = rest
+            kernel(seq_lens_ref, page_tables_ref, q_ref, k_hbm, v_hbm,
+                   None, None, o_ref, kb, vb, None, None, ks, vs, None)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, group, head_dim), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # k_pages stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # v_pages
+    ]
+    inputs = [q.reshape(batch, num_kv_heads, group, head_dim), k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [k_scales, v_scales]
+
+    scratch_shapes = [
+        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim), k_pages.dtype),
+        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim), v_pages.dtype),
+    ]
+    if quantized:
+        scratch_shapes += [
+            pltpu.VMEM((2, pages_per_compute_block, page_size), k_scales.dtype),
+            pltpu.VMEM((2, pages_per_compute_block, page_size), v_scales.dtype),
+        ]
+    scratch_shapes += [
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if quantized:
+        scratch_shapes += [pltpu.SemaphoreType.DMA]
+
+    out = pl.pallas_call(
+        _kernel_entry,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, group, head_dim), lambda b, h, *_: (b, h, 0, 0)
+            ),
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, group, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seq_lens.astype(jnp.int32), page_tables.astype(jnp.int32), *inputs)
+
+    return out.reshape(batch, num_q_heads, head_dim)
+
+
+def paged_attention_reference(
+    q, k_pages, v_pages, seq_lens, page_tables, *, sm_scale=None,
+    k_scales=None, v_scales=None,
+):
+    """Naive jnp oracle for tests (gather pages, full softmax). O(batch*ctx)."""
+    batch, num_q_heads, head_dim = q.shape
+    num_kv_heads, _, page_size, _ = k_pages.shape
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim ** -0.5
+    max_ctx = page_tables.shape[1] * page_size
+
+    # Gather per-sequence contiguous K/V: [batch, num_kv_heads, max_ctx, head_dim]
+    gathered_k = k_pages[:, page_tables]  # [kvh, batch, pages, psize, hd]
+    gathered_v = v_pages[:, page_tables]
+    if k_scales is not None:
+        ks = k_scales[:, page_tables][..., None]
+        vs = v_scales[:, page_tables][..., None]
+        gathered_k = gathered_k.astype(jnp.float32) * ks
+        gathered_v = gathered_v.astype(jnp.float32) * vs
+    k = gathered_k.transpose(1, 0, 2, 3, 4).reshape(
+        batch, num_kv_heads, max_ctx, head_dim).astype(jnp.float32)
+    v = gathered_v.transpose(1, 0, 2, 3, 4).reshape(
+        batch, num_kv_heads, max_ctx, head_dim).astype(jnp.float32)
+
+    qf = q.reshape(batch, num_kv_heads, group, head_dim).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhtd->bhgt", qf, k) * sm_scale
+    pos = jnp.arange(max_ctx)[None, None, None, :]
+    mask = pos < seq_lens[:, None, None, None]
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(seq_lens[:, None, None, None] > 0, p, 0.0)
+    o = jnp.einsum("bhgt,bhtd->bhgd", p, v)
+    return o.reshape(batch, num_q_heads, head_dim).astype(q.dtype)
