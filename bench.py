@@ -1,0 +1,120 @@
+"""Benchmark harness: decode tokens/s/chip on the flagship config.
+
+Run on real TPU: `python bench.py` (honors JAX_PLATFORMS=axon/tpu). Prints ONE
+JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports the
+fraction of the HBM-bandwidth ROOFLINE achieved — decode at small batch is
+weight-streaming-bound, so roofline step time = bytes(weights + KV read) / HBM BW.
+The BASELINE.json headline target is >=90% of roofline with quantized weights+KV.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HBM_GBPS = {"v5 lite": 819.0, "v5litepod": 819.0, "v6 lite": 1640.0}
+
+
+def device_hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in HBM_GBPS.items():
+        if k in kind:
+            return v
+    return 819.0  # default: v5e
+
+
+def count_param_bytes(params) -> int:
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(x.nbytes for x in leaves if hasattr(x, "nbytes"))
+
+
+def main():
+    from vllmini_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SamplingParams,
+        SchedulerConfig,
+    )
+    from vllmini_tpu.engine.engine import LLMEngine
+    from vllmini_tpu.engine.scheduler import Scheduler
+
+    on_tpu = jax.default_backend() == "tpu"
+    slots = 8
+    config = EngineConfig(
+        model=ModelConfig.gpt2_124m(dtype="bfloat16" if on_tpu else "float32"),
+        cache=CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=16,
+                          kv_dtype="bfloat16" if on_tpu else "float32"),
+        scheduler=SchedulerConfig(max_decode_slots=slots,
+                                  prefill_buckets=(64, 128, 256)),
+        hf_model=None,
+    )
+    engine = LLMEngine(config)
+    sched = Scheduler(engine)
+
+    rng = np.random.default_rng(0)
+    prompt_len = 64
+    warm_steps, bench_steps = 20, 150
+    max_new = warm_steps + bench_steps + 64
+
+    # Admit `slots` concurrent greedy requests; measure TTFT per prefill.
+    ttfts = []
+    for i in range(slots):
+        prompt = rng.integers(0, config.model.vocab_size,
+                              prompt_len).tolist()
+        sched.add_request(prompt, SamplingParams(max_new_tokens=max_new,
+                                                 greedy=True))
+    while sched.num_running < slots:
+        t0 = time.perf_counter()
+        sched.step()
+        ttfts.append(time.perf_counter() - t0)
+
+    # Warm up (ensures decode fn is compiled and steady).
+    for _ in range(warm_steps):
+        sched.step()
+
+    t0 = time.perf_counter()
+    for _ in range(bench_steps):
+        sched.step()
+    elapsed = time.perf_counter() - t0
+
+    tokens = bench_steps * slots
+    tok_s = tokens / elapsed
+
+    # Roofline: every decode step streams all weights once; KV read per step is
+    # ~2 * layers * kv_heads * ctx * head_dim_padded * itemsize per sequence.
+    bw = device_hbm_gbps() * 1e9
+    weight_bytes = count_param_bytes(engine.params)
+    m = config.model
+    kv_item = jnp.dtype(config.cache.jnp_kv_dtype).itemsize
+    ctx = prompt_len + warm_steps + bench_steps // 2
+    kv_bytes = (2 * m.num_layers * m.kv_heads *
+                config.cache.padded_head_dim(m.head_size) * ctx * kv_item)
+    step_bytes = weight_bytes + slots * kv_bytes
+    roofline_step_s = step_bytes / bw
+    roofline_tok_s = slots / roofline_step_s
+
+    result = {
+        "metric": "decode_tokens_per_s_per_chip",
+        "value": round(tok_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+        "config": "gpt2-124m bf16, paged KV bf16, batch=8, ctx~200",
+        "backend": jax.default_backend(),
+        "device": jax.devices()[0].device_kind,
+        "ttft_p50_ms": round(1e3 * float(np.median(ttfts)), 2),
+        "roofline_tokens_per_s": round(roofline_tok_s, 1),
+        "steps_per_s": round(bench_steps / elapsed, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Weight-only quantized matmul: kernel vs dequantize-then-dot oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllmini_tpu.config import QuantConfig
+from vllmini_tpu.models.common import QuantizedWeight
+from vllmini_tpu.ops.quant_matmul import (
+    dequantize_weight,
+    quantize_params,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantize_roundtrip_error(bits):
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (256, 128), jnp.float32)
+    qw = quantize_weight(w, bits=bits, group_size=128)
+    deq = dequantize_weight(qw)
+    # Error bounded by scale/2 per element: scale = amax/qmax.
+    qmax = 127.0 if bits == 8 else 7.0
+    amax = np.abs(np.asarray(w)).reshape(2, 128, 128).max(axis=1)
+    bound = (amax / qmax)[:, None, :].repeat(128, axis=1).reshape(256, 128)
+    assert np.all(np.abs(np.asarray(deq) - np.asarray(w)) <= bound * 0.5 + 1e-6)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("M", [1, 8])
+def test_kernel_matches_dequant_dot(bits, M):
+    key = jax.random.PRNGKey(1)
+    K, N = 256, 256
+    x = jax.random.normal(key, (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (K, N), jnp.float32)
+    qw = quantize_weight(w, bits=bits, group_size=128)
+    got = quantized_matmul(x, qw, interpret=True)
+    ref = x @ dequantize_weight(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_accuracy_vs_fp32(bits):
+    """End-to-end quant error stays small relative to activations."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (4, 512), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (512, 256), jnp.float32) * 0.05
+    qw = quantize_weight(w, bits=bits, group_size=128)
+    got = quantized_matmul(x, qw, interpret=True)
+    ref = x @ w
+    rel = (np.linalg.norm(np.asarray(got) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    # Quantization noise is ~scale/sqrt(12) per element: ~0.4% of sigma for
+    # int8 (qmax=127), ~12% for int4 (qmax=7) at group_size=128.
+    assert rel < (0.01 if bits == 8 else 0.15), rel
+
+
+def test_quantize_params_structure():
+    from vllmini_tpu.config import ModelConfig
+    from vllmini_tpu.models.gpt2 import init_params
+
+    cfg = ModelConfig(family="gpt2", vocab_size=128, hidden_size=128,
+                      num_layers=2, num_heads=2, max_position_embeddings=64,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params(params, QuantConfig(weight_dtype="int8",
+                                             group_size=128))
+    # Embeddings untouched; block weights quantized; biases untouched.
+    assert isinstance(qp["wte"], jax.Array)
+    blk = qp["blocks"][0]
+    assert isinstance(blk["attn"]["c_attn_w"], QuantizedWeight)
+    assert isinstance(blk["attn"]["c_attn_b"], jax.Array)
+    assert isinstance(blk["mlp"]["c_fc_w"], QuantizedWeight)

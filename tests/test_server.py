@@ -1,0 +1,163 @@
+"""API server tests (reference has none — SURVEY.md §4 gaps).
+
+Spins the real aiohttp server on an ephemeral port and exercises the
+reference-compatible flow: POST /generate -> poll GET /result, plus the /v1
+endpoint, 404 semantics, abort, and metrics.
+"""
+
+import asyncio
+import threading
+import time
+
+import httpx
+import pytest
+from aiohttp import web
+
+from vllmini_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+from vllmini_tpu.engine.engine import LLMEngine
+from vllmini_tpu.engine.scheduler import Scheduler
+from vllmini_tpu.server.api import create_app
+
+TINY = ModelConfig(family="gpt2", vocab_size=128, hidden_size=32,
+                   num_layers=2, num_heads=2, max_position_embeddings=64,
+                   dtype="float32")
+
+
+class WordTokenizer:
+    """Deterministic toy tokenizer: whitespace-split ints."""
+
+    eos_token_id = 127
+
+    def encode(self, s):
+        return [int(t) % 128 for t in s.split()]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+class ServerThread:
+    def __init__(self, app: web.Application):
+        self.app = app
+        self.port = None
+        self._ready = threading.Event()
+        self._loop = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        runner = web.AppRunner(self.app)
+        self._loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        self._loop.run_until_complete(site.start())
+        self.port = site._server.sockets[0].getsockname()[1]
+        self._runner = runner
+        self._ready.set()
+        self._loop.run_forever()
+        self._loop.run_until_complete(runner.cleanup())
+
+    def start(self):
+        self._thread.start()
+        assert self._ready.wait(timeout=30)
+        return f"http://127.0.0.1:{self.port}"
+
+    def stop(self):
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=30)
+
+
+@pytest.fixture()
+def client():
+    cfg = EngineConfig(
+        model=TINY,
+        cache=CacheConfig(num_pages=32, page_size=4, max_pages_per_seq=8,
+                          kv_dtype="float32"),
+        scheduler=SchedulerConfig(max_decode_slots=2,
+                                  prefill_buckets=(8, 16)),
+        hf_model=None,
+    )
+    scheduler = Scheduler(LLMEngine(cfg))
+    server = ServerThread(create_app(scheduler, WordTokenizer()))
+    url = server.start()
+    with httpx.Client(base_url=url, timeout=30.0) as c:
+        yield c
+    server.stop()
+
+
+def poll_result(client, sid, timeout=180.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        r = client.get(f"/result/{sid}")
+        assert r.status_code == 200
+        body = r.json()
+        if body["status"] == "completed":
+            return body
+        time.sleep(0.2)
+    raise TimeoutError("generation did not complete")
+
+
+def test_generate_and_result(client):
+    r = client.post("/generate", json={"prompt": "1 2 3", "max_length": 4})
+    assert r.status_code == 200
+    sid = r.json()["sequence_id"]
+    body = poll_result(client, sid)
+    assert body["status"] == "completed"
+    assert body["num_generated"] == 4
+    toks = body["generated"].split()
+    assert len(toks) == 4
+    # Result is NOT deleted by reading it (unlike the reference).
+    again = client.get(f"/result/{sid}")
+    assert again.status_code == 200
+    assert again.json() == body
+
+
+def test_max_length_honored_per_request(client):
+    r1 = client.post("/generate", json={"prompt": "5 6", "max_length": 2})
+    r2 = client.post("/generate", json={"prompt": "5 6", "max_length": 7})
+    b1 = poll_result(client, r1.json()["sequence_id"])
+    b2 = poll_result(client, r2.json()["sequence_id"])
+    assert b1["num_generated"] == 2
+    assert b2["num_generated"] == 7
+
+
+def test_unknown_sequence_404(client):
+    assert client.get("/result/999999").status_code == 404
+
+
+def test_v1_generate_greedy_deterministic(client):
+    req = {"prompt": "9 8 7", "max_new_tokens": 3, "greedy": True}
+    a = client.post("/v1/generate", json=req).json()["sequence_id"]
+    b = client.post("/v1/generate", json=req).json()["sequence_id"]
+    ra, rb = poll_result(client, a), poll_result(client, b)
+    assert ra["generated"] == rb["generated"]
+
+
+def test_delete_and_abort(client):
+    r = client.post("/generate", json={"prompt": "1 2", "max_length": 200})
+    sid = r.json()["sequence_id"]
+    assert client.delete(f"/result/{sid}").json() == {"ok": True}
+    assert client.get(f"/result/{sid}").status_code == 404
+
+
+def test_malformed_requests_400(client):
+    assert client.post("/generate", json={"prompt": "",
+                                          "max_length": 2}).status_code == 400
+    assert client.post("/generate", json={"max_length": 2}).status_code == 400
+    assert client.post("/generate",
+                       json={"prompt": "1", "max_length": 0}).status_code == 400
+    assert client.get("/result/notanint").status_code == 400
+
+
+def test_metrics_and_health(client):
+    assert client.get("/healthz").json() == {"status": "ok"}
+    r = client.post("/generate", json={"prompt": "1 2 3", "max_length": 2})
+    poll_result(client, r.json()["sequence_id"])
+    m = client.get("/metrics").json()
+    assert m.get("finished_requests", 0) >= 1
+    assert "free_pages" in m

@@ -1,0 +1,111 @@
+"""Tensor-parallel decode on a virtual 8-device CPU mesh.
+
+Verifies the sharded decode step (head-sharded weights + KV pool, psum-combined
+row-parallel projections) produces the SAME logits as the single-device forward.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllmini_tpu.config import CacheConfig, ModelConfig
+from vllmini_tpu.memory.kv_cache import create_kv_pool
+from vllmini_tpu.models import gpt2, llama
+from vllmini_tpu.models.registry import get_family
+from vllmini_tpu.parallel.mesh import make_mesh
+from vllmini_tpu.parallel.tp import (
+    local_model_config,
+    make_tp_decode_fn,
+    shard_params,
+    shard_pool,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+CFGS = {
+    "gpt2": ModelConfig(family="gpt2", vocab_size=128, hidden_size=64,
+                        num_layers=2, num_heads=4,
+                        max_position_embeddings=64, dtype="float32"),
+    "llama": ModelConfig(family="llama", vocab_size=128, hidden_size=64,
+                         num_layers=2, num_heads=8, num_kv_heads=4,
+                         intermediate_size=128,
+                         max_position_embeddings=64, dtype="float32"),
+}
+
+
+def _setup(family_name, dp, tp, batch):
+    config = CFGS[family_name]
+    family = get_family(config)
+    cache = CacheConfig(num_pages=16, page_size=4, max_pages_per_seq=4,
+                        kv_dtype="float32", head_pad_to=1)
+    params = family.init_params(config, jax.random.PRNGKey(0))
+    pool = create_kv_pool(config, cache)
+
+    # Build a little decode state: 'batch' sequences with KV already written
+    # at positions < seq_len-1, decoding the token at position seq_len-1.
+    key = jax.random.PRNGKey(1)
+    token_ids = jax.random.randint(key, (batch,), 0, config.vocab_size)
+    seq_lens = jnp.asarray([3, 5, 1, 7][:batch], jnp.int32)
+    positions = seq_lens - 1
+    # Per-replica local tables: each data shard's slots use the same local
+    # page ids (they address that shard's own pool rows).
+    local_batch = batch // dp
+    base = jnp.arange(local_batch * 4, dtype=jnp.int32).reshape(local_batch, 4)
+    page_tables = jnp.tile(base, (dp, 1))
+    active = jnp.ones(batch, bool)
+    # Pre-populate KV for positions < seq_len-1 deterministically so both
+    # runs see identical cache contents: run single-device decode_forward on
+    # dummy earlier tokens... simpler: leave cache zero; the attention result
+    # is then defined by zeros + the current token (still exercises psum +
+    # head sharding + table indirection).
+    return (config, family, cache, params, pool, token_ids, positions,
+            seq_lens, page_tables, active)
+
+
+@pytest.mark.parametrize("family_name", ["gpt2", "llama"])
+@pytest.mark.parametrize("dp,tp", [(1, 4), (2, 4), (2, 2)])
+def test_tp_decode_matches_single_device(family_name, dp, tp):
+    batch = 4
+    (config, family, cache, params, pool, token_ids, positions, seq_lens,
+     page_tables, active) = _setup(family_name, dp, tp, batch)
+
+    # Reference: single-device forward. NOTE replicate the per-replica page
+    # tables into one global pool the same way: with dp>1 the replicas write
+    # the same local rows of *separate* pools; single-device emulation runs
+    # each data shard's sub-batch against a fresh pool.
+    ref_logits = []
+    lb = batch // dp
+    for r in range(dp):
+        sl = slice(r * lb, (r + 1) * lb)
+        logits_r, _ = family.decode_forward(
+            params, config, pool, token_ids[sl], positions[sl], seq_lens[sl],
+            page_tables[sl], active[sl], interpret=True)
+        ref_logits.append(logits_r)
+    ref = jnp.concatenate(ref_logits, 0)
+
+    mesh = make_mesh(dp, tp)
+    sharded = shard_params(params, config, mesh)
+    pool_sh = shard_pool(
+        dataclasses.replace(
+            pool,
+            k_pages=jnp.tile(pool.k_pages, (1, 1, dp, 1, 1)),
+            v_pages=jnp.tile(pool.v_pages, (1, 1, dp, 1, 1)),
+        ), mesh)
+    step = make_tp_decode_fn(family, config, mesh, sharded, interpret=True)
+    got, pool_out = step(sharded, pool_sh, token_ids, positions, seq_lens,
+                         page_tables, active)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # KV writes landed: the decoded token's K row is nonzero in each replica.
+    assert float(jnp.abs(pool_out.k_pages).sum()) > 0
+
+
+def test_local_config_divisibility_errors():
+    with pytest.raises(ValueError):
+        local_model_config(CFGS["gpt2"], 3)

@@ -137,6 +137,10 @@ class CacheConfig:
     page_size: int = 16
     max_pages_per_seq: int = 16
     kv_dtype: str = "bfloat16"  # "bfloat16"|"float32"|"int8"|"fp8_e4m3"|"fp8_e5m2"
+    # Pool pages are lane-padded so head_dim is a multiple of this (TPU DMA
+    # requires 128-aligned trailing dims; see ops/paged_attention.py). Set 1 to
+    # disable (CPU-only unit tests that check exact shapes).
+    head_pad_to: int = 128
 
     @property
     def max_context_len(self) -> int:
@@ -149,6 +153,16 @@ class CacheConfig:
     @property
     def quantized(self) -> bool:
         return self.kv_dtype in ("int8", "fp8_e4m3", "fp8_e5m2")
+
+    @property
+    def sublane_tile(self) -> int:
+        """Min page_size granularity for native TPU DMA of one page."""
+        return {"float32": 8, "bfloat16": 16, "float16": 16,
+                "int8": 32, "fp8_e4m3": 32, "fp8_e5m2": 32}[self.kv_dtype]
+
+    def padded_head_dim(self, head_size: int) -> int:
+        m = max(1, self.head_pad_to)
+        return -(-head_size // m) * m
 
     def __post_init__(self):
         if self.page_size < 1:

@@ -57,6 +57,17 @@ class LLMEngine:
         self.interpret = _default_interpret() if interpret is None else interpret
         self.metrics = Metrics()
 
+        if not self.interpret:
+            # Native Mosaic DMA constraints (see ops/paged_attention.py).
+            tile = config.cache.sublane_tile
+            if config.cache.page_size % tile != 0:
+                raise ValueError(
+                    f"page_size={config.cache.page_size} must be a multiple "
+                    f"of {tile} for kv_dtype={config.cache.kv_dtype} on TPU")
+            if config.cache.padded_head_dim(config.model.head_size) % 128:
+                raise ValueError("pool head_dim must be 128-aligned on TPU; "
+                                 "set CacheConfig.head_pad_to=128")
+
         if params is None:
             params = self.family.init_params(
                 config.model, jax.random.PRNGKey(config.seed))

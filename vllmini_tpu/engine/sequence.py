@@ -46,12 +46,27 @@ class Sequence:
     slot: Optional[int] = None       # decode slot while RUNNING
     tokens_in_kv: int = 0            # KV entries committed to the pool
     last_token: Optional[int] = None  # sampled but not yet in KV
-    # set when admitted; used for deterministic per-seq sampling streams
+    # set when admitted; used for preemption ordering (newest first)
     admission_index: int = 0
+    # Original prompt length: survives recompute-preemption, where generated
+    # tokens are folded into prompt_ids for re-prefill.
+    orig_prompt_len: int = -1
+
+    def __post_init__(self):
+        if self.orig_prompt_len < 0:
+            self.orig_prompt_len = len(self.prompt_ids)
 
     @property
     def num_tokens(self) -> int:
         return len(self.prompt_ids) + len(self.output_ids)
+
+    @property
+    def num_generated(self) -> int:
+        """Tokens generated beyond the user's original prompt (committed)."""
+        return self.num_tokens - self.orig_prompt_len
+
+    def generated_ids(self) -> List[int]:
+        return self.all_token_ids()[self.orig_prompt_len:]
 
     @property
     def is_finished(self) -> bool:

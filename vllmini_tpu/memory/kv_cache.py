@@ -79,7 +79,7 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     """Allocate the zero-filled pool. ~`2 * L * H_kv * P * page_size * head_dim *
     itemsize` bytes (the reference's ≈49 MB GPT-2 pool, `SURVEY.md` §3.1)."""
     shape = (model.num_layers, model.kv_heads, cache.num_pages,
-             cache.page_size, model.head_size)
+             cache.page_size, cache.padded_head_dim(model.head_size))
     dtype = cache.jnp_kv_dtype
 
     def _zeros(shape, dtype):

@@ -46,6 +46,14 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     return y
 
 
+def maybe_psum(x: jax.Array, axis: Optional[str]) -> jax.Array:
+    """All-reduce partial sums across the tensor-parallel axis (no-op when
+    unsharded). Used after row-parallel projections (attn out-proj, MLP
+    down-proj) inside shard_map; row-parallel biases are pre-divided by the TP
+    degree at shard time so the psum reconstitutes them exactly once."""
+    return jax.lax.psum(x, axis_name=axis) if axis else x
+
+
 def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                eps: float = 1e-5) -> jax.Array:
     xf = x.astype(jnp.float32)

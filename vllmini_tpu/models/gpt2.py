@@ -30,7 +30,7 @@ from ..memory.kv_cache import KVPool
 from ..ops.flash_attention import flash_attention_prefill
 from ..ops.kv_write import write_kv_decode, write_kv_prefill
 from ..ops.paged_attention import paged_attention
-from .common import layer_norm, linear
+from .common import layer_norm, linear, maybe_psum
 
 Params = Dict[str, Any]
 
@@ -115,6 +115,7 @@ def prefill_forward(
     start_pos: int | jax.Array = 0,
     *,
     interpret: bool = False,
+    tp_axis: str | None = None,
 ):
     """Run one sequence's (padded) prompt; returns (last_token_logits, pool)."""
     L_pad = token_ids.shape[0]
@@ -143,12 +144,13 @@ def prefill_forward(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
             seq_len, causal=True, interpret=interpret,
         ).transpose(1, 0, 2).reshape(L_pad, H * d)
-        x = x + linear(attn, block["attn"]["c_proj_w"],
-                       block["attn"]["c_proj_b"])
+        x = x + maybe_psum(
+            linear(attn, block["attn"]["c_proj_w"],
+                   block["attn"]["c_proj_b"]), tp_axis)
 
         h2 = layer_norm(x, block["ln_2"]["g"], block["ln_2"]["b"],
                         config.layer_norm_eps)
-        x = x + _mlp(block, h2)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
 
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
                    config.layer_norm_eps)
@@ -169,6 +171,7 @@ def decode_forward(
     active: jax.Array,       # [B] bool
     *,
     interpret: bool = False,
+    tp_axis: str | None = None,
 ):
     """One batched decode step; returns (logits [B, vocab] f32, pool)."""
     B = token_ids.shape[0]
@@ -195,12 +198,13 @@ def decode_forward(
         attn = paged_attention(q, kp, vp, masked_lens, page_tables,
                                k_scales=ks, v_scales=vs,
                                interpret=interpret)  # [B, H, d]
-        x = x + linear(attn.reshape(B, H * d), block["attn"]["c_proj_w"],
-                       block["attn"]["c_proj_b"])
+        x = x + maybe_psum(
+            linear(attn.reshape(B, H * d), block["attn"]["c_proj_w"],
+                   block["attn"]["c_proj_b"]), tp_axis)
 
         h2 = layer_norm(x, block["ln_2"]["g"], block["ln_2"]["b"],
                         config.layer_norm_eps)
-        x = x + _mlp(block, h2)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
 
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
                    config.layer_norm_eps)

@@ -20,7 +20,7 @@ from ..memory.kv_cache import KVPool
 from ..ops.flash_attention import flash_attention_prefill
 from ..ops.kv_write import write_kv_decode, write_kv_prefill
 from ..ops.paged_attention import paged_attention
-from .common import apply_rope, linear, rms_norm, rope_table
+from .common import apply_rope, linear, maybe_psum, rms_norm, rope_table
 from .gpt2 import _update_pool_layer
 
 Params = Dict[str, Any]
@@ -87,6 +87,7 @@ def prefill_forward(
     start_pos: int | jax.Array = 0,
     *,
     interpret: bool = False,
+    tp_axis: str | None = None,
 ):
     L_pad = token_ids.shape[0]
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
@@ -115,9 +116,9 @@ def prefill_forward(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
             seq_len, causal=True, interpret=interpret,
         ).transpose(1, 0, 2).reshape(L_pad, H * d)
-        x = x + linear(attn, block["attn"]["wo"])
+        x = x + maybe_psum(linear(attn, block["attn"]["wo"]), tp_axis)
         h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
-        x = x + _mlp(block, h2)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
 
     x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
     return _logits(params, x[seq_len - 1]), pool
@@ -134,6 +135,7 @@ def decode_forward(
     active: jax.Array,       # [B] bool
     *,
     interpret: bool = False,
+    tp_axis: str | None = None,
 ):
     B = token_ids.shape[0]
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
@@ -160,9 +162,10 @@ def decode_forward(
         masked_lens = jnp.where(active, seq_lens, 0)
         attn = paged_attention(q, kp, vp, masked_lens, page_tables,
                                k_scales=ks, v_scales=vs, interpret=interpret)
-        x = x + linear(attn.reshape(B, H * d), block["attn"]["wo"])
+        x = x + maybe_psum(
+            linear(attn.reshape(B, H * d), block["attn"]["wo"]), tp_axis)
         h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
-        x = x + _mlp(block, h2)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
 
     x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
     return _logits(params, x), pool

@@ -26,6 +26,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _pad_head(x: jax.Array, pages: jax.Array) -> jax.Array:
+    """Zero-pad the trailing head_dim of new K/V to the pool's (lane-padded)
+    head_dim. Zeros contribute nothing to QK dots and are never read back."""
+    pad = pages.shape[-1] - x.shape[-1]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths)
+
+
 def _quantize_tokens(x: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
     """Per-token symmetric quantization along the last (head_dim) axis.
 
@@ -60,6 +70,7 @@ def write_kv_decode(
     """
     batch = k_new.shape[0]
     num_pages, page_size = k_pages.shape[1], k_pages.shape[2]
+    k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
 
     logical_page = positions // page_size
     offset = positions % page_size
@@ -112,6 +123,7 @@ def write_kv_prefill(
     """
     L = k_new.shape[0]
     num_pages, page_size = k_pages.shape[1], k_pages.shape[2]
+    k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
 
     positions = start_pos + jnp.arange(L, dtype=jnp.int32)
     logical_page = positions // page_size

@@ -14,11 +14,19 @@ design (warp-per-KV-block iteration, fp32 softmax in shared memory) maps to TPU 
   (`attention_kernels.cu:534-669`) fused into a single kernel,
 - GQA: the q heads sharing a KV head are computed together as a [group, head_dim]
   tile (the CUDA kernel's num_queries_per_kv, `attention_kernels.cu:152-153`),
-- optional int8/fp8 KV with per-token scales dequantized in-register after DMA
-  (the reference's fp8 `scaled_convert` machinery, `quantization/fp8/**`).
+- optional int8/fp8 KV with per-token scales dequantized in-register; scales are
+  pre-gathered OUTSIDE the kernel into dense per-sequence rows and streamed in as
+  a normal VMEM operand (Mosaic cannot DMA-slice sub-128-lane scale pages), the
+  TPU shape of the reference's fp8 `scaled_convert` (`quantization/fp8/**`).
 
-Layouts are TPU-first (head_dim on the 128-lane axis), not the reference's 16-byte
-LDG-vectorized key layout (`cache_kernels.cu:184-194`), per SURVEY.md §7.
+Hardware contract (enforced by the engine for native runs; interpret mode is lax):
+- pool head_dim must be a multiple of 128 (pools for head_size<128 models are
+  lane-padded; wrappers pad q / slice the output transparently),
+- page_size must be a multiple of the dtype's sublane tile (8 f32 / 16 bf16 /
+  32 int8|fp8), since each page is an individual DMA.
+
+Layouts are TPU-first, not the reference's 16-byte LDG-vectorized key layout
+(`cache_kernels.cu:184-194`); see SURVEY.md §7.
 """
 
 from __future__ import annotations
@@ -67,19 +75,18 @@ class _PageGatherCopy:
 def _paged_attention_kernel(
     # scalar prefetch
     seq_lens_ref,      # [batch] int32 (length INCLUDES the current token)
-    page_tables_ref,   # [batch, pages_per_seq_max] int32
+    page_tables_ref,   # [batch, pages_per_seq_max] int32 (clamped in range)
     # inputs
-    q_ref,             # [1, group, head_dim] VMEM
+    q_ref,             # [1, 1, group, head_dim] VMEM
     k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size, head_dim] HBM/ANY
     v_pages_hbm_ref,
-    k_scales_hbm_ref,  # [num_kv_heads, num_pages, page_size] or None
-    v_scales_hbm_ref,
+    k_scale_rows_ref,  # [1, 1, ctx_pad] f32 VMEM or None (dense per-seq scales)
+    v_scale_rows_ref,
     # outputs
-    o_ref,             # [1, group, head_dim] VMEM
+    o_ref,             # [1, 1, group, head_dim] VMEM
     # scratch
     k_buf, v_buf,      # [2, pages_per_block, page_size, head_dim] VMEM
-    k_scale_buf, v_scale_buf,  # [2, pages_per_block, page_size] VMEM or None
-    k_sem, v_sem, scale_sem,
+    k_sem, v_sem,
     *,
     pages_per_block: int,
     page_size: int,
@@ -89,10 +96,9 @@ def _paged_attention_kernel(
     b = pl.program_id(0)
     h = pl.program_id(1)
     seq_len = seq_lens_ref[b]
-    # q block is [1, 1, group, head_dim] (one seq x one kv head).
     group, head_dim = q_ref.shape[2], q_ref.shape[3]
     block_tokens = pages_per_block * page_size
-    quantized = k_scale_buf is not None
+    quantized = k_scale_rows_ref is not None
 
     num_blocks = pl.cdiv(seq_len, block_tokens)
 
@@ -101,26 +107,12 @@ def _paged_attention_kernel(
                         b, h, block_idx, slot, pages_per_block).start()
         _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
                         b, h, block_idx, slot, pages_per_block).start()
-        if quantized:
-            _PageGatherCopy(k_scales_hbm_ref, k_scale_buf, scale_sem,
-                            page_tables_ref, b, h, block_idx, slot,
-                            pages_per_block).start()
-            _PageGatherCopy(v_scales_hbm_ref, v_scale_buf, scale_sem,
-                            page_tables_ref, b, h, block_idx, slot,
-                            pages_per_block).start()
 
     def wait_block(block_idx, slot):
         _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
                         b, h, block_idx, slot, pages_per_block).wait()
         _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
                         b, h, block_idx, slot, pages_per_block).wait()
-        if quantized:
-            _PageGatherCopy(k_scales_hbm_ref, k_scale_buf, scale_sem,
-                            page_tables_ref, b, h, block_idx, slot,
-                            pages_per_block).wait()
-            _PageGatherCopy(v_scales_hbm_ref, v_scale_buf, scale_sem,
-                            page_tables_ref, b, h, block_idx, slot,
-                            pages_per_block).wait()
 
     @pl.when(seq_len == 0)
     def _():
@@ -143,9 +135,11 @@ def _paged_attention_kernel(
 
             wait_block(i, slot)
 
+            tok0 = pl.multiple_of(i * block_tokens, block_tokens)
             k = k_buf[slot].reshape(block_tokens, head_dim).astype(jnp.float32)
             if quantized:
-                k = k * k_scale_buf[slot].reshape(block_tokens, 1).astype(jnp.float32)
+                ks = k_scale_rows_ref[0, 0, pl.ds(tok0, block_tokens)]
+                k = k * ks.reshape(block_tokens, 1)
 
             # [group, block_tokens] scores, fp32 accumulation on the MXU.
             s = jax.lax.dot_general(
@@ -169,7 +163,8 @@ def _paged_attention_kernel(
 
             v = v_buf[slot].reshape(block_tokens, head_dim).astype(jnp.float32)
             if quantized:
-                v = v * v_scale_buf[slot].reshape(block_tokens, 1).astype(jnp.float32)
+                vs = v_scale_rows_ref[0, 0, pl.ds(tok0, block_tokens)]
+                v = v * vs.reshape(block_tokens, 1)
 
             o_cur = jax.lax.dot_general(
                 p, v,
@@ -188,6 +183,13 @@ def _paged_attention_kernel(
         o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
+    """Aim for 128-token compute blocks (one lane-width of scores)."""
+    if page_size >= 128:
+        return 1
+    return max(1, min(pages_per_seq, 128 // page_size))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -195,7 +197,7 @@ def _paged_attention_kernel(
     ),
 )
 def paged_attention(
-    q: jax.Array,            # [batch, num_q_heads, head_dim]
+    q: jax.Array,            # [batch, num_q_heads, head_dim_q]
     k_pages: jax.Array,      # [num_kv_heads, num_pages, page_size, head_dim]
     v_pages: jax.Array,
     seq_lens: jax.Array,     # [batch] int32, length INCLUDING current token
@@ -210,28 +212,35 @@ def paged_attention(
 ) -> jax.Array:
     """Single-token-per-sequence attention over a paged KV cache.
 
-    Unlike the reference (`vllmini/scheduler.py:96` passes seq_lens *excluding* the
-    just-cached token, so a token never attends to itself — SURVEY.md "bugs"),
-    `seq_lens` here includes the current token: KV for position `seq_lens-1` must
-    already be written (cache-then-attend order).
+    The pool's head_dim may exceed q's (lane padding); q is zero-padded to match
+    and the output sliced back. Unlike the reference (`vllmini/scheduler.py:96`
+    passes seq_lens *excluding* the just-cached token, so a token never attends
+    to itself — SURVEY.md "bugs"), `seq_lens` here includes the current token:
+    KV for position `seq_lens-1` must already be written (cache-then-attend).
     """
-    batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, num_pages, page_size, head_dim_k = k_pages.shape
-    assert head_dim == head_dim_k
+    batch, num_q_heads, head_dim_q = q.shape
+    num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
+    assert head_dim_q <= head_dim
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
     pages_per_seq = page_tables.shape[1]
 
     if sm_scale is None:
-        sm_scale = head_dim ** -0.5
+        sm_scale = head_dim_q ** -0.5
     if pages_per_compute_block is None:
-        # Target ~128 tokens per compute block for MXU-friendly score tiles.
-        pages_per_compute_block = max(1, min(pages_per_seq, 128 // page_size))
+        pages_per_compute_block = _default_pages_per_block(
+            page_size, pages_per_seq)
     # The page table is processed in whole compute blocks; pad table length.
     if pages_per_seq % pages_per_compute_block != 0:
         pad = pages_per_compute_block - pages_per_seq % pages_per_compute_block
         page_tables = jnp.pad(page_tables, ((0, 0), (0, pad)))
         pages_per_seq += pad
+    # Clamp sentinel/padding entries in range: the kernel DMAs pages by index
+    # before masking, and an out-of-range DMA is undefined behavior.
+    page_tables = jnp.clip(page_tables.astype(jnp.int32), 0, num_pages - 1)
+
+    if head_dim_q < head_dim:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, head_dim - head_dim_q)))
 
     quantized = k_scales is not None
     if quantized:
@@ -249,42 +258,45 @@ def paged_attention(
     def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref,
                       k_hbm, v_hbm, *rest):
         if quantized:
-            ks_hbm, vs_hbm, o_ref, kb, vb, ksb, vsb, ks, vs, ss = rest
+            ksr, vsr, o_ref, kb, vb, ks, vs = rest
             kernel(seq_lens_ref, page_tables_ref, q_ref, k_hbm, v_hbm,
-                   ks_hbm, vs_hbm, o_ref, kb, vb, ksb, vsb, ks, vs, ss)
+                   ksr, vsr, o_ref, kb, vb, ks, vs)
         else:
             o_ref, kb, vb, ks, vs = rest
             kernel(seq_lens_ref, page_tables_ref, q_ref, k_hbm, v_hbm,
-                   None, None, o_ref, kb, vb, None, None, ks, vs, None)
+                   None, None, o_ref, kb, vb, ks, vs)
 
     in_specs = [
         pl.BlockSpec((1, 1, group, head_dim), lambda b, h, *_: (b, h, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),  # k_pages stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # v_pages
     ]
-    inputs = [q.reshape(batch, num_kv_heads, group, head_dim), k_pages, v_pages]
+    inputs = [q.reshape(batch, num_kv_heads, group, head_dim),
+              k_pages, v_pages]
     if quantized:
+        # Pre-gather per-sequence dense scale rows [batch, kv_heads, ctx_pad]:
+        # a handful of KB, and it sidesteps Mosaic's inability to DMA-slice
+        # sub-lane-width scale pages.
+        def rows(scales):
+            g = scales[:, page_tables]                 # [Hkv, B, pages, ps]
+            return g.transpose(1, 0, 2, 3).reshape(
+                batch, num_kv_heads, pages_per_seq * page_size
+            ).astype(jnp.float32)
+        ctx_pad = pages_per_seq * page_size
         in_specs += [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, ctx_pad), lambda b, h, *_: (b, h, 0)),
+            pl.BlockSpec((1, 1, ctx_pad), lambda b, h, *_: (b, h, 0)),
         ]
-        inputs += [k_scales, v_scales]
+        inputs += [rows(k_scales), rows(v_scales)]
 
     scratch_shapes = [
-        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim), k_pages.dtype),
-        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim), v_pages.dtype),
-    ]
-    if quantized:
-        scratch_shapes += [
-            pltpu.VMEM((2, pages_per_compute_block, page_size), k_scales.dtype),
-            pltpu.VMEM((2, pages_per_compute_block, page_size), v_scales.dtype),
-        ]
-    scratch_shapes += [
+        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim),
+                   k_pages.dtype),
+        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim),
+                   v_pages.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
-    if quantized:
-        scratch_shapes += [pltpu.SemaphoreType.DMA]
 
     out = pl.pallas_call(
         _kernel_entry,
@@ -304,9 +316,12 @@ def paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(seq_lens.astype(jnp.int32), page_tables.astype(jnp.int32), *inputs)
+    )(seq_lens.astype(jnp.int32), page_tables, *inputs)
 
-    return out.reshape(batch, num_q_heads, head_dim)
+    out = out.reshape(batch, num_q_heads, head_dim)
+    if head_dim_q < head_dim:
+        out = out[:, :, :head_dim_q]
+    return out
 
 
 def paged_attention_reference(
@@ -314,11 +329,12 @@ def paged_attention_reference(
     k_scales=None, v_scales=None,
 ):
     """Naive jnp oracle for tests (gather pages, full softmax). O(batch*ctx)."""
-    batch, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, page_size, _ = k_pages.shape
+    batch, num_q_heads, head_dim_q = q.shape
+    num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
-        sm_scale = head_dim ** -0.5
+        sm_scale = head_dim_q ** -0.5
+    page_tables = jnp.clip(page_tables, 0, num_pages - 1)
     max_ctx = page_tables.shape[1] * page_size
 
     # Gather per-sequence contiguous K/V: [batch, num_kv_heads, max_ctx, head_dim]
@@ -333,8 +349,10 @@ def paged_attention_reference(
         batch, num_kv_heads, max_ctx, head_dim).astype(jnp.float32)
     v = gathered_v.transpose(1, 0, 2, 3, 4).reshape(
         batch, num_kv_heads, max_ctx, head_dim).astype(jnp.float32)
+    k = k[..., :head_dim_q]
+    v = v[..., :head_dim_q]
 
-    qf = q.reshape(batch, num_kv_heads, group, head_dim).astype(jnp.float32)
+    qf = q.reshape(batch, num_kv_heads, group, head_dim_q).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhtd->bhgt", qf, k) * sm_scale
     pos = jnp.arange(max_ctx)[None, None, None, :]
     mask = pos < seq_lens[:, None, None, None]
@@ -342,4 +360,4 @@ def paged_attention_reference(
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(seq_lens[:, None, None, None] > 0, p, 0.0)
     o = jnp.einsum("bhgt,bhtd->bhgd", p, v)
-    return o.reshape(batch, num_q_heads, head_dim).astype(q.dtype)
+    return o.reshape(batch, num_q_heads, head_dim_q).astype(q.dtype)

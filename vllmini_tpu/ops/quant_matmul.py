@@ -1,0 +1,175 @@
+"""Weight-only quantized matmul (Pallas/TPU): fused dequant-matmul.
+
+North-star capability (BASELINE.json: "weight-only INT4/INT8 dequant fused into
+every decode matmul"). The reference has no weight quantization; its only quant
+machinery is the fp8 KV-cache converters (`quantization/fp8/**`), which map to the
+KV path, not this. Decode is HBM-bandwidth-bound on weights, so storing weights at
+8 or 4 bits and dequantizing in-register AFTER the HBM->VMEM stream is a direct
+~2x/~4x win on the weight-streaming bottleneck.
+
+Layout:
+- int8: qvalues int8 [K, N]; scales f32 [K/G, N] (per-group on the contraction
+  dim x per-output-channel).
+- int4: two rows per byte, packed PER GROUP in split-half order — for group g
+  covering rows [gG, (g+1)G), packed row r in [gG/2, (g+1)G/2) holds
+  low-nibble = row gG + (r - gG/2), high-nibble = row gG + G/2 + (r - gG/2).
+  A K-tile equal to one group then unpacks with a plain concat (no sublane
+  interleave, which Mosaic relayouts poorly).
+
+The kernel tiles (N, K) with K innermost, dequantizes each weight tile to bf16,
+and accumulates x_tile @ w_tile in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import QuantConfig
+from ..models.common import QuantizedWeight
+
+
+# ----------------------------------------------------------------- quantization
+
+def quantize_weight(w: jax.Array, bits: int = 8,
+                    group_size: int = 128) -> QuantizedWeight:
+    """Symmetric per-group (K) x per-channel (N) weight quantization."""
+    K, N = w.shape
+    assert K % group_size == 0, (K, group_size)
+    G = group_size
+    wf = w.astype(jnp.float32).reshape(K // G, G, N)
+    qmax = 127.0 if bits == 8 else 7.0
+    amax = jnp.max(jnp.abs(wf), axis=1)                      # [K/G, N]
+    scales = jnp.maximum(amax / qmax, 1e-10)
+    q = jnp.clip(jnp.round(wf / scales[:, None, :]), -qmax, qmax)
+    q = q.astype(jnp.int8).reshape(K, N)
+    if bits == 4:
+        # Split-half packing within each group (see module docstring).
+        qg = q.reshape(K // G, G, N)
+        low, high = qg[:, : G // 2], qg[:, G // 2:]
+        packed = (low & 0x0F) | ((high & 0x0F) << 4)
+        q = packed.astype(jnp.int8).reshape(K // 2, N)
+    return QuantizedWeight(qvalues=q, scales=scales, bits=bits,
+                           group_size=group_size)
+
+
+def dequantize_weight(qw: QuantizedWeight) -> jax.Array:
+    """Full dequantization (reference path / fallback)."""
+    G = qw.group_size
+    if qw.bits == 8:
+        K, N = qw.qvalues.shape
+        wf = qw.qvalues.astype(jnp.float32).reshape(K // G, G, N)
+        return (wf * qw.scales[:, None, :]).reshape(K, N)
+    Kp, N = qw.qvalues.shape  # Kp = K/2
+    K = Kp * 2
+    packed = qw.qvalues.reshape(K // G, G // 2, N)
+    low = jnp.left_shift(packed, 4).astype(jnp.int8) >> 4  # sign-extend nibble
+    high = packed >> 4                                      # arithmetic shift
+    full = jnp.concatenate([low, high], axis=1).astype(jnp.float32)  # [K/G,G,N]
+    return (full * qw.scales[:, None, :]).reshape(K, N)
+
+
+def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64):
+    """Quantize every 2-D weight inside transformer blocks (embeddings, norms,
+    and biases stay full precision)."""
+    if not quant.enabled:
+        return params
+    bits = 4 if quant.weight_dtype == "int4" else 8
+
+    def maybe_quant(x):
+        if (isinstance(x, jax.Array) and x.ndim == 2
+                and min(x.shape) >= min_dim
+                and x.shape[0] % quant.group_size == 0):
+            return quantize_weight(x, bits, quant.group_size)
+        return x
+
+    out = dict(params)
+    out["blocks"] = [
+        jax.tree_util.tree_map(maybe_quant, blk) for blk in params["blocks"]
+    ]
+    return out
+
+
+# ----------------------------------------------------------------------- kernel
+
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
+                group_size: int, k_tiles: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]  # [M, bk]
+    if bits == 8:
+        w = q_ref[...].astype(jnp.float32)  # [bk, bn]
+    else:
+        packed = q_ref[...]  # [bk//2, bn]
+        low = (jnp.left_shift(packed, 4).astype(jnp.int8) >> 4)
+        high = packed >> 4
+        w = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
+    # One K-tile == one quantization group: a single scale row applies.
+    w = w * s_ref[...]  # s_ref: [1, bn] broadcasts over bk
+    acc_ref[...] += jax.lax.dot(
+        x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "block_n", "interpret"))
+def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
+            bits: int, group_size: int, block_n: int = 256,
+            interpret: bool = False) -> jax.Array:
+    """x [M, K] @ dequant(q) [K, N] -> [M, N]. K-tile = group_size."""
+    M, K = x.shape
+    N = qvalues.shape[1]
+    G = group_size
+    bn = min(block_n, N)
+    assert N % bn == 0 and K % G == 0
+    k_tiles = K // G
+    qrows = G // 2 if bits == 4 else G
+
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel, bits=bits, group_size=G,
+                          k_tiles=k_tiles),
+        grid=(N // bn, k_tiles),
+        in_specs=[
+            pl.BlockSpec((M, G), lambda n, k: (0, k)),
+            pl.BlockSpec((qrows, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda n, k: (k, n)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, qvalues, scales)
+
+
+def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
+                     interpret: bool | None = None) -> jax.Array:
+    """y = x @ dequant(qw); x may have any leading shape."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    K, N = qw.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    # Tiny-M fallback and ragged shapes: plain XLA dequant matmul.
+    if N % 128 != 0 or K % qw.group_size != 0:
+        y = jnp.dot(x2, dequantize_weight(qw).astype(x.dtype),
+                    preferred_element_type=x.dtype)
+    else:
+        y = _qmm_2d(x2, qw.qvalues, qw.scales, bits=qw.bits,
+                    group_size=qw.group_size, interpret=interpret)
+    return y.reshape(*lead, N)

@@ -1,0 +1,220 @@
+"""Tensor-parallel parameter sharding + shard_map'd step functions.
+
+Megatron-style TP expressed the TPU way (mesh + shard_map + XLA collectives):
+
+- column-parallel: QKV / q,k,v / MLP up+gate weights sharded on the output dim by
+  head (or channel) groups — each chip computes its own heads' attention locally;
+- row-parallel: attn out-proj and MLP down-proj sharded on the input dim; their
+  partial sums are combined with ONE `lax.psum` per projection per layer (the
+  only collectives in the decode step, riding ICI);
+- the paged KV pool is sharded on its kv_heads axis, so the paged-attention
+  kernel runs unmodified on each chip's local heads — zero attention-time
+  communication (GQA co-location);
+- row-parallel biases are pre-divided by the TP degree so the psum reconstitutes
+  them exactly once (keeps the model forward free of bias special cases);
+- GPT-2's fused c_attn [h, 3h] is column-PERMUTED at shard time so each chip's
+  contiguous slice holds (q_i | k_i | v_i) for its own heads.
+
+The batch ("data") axis shards decode slots and the page pool jointly — each data
+shard is an independent replica pool addressed by local page indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import ModelConfig
+from ..memory.kv_cache import KVPool
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def local_model_config(config: ModelConfig, tp: int) -> ModelConfig:
+    """Per-chip view of the architecture under `tp`-way head sharding."""
+    if tp == 1:
+        return config
+    if config.num_heads % tp or config.kv_heads % tp:
+        raise ValueError(
+            f"num_heads={config.num_heads}/num_kv_heads={config.kv_heads} "
+            f"not divisible by tensor_parallel={tp}")
+    if config.mlp_size % tp:
+        raise ValueError("intermediate_size not divisible by tensor_parallel")
+    return dataclasses.replace(
+        config,
+        num_heads=config.num_heads // tp,
+        num_kv_heads=config.kv_heads // tp,
+        head_dim=config.head_size,
+        intermediate_size=config.mlp_size // tp,
+    )
+
+
+def _permute_gpt2_qkv(w: jax.Array, b: jax.Array, num_heads: int,
+                      head_dim: int, tp: int):
+    """Reorder fused-QKV output columns so a contiguous 1/tp slice holds
+    (q_i | k_i | v_i) for head group i."""
+    h = num_heads * head_dim
+    hl = num_heads // tp * head_dim  # local q width
+    cols = []
+    for i in range(tp):
+        cols.append(np.arange(i * hl, (i + 1) * hl))            # q_i
+        cols.append(h + np.arange(i * hl, (i + 1) * hl))        # k_i
+        cols.append(2 * h + np.arange(i * hl, (i + 1) * hl))    # v_i
+    idx = np.concatenate(cols)
+    return w[:, idx], b[idx]
+
+
+def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
+                      mesh: Mesh) -> Dict[str, Any]:
+    tp = mesh.shape[MODEL_AXIS]
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, MODEL_AXIS))   # column-parallel weight
+    colb = NamedSharding(mesh, P(MODEL_AXIS))        # column-parallel bias
+    row = NamedSharding(mesh, P(MODEL_AXIS, None))   # row-parallel weight
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    out = {
+        "wte": put(params["wte"], rep),
+        "wpe": put(params["wpe"], rep),
+        "ln_f": jax.tree_util.tree_map(lambda x: put(x, rep), params["ln_f"]),
+        "blocks": [],
+    }
+    H, d = config.num_heads, config.head_size
+    for blk in params["blocks"]:
+        aw, ab = blk["attn"]["c_attn_w"], blk["attn"]["c_attn_b"]
+        if tp > 1:
+            aw, ab = _permute_gpt2_qkv(np.asarray(aw), np.asarray(ab), H, d, tp)
+        out["blocks"].append({
+            "ln_1": jax.tree_util.tree_map(lambda x: put(x, rep), blk["ln_1"]),
+            "ln_2": jax.tree_util.tree_map(lambda x: put(x, rep), blk["ln_2"]),
+            "attn": {
+                "c_attn_w": put(jnp.asarray(aw), col),
+                "c_attn_b": put(jnp.asarray(ab), colb),
+                "c_proj_w": put(blk["attn"]["c_proj_w"], row),
+                "c_proj_b": put(blk["attn"]["c_proj_b"] / tp, rep),
+            },
+            "mlp": {
+                "c_fc_w": put(blk["mlp"]["c_fc_w"], col),
+                "c_fc_b": put(blk["mlp"]["c_fc_b"], colb),
+                "c_proj_w": put(blk["mlp"]["c_proj_w"], row),
+                "c_proj_b": put(blk["mlp"]["c_proj_b"] / tp, rep),
+            },
+        })
+    return out
+
+
+def shard_params_llama(params: Dict[str, Any], config: ModelConfig,
+                       mesh: Mesh) -> Dict[str, Any]:
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, MODEL_AXIS))
+    row = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+    def put(x, s):
+        return jax.device_put(x, s) if x is not None else None
+
+    out = {
+        "embed": put(params["embed"], rep),
+        "norm_f": put(params["norm_f"], rep),
+        "lm_head": put(params.get("lm_head"), rep),
+        "blocks": [],
+    }
+    for blk in params["blocks"]:
+        out["blocks"].append({
+            "input_norm": put(blk["input_norm"], rep),
+            "post_attn_norm": put(blk["post_attn_norm"], rep),
+            "attn": {
+                "wq": put(blk["attn"]["wq"], col),
+                "wk": put(blk["attn"]["wk"], col),
+                "wv": put(blk["attn"]["wv"], col),
+                "wo": put(blk["attn"]["wo"], row),
+            },
+            "mlp": {
+                "w_gate": put(blk["mlp"]["w_gate"], col),
+                "w_up": put(blk["mlp"]["w_up"], col),
+                "w_down": put(blk["mlp"]["w_down"], row),
+            },
+        })
+    return out
+
+
+def shard_params(params, config: ModelConfig, mesh: Mesh):
+    if config.family == "gpt2":
+        return shard_params_gpt2(params, config, mesh)
+    if config.family == "llama":
+        return shard_params_llama(params, config, mesh)
+    raise ValueError(config.family)
+
+
+def param_specs(params) -> Any:
+    """PartitionSpecs matching shard_params' placement (for shard_map
+    in_specs)."""
+    def spec_of(x):
+        if x is None:
+            return P()
+        s = x.sharding
+        if isinstance(s, NamedSharding):
+            return s.spec
+        return P()
+    return jax.tree_util.tree_map(spec_of, params,
+                                  is_leaf=lambda x: x is None)
+
+
+def pool_pspec(quantized: bool) -> KVPool:
+    """Pool dims [layers, kv_heads, pages, page_size, head_dim]: kv_heads on
+    MODEL (head-sharded KV), pages on DATA (per-replica pools)."""
+    arr = P(None, MODEL_AXIS, DATA_AXIS, None, None)
+    sc = P(None, MODEL_AXIS, DATA_AXIS, None) if quantized else None
+    return KVPool(k_pages=arr, v_pages=arr, k_scales=sc, v_scales=sc)
+
+
+def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
+    spec = P(None, MODEL_AXIS, DATA_AXIS, None, None)
+    s = NamedSharding(mesh, spec)
+    ss = NamedSharding(mesh, P(None, MODEL_AXIS, DATA_AXIS, None))
+    return KVPool(
+        k_pages=jax.device_put(pool.k_pages, s),
+        v_pages=jax.device_put(pool.v_pages, s),
+        k_scales=(jax.device_put(pool.k_scales, ss)
+                  if pool.k_scales is not None else None),
+        v_scales=(jax.device_put(pool.v_scales, ss)
+                  if pool.v_scales is not None else None),
+    )
+
+
+def make_tp_decode_fn(family, config: ModelConfig, mesh: Mesh, params,
+                      *, quantized_pool: bool = False,
+                      interpret: bool = False):
+    """Build a jitted shard_map'd batched decode step.
+
+    Signature: (params, pool, token_ids, positions, seq_lens, page_tables,
+    active) -> (logits [B, vocab], pool). Batch arrays are sharded on DATA;
+    page_tables hold LOCAL page indices per data shard.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    local_cfg = local_model_config(config, tp)
+    p_specs = param_specs(params)
+    pool_specs = pool_pspec(quantized=quantized_pool)
+
+    data = P(DATA_AXIS)
+    in_specs = (p_specs, pool_specs, data, data, data,
+                P(DATA_AXIS, None), data)
+    out_specs = (data, pool_specs)
+
+    def step(params, pool, token_ids, positions, seq_lens, page_tables,
+             active):
+        logits, pool = family.decode_forward(
+            params, local_cfg, pool, token_ids, positions, seq_lens,
+            page_tables, active, interpret=interpret,
+            tp_axis=MODEL_AXIS if tp > 1 else None)
+        return logits, pool
+
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(1,))

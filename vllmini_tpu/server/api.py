@@ -1,0 +1,205 @@
+"""HTTP serving layer (aiohttp; this image has no fastapi/uvicorn).
+
+Reference counterpart: `/root/reference/vllmini/server.py` — same two-endpoint
+contract so the reference's curl flow (`README.md:26-31`) works unchanged:
+
+    POST /generate {"prompt": ..., "max_length": N} -> {"sequence_id": id}
+    GET  /result/{seq_id} -> {"status": "in progress"|"completed", "generated": text}
+
+Deliberate fixes over the reference (documented in SURVEY.md "bugs"):
+- prefill does NOT run on the event loop (`server.py:81` blocks all HTTP handling
+  there); the engine loop runs in a dedicated thread and /generate only enqueues;
+- request `max_length` is honored (the reference ignores it, `server.py:13-14`);
+- unknown sequence id returns HTTP 404, not a 200 "error" body (`server.py:104`);
+- fetching a completed result does NOT delete it (one-shot reads at
+  `server.py:101-102`); an explicit DELETE /result/{id} frees it instead.
+
+Additions: /healthz, /metrics, /v1/generate with full sampling params, DELETE
+(abort), graceful shutdown.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from ..config import SamplingParams
+from ..engine.scheduler import Scheduler
+from ..engine.sequence import SequenceState
+
+logger = logging.getLogger("vllmini_tpu.server")
+
+
+class EngineLoop:
+    """Background thread driving Scheduler.step(); all scheduler access is
+    serialized through `self.lock` (the engine objects are not thread-safe)."""
+
+    def __init__(self, scheduler: Scheduler, idle_sleep_s: float = 0.002):
+        self.scheduler = scheduler
+        self.lock = threading.Lock()
+        self.idle_sleep_s = idle_sleep_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="engine-loop")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def _run(self):
+        while not self._stop.is_set():
+            with self.lock:
+                has_work = self.scheduler.has_work
+                if has_work:
+                    try:
+                        self.scheduler.step()
+                    except Exception:
+                        logger.exception("engine step failed")
+            if not has_work:
+                time.sleep(self.idle_sleep_s)
+
+
+def _json_error(status: int, detail: str) -> web.Response:
+    return web.json_response({"detail": detail}, status=status)
+
+
+def create_app(scheduler: Scheduler, tokenizer, *,
+               eos_token_id=None) -> web.Application:
+    """Build the app around an existing scheduler + tokenizer.
+
+    `tokenizer` needs `encode(str) -> list[int]` and `decode(list[int]) -> str`;
+    `eos_token_id` defaults to `tokenizer.eos_token_id` when present.
+    """
+    if eos_token_id is None:
+        eos_token_id = getattr(tokenizer, "eos_token_id", None)
+    loop = EngineLoop(scheduler)
+
+    app = web.Application()
+    app["engine_loop"] = loop
+    app["scheduler"] = scheduler
+
+    async def on_startup(app):
+        loop.start()
+
+    async def on_cleanup(app):
+        loop.stop()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+
+    def _submit(prompt: str, sampling: SamplingParams):
+        ids = tokenizer.encode(prompt)
+        with loop.lock:
+            try:
+                return scheduler.add_request(ids, sampling), None
+            except ValueError as e:
+                return None, _json_error(400, str(e))
+            except RuntimeError as e:
+                return None, _json_error(429, str(e))
+
+    async def generate(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            prompt = body["prompt"]
+            max_length = int(body.get("max_length", 20))
+            assert isinstance(prompt, str) and max_length >= 1
+        except Exception:
+            return _json_error(400, "expected {prompt: str, max_length: int>=1}")
+        stop = (eos_token_id,) if eos_token_id is not None else ()
+        sid, err = _submit(prompt, SamplingParams(
+            max_new_tokens=max_length, stop_token_ids=stop))
+        if err is not None:
+            return err
+        return web.json_response({"sequence_id": sid})
+
+    async def generate_v1(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            prompt = body["prompt"]
+            assert isinstance(prompt, str)
+            max_new = int(body.get("max_new_tokens", 20))
+            temperature = float(body.get("temperature", 1.0))
+            top_k = int(body.get("top_k", 50))
+            top_p = float(body.get("top_p", 1.0))
+            greedy = bool(body.get("greedy", False))
+            stop = [int(t) for t in body.get("stop_token_ids", [])]
+            assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
+        except Exception:
+            return _json_error(400, "malformed generate request")
+        if eos_token_id is not None and eos_token_id not in stop:
+            stop.append(eos_token_id)
+        sid, err = _submit(prompt, SamplingParams(
+            max_new_tokens=max_new, temperature=temperature, top_k=top_k,
+            top_p=top_p, greedy=greedy, stop_token_ids=tuple(stop)))
+        if err is not None:
+            return err
+        return web.json_response({"sequence_id": sid})
+
+    async def get_result(request: web.Request) -> web.Response:
+        try:
+            seq_id = int(request.match_info["seq_id"])
+        except ValueError:
+            return _json_error(400, "sequence id must be an integer")
+        with loop.lock:
+            seq = scheduler.get(seq_id)
+            if seq is None:
+                return _json_error(404, f"unknown sequence {seq_id}")
+            generated = list(seq.generated_ids())
+            state = seq.state
+            reason = seq.finish_reason
+        text = tokenizer.decode(generated) if generated else ""
+        status = "completed" if state in (
+            SequenceState.FINISHED, SequenceState.FAILED) else "in progress"
+        return web.json_response({
+            "status": status,
+            "generated": text,
+            "finish_reason": reason.value if reason else None,
+            "num_generated": len(generated),
+        })
+
+    async def delete_result(request: web.Request) -> web.Response:
+        try:
+            seq_id = int(request.match_info["seq_id"])
+        except ValueError:
+            return _json_error(400, "sequence id must be an integer")
+        with loop.lock:
+            seq = scheduler.get(seq_id)
+            if seq is None:
+                return _json_error(404, f"unknown sequence {seq_id}")
+            if not seq.is_finished:
+                scheduler.abort(seq_id)
+            scheduler.pop_finished(seq_id)
+        return web.json_response({"ok": True})
+
+    async def healthz(request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def metrics(request: web.Request) -> web.Response:
+        snap = scheduler.engine.metrics.snapshot()
+        with loop.lock:
+            snap["num_running"] = scheduler.num_running
+            snap["num_waiting"] = len(scheduler.waiting)
+            snap["num_swapped"] = len(scheduler.swapped)
+            snap["free_pages"] = scheduler.engine.allocator.num_free_pages
+        return web.json_response(snap)
+
+    app.router.add_post("/generate", generate)
+    app.router.add_post("/v1/generate", generate_v1)
+    app.router.add_get("/result/{seq_id}", get_result)
+    app.router.add_delete("/result/{seq_id}", delete_result)
+    app.router.add_get("/healthz", healthz)
+    app.router.add_get("/metrics", metrics)
+    return app
+
+
+def run_app(app: web.Application, host: str, port: int) -> None:
+    web.run_app(app, host=host, port=port)

@@ -1,0 +1,115 @@
+"""Server entrypoint: `python -m vllmini_tpu.server.main [--model gpt2 ...]`.
+
+Reference counterpart: `/root/reference/vllmini/main.py` + the hardcoded bootstrap
+in `server.py:28-62`. Everything the reference hardcodes is a flag here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from ..config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    ParallelConfig,
+    QuantConfig,
+    SchedulerConfig,
+)
+
+
+def build_engine_config(args) -> EngineConfig:
+    presets = {
+        "gpt2": ModelConfig.gpt2_124m,
+        "gpt2-xl": ModelConfig.gpt2_xl,
+        "llama3-8b": ModelConfig.llama3_8b,
+        "llama3-70b": ModelConfig.llama3_70b,
+    }
+    if args.model in presets:
+        model = presets[args.model](dtype=args.dtype)
+    else:
+        # Treat as HF id/path; config is derived at load time.
+        model = ModelConfig.gpt2_124m(dtype=args.dtype)
+    return EngineConfig(
+        model=model,
+        cache=CacheConfig(num_pages=args.num_pages, page_size=args.page_size,
+                          max_pages_per_seq=args.max_pages_per_seq,
+                          kv_dtype=args.kv_dtype),
+        scheduler=SchedulerConfig(max_decode_slots=args.max_decode_slots,
+                                  preemption_mode=args.preemption),
+        quant=QuantConfig(weight_dtype=args.weight_dtype),
+        parallel=ParallelConfig(tensor_parallel=args.tensor_parallel),
+        hf_model=args.hf_model or args.model,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("vllmini-tpu server")
+    p.add_argument("--model", default="gpt2")
+    p.add_argument("--hf-model", default=None,
+                   help="HF id/path for weights+tokenizer (default: --model)")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--kv-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8", "fp8_e4m3",
+                            "fp8_e5m2"])
+    p.add_argument("--weight-dtype", default="none",
+                   choices=["none", "int8", "int4"])
+    p.add_argument("--num-pages", type=int, default=2048)
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--max-pages-per-seq", type=int, default=64)
+    p.add_argument("--max-decode-slots", type=int, default=8)
+    p.add_argument("--preemption", default="swap",
+                   choices=["swap", "recompute"])
+    p.add_argument("--tensor-parallel", type=int, default=1)
+    p.add_argument("--random-weights", action="store_true",
+                   help="skip HF loading (random init; for smoke tests)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    from ..engine.engine import LLMEngine
+    from ..engine.scheduler import Scheduler
+    from .api import create_app
+
+    config = build_engine_config(args)
+    params = None
+    tokenizer = None
+    if not args.random_weights:
+        from ..models.loader import load_params
+        import transformers
+
+        import dataclasses
+
+        model_cfg, params = load_params(config.hf_model)
+        config = dataclasses.replace(config, model=model_cfg)
+        tokenizer = transformers.AutoTokenizer.from_pretrained(config.hf_model)
+    if tokenizer is None:
+        class _IdTokenizer:
+            eos_token_id = None
+
+            def encode(self, s):
+                return [int(t) % config.model.vocab_size for t in s.split()]
+
+            def decode(self, ids):
+                return " ".join(map(str, ids))
+
+        tokenizer = _IdTokenizer()
+
+    if args.weight_dtype != "none" and params is not None:
+        from ..ops.quant_matmul import quantize_params
+        params = quantize_params(params, config.quant)
+
+    engine = LLMEngine(config, params)
+    scheduler = Scheduler(engine)
+    app = create_app(scheduler, tokenizer)
+
+    from .api import run_app
+
+    run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
