@@ -50,7 +50,7 @@ def main():
     slots = 8
     config = EngineConfig(
         model=ModelConfig.gpt2_124m(dtype="bfloat16" if on_tpu else "float32"),
-        cache=CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=16,
+        cache=CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=32,
                           kv_dtype="bfloat16" if on_tpu else "float32"),
         scheduler=SchedulerConfig(max_decode_slots=slots,
                                   prefill_buckets=(64, 128, 256)),
@@ -61,8 +61,12 @@ def main():
 
     rng = np.random.default_rng(0)
     prompt_len = 64
-    warm_steps, bench_steps = 20, 150
-    max_new = warm_steps + bench_steps + 64
+    chunk = config.scheduler.decode_chunk_steps
+    warm_chunks, bench_chunks = 4, 16
+    max_new = (warm_chunks + bench_chunks + 8) * chunk
+
+    def total_generated():
+        return sum(len(s.output_ids) for s in sched.sequences.values())
 
     # Admit `slots` concurrent greedy requests; measure TTFT per prefill.
     ttfts = []
@@ -76,16 +80,18 @@ def main():
         sched.step()
         ttfts.append(time.perf_counter() - t0)
 
-    # Warm up (ensures decode fn is compiled and steady).
-    for _ in range(warm_steps):
+    # Warm up (ensures the chunk fn is compiled and steady).
+    for _ in range(warm_chunks):
         sched.step()
 
+    n0 = total_generated()
     t0 = time.perf_counter()
-    for _ in range(bench_steps):
+    for _ in range(bench_chunks):
         sched.step()
     elapsed = time.perf_counter() - t0
+    tokens = total_generated() - n0
+    bench_steps = bench_chunks * chunk
 
-    tokens = bench_steps * slots
     tok_s = tokens / elapsed
 
     # Roofline: every decode step streams all weights once; KV read per step is
@@ -94,7 +100,7 @@ def main():
     weight_bytes = count_param_bytes(engine.params)
     m = config.model
     kv_item = jnp.dtype(config.cache.jnp_kv_dtype).itemsize
-    ctx = prompt_len + warm_steps + bench_steps // 2
+    ctx = prompt_len + chunk * (warm_chunks + bench_chunks // 2)
     kv_bytes = (2 * m.num_layers * m.kv_heads *
                 config.cache.padded_head_dim(m.head_size) * ctx * kv_item)
     step_bytes = weight_bytes + slots * kv_bytes
@@ -112,6 +118,7 @@ def main():
         "ttft_p50_ms": round(1e3 * float(np.median(ttfts)), 2),
         "roofline_tokens_per_s": round(roofline_tok_s, 1),
         "steps_per_s": round(bench_steps / elapsed, 2),
+        "chunk_steps": chunk,
     }
     print(json.dumps(result))
 

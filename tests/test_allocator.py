@@ -1,13 +1,27 @@
-"""PageAllocator property tests (no accelerator needed)."""
+"""Page-allocator property tests (no accelerator needed).
+
+Parametrized over the Python reference implementation and the native C++
+allocator (memory/native/allocator.cpp) — both must satisfy the same spec.
+"""
 
 import numpy as np
 import pytest
 
 from vllmini_tpu.memory.allocator import OutOfPages, PageAllocator
+from vllmini_tpu.memory.native import NativePageAllocator, native_available
 
 
-def test_allocate_and_padded_table():
-    a = PageAllocator(num_pages=10, page_size=4, pages_per_seq_max=4)
+@pytest.fixture(params=["python", "native"])
+def Alloc(request):
+    if request.param == "native":
+        if not native_available():
+            pytest.skip("native allocator not built")
+        return NativePageAllocator
+    return PageAllocator
+
+
+def test_allocate_and_padded_table(Alloc):
+    a = Alloc(num_pages=10, page_size=4, pages_per_seq_max=4)
     pages = a.allocate(1, num_tokens=9)  # 3 pages
     assert len(pages) == 3
     assert a.num_free_pages == 7
@@ -17,8 +31,8 @@ def test_allocate_and_padded_table():
     assert t[3] == 10  # OOB sentinel
 
 
-def test_no_double_allocation():
-    a = PageAllocator(8, 4, 4)
+def test_no_double_allocation(Alloc):
+    a = Alloc(8, 4, 4)
     p1 = a.allocate(1, 8)
     p2 = a.allocate(2, 8)
     assert set(p1).isdisjoint(p2)
@@ -26,8 +40,8 @@ def test_no_double_allocation():
         a.allocate(1, 4)
 
 
-def test_append_token_page_boundary():
-    a = PageAllocator(8, 4, 4)
+def test_append_token_page_boundary(Alloc):
+    a = Alloc(8, 4, 4)
     a.allocate(1, 4)  # exactly one full page
     assert a.seq_len(1) == 4
     new = a.append_token(1)  # boundary -> new page
@@ -37,15 +51,15 @@ def test_append_token_page_boundary():
     assert a.seq_len(1) == 6
 
 
-def test_exhaustion_raises():
-    a = PageAllocator(2, 4, 8)
+def test_exhaustion_raises(Alloc):
+    a = Alloc(2, 4, 8)
     a.allocate(1, 8)
     with pytest.raises(OutOfPages):
         a.allocate(2, 1)
 
 
-def test_free_returns_pages():
-    a = PageAllocator(4, 4, 4)
+def test_free_returns_pages(Alloc):
+    a = Alloc(4, 4, 4)
     pages = a.allocate(1, 16)
     released = a.free(1)
     assert sorted(released) == sorted(pages)
@@ -54,8 +68,8 @@ def test_free_returns_pages():
     a.allocate(2, 16)
 
 
-def test_fork_cow():
-    a = PageAllocator(8, 4, 4)
+def test_fork_cow(Alloc):
+    a = Alloc(8, 4, 4)
     pages = a.allocate(1, 6)  # 2 pages
     a.fork(1, 2)
     assert a.seq_pages(2) == pages
@@ -76,8 +90,8 @@ def test_fork_cow():
     assert a.num_free_pages == 8
 
 
-def test_swap_cycle():
-    a = PageAllocator(4, 4, 4)
+def test_swap_cycle(Alloc):
+    a = Alloc(4, 4, 4)
     a.allocate(1, 10)
     a.allocate(2, 4)
     with pytest.raises(OutOfPages):
@@ -93,8 +107,99 @@ def test_swap_cycle():
     assert a.seq_len(1) == 10
 
 
-def test_max_context_enforced():
-    a = PageAllocator(32, 4, 2)
+def test_max_context_enforced(Alloc):
+    a = Alloc(32, 4, 2)
     a.allocate(1, 8)  # at the 2-page cap
     with pytest.raises(ValueError):
         a.append_token(1)
+
+
+def test_reserve_and_advance(Alloc):
+    a = Alloc(8, 4, 4)
+    a.allocate(1, 6)  # 2 pages, len 6
+    new = a.reserve(1, 8)  # cover 14 tokens -> 4 pages, 2 new
+    assert len(new) == 2
+    assert a.num_free_pages == 4
+    a.advance(1, 8)
+    assert a.seq_len(1) == 14
+    with pytest.raises(ValueError):
+        a.advance(1, 4)  # beyond reserved
+    # reserve beyond per-seq max
+    with pytest.raises(ValueError):
+        a.reserve(1, 8)
+
+
+def test_reserve_out_of_pages(Alloc):
+    a = Alloc(3, 4, 8)
+    a.allocate(1, 4)
+    a.allocate(2, 8)
+    with pytest.raises(OutOfPages):
+        a.reserve(1, 12)
+    # Failed reserve must not leak pages.
+    assert a.num_free_pages == 0
+    a.free(2)
+    assert len(a.reserve(1, 8)) == 2
+
+
+def test_native_matches_python_fuzz():
+    """Randomized op sequence: native and Python must agree exactly."""
+    if not native_available():
+        pytest.skip("native allocator not built")
+    rng = np.random.default_rng(7)
+    py = PageAllocator(16, 4, 4)
+    nat = NativePageAllocator(16, 4, 4)
+    live = []
+    next_id = 1
+    for _ in range(400):
+        op = rng.integers(0, 5)
+        try:
+            if op == 0:
+                sid = next_id
+                next_id += 1
+                n = int(rng.integers(1, 14))
+                r1 = e1 = None
+                try:
+                    r1 = py.allocate(sid, n)
+                except Exception as e:
+                    e1 = type(e)
+                try:
+                    r2 = nat.allocate(sid, n)
+                    assert e1 is None and r1 == r2
+                    live.append(sid)
+                except Exception as e:
+                    assert e1 is type(e)
+            elif op == 1 and live:
+                sid = live[int(rng.integers(0, len(live)))]
+                x1 = x2 = e1 = e2 = None
+                try:
+                    x1 = py.append_token(sid)
+                except Exception as e:
+                    e1 = type(e)
+                try:
+                    x2 = nat.append_token(sid)
+                except Exception as e:
+                    e2 = type(e)
+                assert e1 is e2 and x1 == x2
+            elif op == 2 and live:
+                sid = live.pop(int(rng.integers(0, len(live))))
+                assert sorted(py.free(sid)) == sorted(nat.free(sid))
+            elif op == 3 and live:
+                sid = live[int(rng.integers(0, len(live)))]
+                extra = int(rng.integers(1, 6))
+                r1 = e1 = None
+                try:
+                    r1 = py.reserve(sid, extra)
+                except Exception as e:
+                    e1 = type(e)
+                try:
+                    r2 = nat.reserve(sid, extra)
+                    assert e1 is None and r1 == r2
+                except Exception as e:
+                    assert e1 is type(e)
+            elif op == 4 and live:
+                sid = live[int(rng.integers(0, len(live)))]
+                assert list(py.padded_table(sid)) == \
+                    list(nat.padded_table(sid))
+                assert py.seq_len(sid) == nat.seq_len(sid)
+        finally:
+            assert py.num_free_pages == nat.num_free_pages

@@ -33,6 +33,7 @@ def make_sched(num_pages=32, page_size=4, max_pages=8, slots=2,
                           max_pages_per_seq=max_pages, kv_dtype="float32"),
         scheduler=SchedulerConfig(max_decode_slots=slots,
                                   prefill_buckets=(8, 16, 32),
+                                  decode_chunk_steps=2,
                                   preemption_mode=preemption),
         hf_model=None,
     )

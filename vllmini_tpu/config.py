@@ -184,6 +184,11 @@ class SchedulerConfig:
     max_queued_requests: int = 1024
     prefill_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512, 1024)
     default_max_new_tokens: int = 20
+    # Decode steps per jitted chunk: the host syncs with the device once per
+    # chunk, so this amortizes the host<->device round trip (which costs ~25 ms
+    # through a tunneled TPU) at the price of up to K-1 wasted steps after a
+    # mid-chunk EOS and K-step admission latency for queued requests.
+    decode_chunk_steps: int = 16
     # Preemption: when the page pool is exhausted mid-decode, evict the
     # most-recently-admitted sequence (the reference's OOM policy,
     # `vllmini/scheduler.py:117-130`) and either swap its pages to host or requeue.

@@ -1,31 +1,38 @@
 """LLMEngine: device-state owner + compiled step functions.
 
 This is the execution half of the reference's Scheduler+BlockManager pair
-(`/root/reference/vllmini/scheduler.py`, `block_manager.py`), restructured for XLA:
+(`/root/reference/vllmini/scheduler.py`, `block_manager.py`), restructured for XLA
+and for high-latency host<->device links:
 
-- ONE compiled decode function with a fixed slot-batch shape, run every engine
-  tick (the reference launches a fresh 1-seq forward per token and allocates new
-  CUDA tensors per step — `block_manager.py:56`, a recompile-per-token under XLA);
-- one compiled prefill function per prompt-length bucket;
-- the KV pool is donated through every step (in-place update, no pool copy);
-- sampling runs inside the step (no host round-trip before sampling, unlike
-  the reference's `.item()` sync at `scheduler.py:103`);
+- ALL decode state (current token, lengths, sampling params, output buffer,
+  finished flags) lives ON DEVICE in a donated pytree; the host never touches it
+  token-by-token. The reference does a host round trip per token
+  (`scheduler.py:103` `.item()`); through this environment's TPU tunnel a single
+  sync costs ~25 ms, so per-token host logic caps throughput at ~40 steps/s
+  regardless of model size.
+- Decode runs in jitted CHUNKS of K steps (`lax.scan` over the full forward +
+  sampling + state commit); the host syncs once per chunk: reserve KV page
+  headroom, dispatch, fetch a tiny state summary.
+- Prefill + first-token sampling + slot insertion are one jitted call — no
+  readback on admission.
+- The KV pool and decode state are donated through every call (in-place, no
+  copies of the multi-MB pool).
 - swap-out/swap-in for preempted sequences actually works (the reference's is
   broken and unreachable, `block_manager.py:75-88`).
 """
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 import logging
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EngineConfig, SamplingParams
-from ..memory.allocator import PageAllocator
+from ..config import EngineConfig
+from ..memory.allocator import make_allocator
 from ..memory.kv_cache import KVPool, create_kv_pool
 from ..models.registry import get_family
 from ..utils.metrics import Metrics
@@ -34,11 +41,52 @@ from .sequence import Sequence
 
 logger = logging.getLogger("vllmini_tpu.engine")
 
+MAX_STOP_TOKENS = 4
+
 
 def _default_interpret() -> bool:
     # Pallas compiles natively on TPU backends; anywhere else (CPU tests),
     # run kernels in interpreter mode.
-    return jax.default_backend() not in ("tpu", "axon")
+    return jax.default_backend() not in ("tpu",)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecodeState:
+    """Per-slot decode state, resident on device, donated through every chunk."""
+
+    last_token: jax.Array    # [B] i32 — sampled, KV not yet written
+    tokens_in_kv: jax.Array  # [B] i32 — committed KV length
+    active: jax.Array        # [B] bool — slot occupied and not finished
+    out_buf: jax.Array       # [B, CAP] i32 — generated tokens
+    out_count: jax.Array     # [B] i32
+    max_new: jax.Array       # [B] i32 — generation budget
+    stop_tokens: jax.Array   # [B, MAX_STOP_TOKENS] i32 (-1 = unused)
+    total_cap: jax.Array     # [B] i32 — hard context cap per slot
+    temps: jax.Array         # [B] f32
+    top_ks: jax.Array        # [B] i32
+    top_ps: jax.Array        # [B] f32
+
+
+def make_decode_state(batch: int, out_cap: int) -> DecodeState:
+    # Each field gets its OWN buffer: the state is donated through every jitted
+    # call, and XLA rejects donating one buffer twice.
+    def z():
+        return jnp.zeros(batch, jnp.int32)
+
+    return DecodeState(
+        last_token=z(),
+        tokens_in_kv=z(),
+        active=jnp.zeros(batch, bool),
+        out_buf=jnp.zeros((batch, out_cap), jnp.int32),
+        out_count=z(),
+        max_new=z(),
+        stop_tokens=jnp.full((batch, MAX_STOP_TOKENS), -1, jnp.int32),
+        total_cap=z(),
+        temps=jnp.zeros(batch, jnp.float32),
+        top_ks=z(),
+        top_ps=jnp.ones(batch, jnp.float32),
+    )
 
 
 class SwappedKV:
@@ -49,9 +97,21 @@ class SwappedKV:
         self.num_tokens = num_tokens
 
 
+@dataclasses.dataclass
+class StateSummary:
+    """Host snapshot of the device state after a chunk (one fetch)."""
+
+    tokens_in_kv: np.ndarray
+    active: np.ndarray
+    out_count: np.ndarray
+    out_buf: np.ndarray
+    last_token: np.ndarray
+
+
 class LLMEngine:
     def __init__(self, config: EngineConfig, params=None, *,
-                 rng_seed: Optional[int] = None, interpret: Optional[bool] = None):
+                 rng_seed: Optional[int] = None,
+                 interpret: Optional[bool] = None):
         self.config = config
         self.family = get_family(config.model)
         self.interpret = _default_interpret() if interpret is None else interpret
@@ -73,11 +133,22 @@ class LLMEngine:
                 config.model, jax.random.PRNGKey(config.seed))
         self.params = params
         self.pool: KVPool = create_kv_pool(config.model, config.cache)
-        self.allocator = PageAllocator(
+        self.allocator = make_allocator(
             config.cache.num_pages, config.cache.page_size,
             config.cache.max_pages_per_seq)
         self.max_slots = config.scheduler.max_decode_slots
         self.pages_per_seq_max = config.cache.max_pages_per_seq
+        self.max_context = min(config.cache.max_context_len,
+                               config.model.max_position_embeddings)
+        self.chunk_steps = config.scheduler.decode_chunk_steps
+
+        self.state = make_decode_state(self.max_slots, self.max_context)
+        # Host mirror of device page tables (re-uploaded when changed).
+        self._tables_host = np.full(
+            (self.max_slots, self.pages_per_seq_max),
+            config.cache.num_pages, np.int32)
+        self._tables_dirty = True
+        self._tables_dev = None
 
         self._base_key = jax.random.PRNGKey(
             config.seed if rng_seed is None else rng_seed)
@@ -85,44 +156,95 @@ class LLMEngine:
         self._swapped: Dict[int, SwappedKV] = {}
 
         # Bucket list covering up to max context.
-        max_ctx = min(config.cache.max_context_len,
-                      config.model.max_position_embeddings)
         buckets = sorted(b for b in config.scheduler.prefill_buckets
-                         if b <= max_ctx)
-        if not buckets or buckets[-1] < max_ctx:
-            buckets.append(max_ctx)
+                         if b <= self.max_context)
+        if not buckets or buckets[-1] < self.max_context:
+            buckets.append(self.max_context)
         self.prefill_buckets = buckets
 
-        self._decode_fn = jax.jit(
-            self._decode_impl, donate_argnums=(1,),
-            static_argnames=())
-        self._prefill_fns: Dict[int, object] = {}
+        self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1, 2),
+                                 static_argnames=("steps",))
+        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1, 2),
+                                   static_argnames=("slot",))
 
     # ------------------------------------------------------------------ device
 
-    def _decode_impl(self, params, pool, token_ids, positions, seq_lens,
-                     page_tables, active, rng, temps, top_ks, top_ps):
-        logits, pool = self.family.decode_forward(
-            params, self.config.model, pool, token_ids, positions, seq_lens,
-            page_tables, active, interpret=self.interpret)
-        toks = sample_tokens(logits, rng, temps, top_ks, top_ps)
-        return toks, pool
+    def _forward_decode(self, params, pool, state: DecodeState, page_tables):
+        positions = state.tokens_in_kv
+        seq_lens = jnp.where(state.active, state.tokens_in_kv + 1, 0)
+        return self.family.decode_forward(
+            params, self.config.model, pool, state.last_token, positions,
+            seq_lens, page_tables, state.active, interpret=self.interpret)
 
-    def _prefill_impl(self, params, pool, token_ids, seq_len, page_table,
-                      rng, temp, top_k, top_p):
+    def _chunk_impl(self, params, pool, state: DecodeState, page_tables,
+                    step_budget, rng, *, steps: int):
+        """Run up to `steps` decode iterations fully on device."""
+
+        def body(carry, step_rng):
+            pool, st, budget = carry
+            can_step = st.active & (budget > 0)
+            st_masked = dataclasses.replace(st, active=can_step)
+            logits, pool = self._forward_decode(params, pool, st_masked,
+                                                page_tables)
+            tok = sample_tokens(logits, step_rng, st.temps, st.top_ks,
+                                st.top_ps)
+
+            # Commit: the fed token's KV is now written.
+            tokens_in_kv = st.tokens_in_kv + can_step.astype(jnp.int32)
+            # Stop conditions evaluated on the NEW sample.
+            is_stop = jnp.any(tok[:, None] == st.stop_tokens, axis=1)
+            # Store the new sample unless stopping or budget exhausted.
+            will_store = can_step & ~is_stop
+            idx = jnp.minimum(st.out_count, st.out_buf.shape[1] - 1)
+            out_buf = st.out_buf.at[jnp.arange(st.out_buf.shape[0]), idx].set(
+                jnp.where(will_store, tok, st.out_buf[
+                    jnp.arange(st.out_buf.shape[0]), idx]))
+            out_count = st.out_count + will_store.astype(jnp.int32)
+
+            hit_max = out_count >= st.max_new
+            hit_cap = (tokens_in_kv + 1) > st.total_cap
+            finished = can_step & (is_stop | hit_max | hit_cap)
+            active = st.active & ~finished
+
+            st = dataclasses.replace(
+                st, last_token=jnp.where(can_step, tok, st.last_token),
+                tokens_in_kv=tokens_in_kv, active=active,
+                out_buf=out_buf, out_count=out_count)
+            budget = budget - can_step.astype(jnp.int32)
+            return (pool, st, budget), None
+
+        rngs = jax.random.split(rng, steps)
+        (pool, state, _), _ = jax.lax.scan(
+            body, (pool, state, step_budget), rngs)
+        return pool, state
+
+    def _prefill_impl(self, params, pool, state: DecodeState, token_ids,
+                      seq_len, page_table, rng, temp, top_k, top_p, max_new,
+                      stop_tokens, total_cap, *, slot: int):
         logits, pool = self.family.prefill_forward(
             params, self.config.model, pool, token_ids, seq_len, page_table,
             interpret=self.interpret)
         tok = sample_tokens(logits[None, :], rng, temp[None], top_k[None],
                             top_p[None])[0]
-        return tok, pool
-
-    def _get_prefill_fn(self, bucket: int):
-        fn = self._prefill_fns.get(bucket)
-        if fn is None:
-            fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
-            self._prefill_fns[bucket] = fn
-        return fn
+        is_stop = jnp.any(tok == stop_tokens)
+        store = ~is_stop & (max_new >= 1)
+        state = dataclasses.replace(
+            state,
+            last_token=state.last_token.at[slot].set(tok),
+            tokens_in_kv=state.tokens_in_kv.at[slot].set(seq_len),
+            active=state.active.at[slot].set(~is_stop & (max_new > 1)),
+            out_buf=state.out_buf.at[slot].set(0).at[slot, 0].set(
+                jnp.where(store, tok, 0)),
+            out_count=state.out_count.at[slot].set(
+                jnp.where(store, 1, 0)),
+            max_new=state.max_new.at[slot].set(max_new),
+            stop_tokens=state.stop_tokens.at[slot].set(stop_tokens),
+            total_cap=state.total_cap.at[slot].set(total_cap),
+            temps=state.temps.at[slot].set(temp),
+            top_ks=state.top_ks.at[slot].set(top_k),
+            top_ps=state.top_ps.at[slot].set(top_p),
+        )
+        return pool, state
 
     def _next_rng(self) -> jax.Array:
         self._step_counter += 1
@@ -138,78 +260,88 @@ class LLMEngine:
             f"prompt length {length} exceeds max context "
             f"{self.prefill_buckets[-1]}")
 
-    def prefill(self, seq: Sequence) -> int:
-        """Allocate pages, run the prompt, sample the first token.
+    def prefill(self, seq: Sequence, slot: int) -> None:
+        """Allocate pages, run the prompt, sample the first token, insert the
+        sequence into the device slot. No host<->device sync.
 
-        Caller must have checked `allocator.can_allocate`. Returns the token.
+        Caller must have checked `allocator.can_allocate`.
         """
         L = len(seq.prompt_ids)
         bucket = self.bucket_for(L)
         self.allocator.allocate(seq.seq_id, L)
-        table = jnp.asarray(self.allocator.padded_table(seq.seq_id))
+        self._tables_host[slot] = self.allocator.padded_table(seq.seq_id)
+        self._tables_dirty = True
         padded = np.zeros(bucket, np.int32)
         padded[:L] = seq.prompt_ids
+
         s = seq.sampling
-        tok, self.pool = self._get_prefill_fn(bucket)(
-            self.params, self.pool, jnp.asarray(padded), jnp.int32(L), table,
-            self._next_rng(), jnp.float32(0.0 if s.greedy else s.temperature),
-            jnp.int32(s.top_k), jnp.float32(s.top_p))
+        stops = np.full(MAX_STOP_TOKENS, -1, np.int32)
+        for i, t in enumerate(list(s.stop_token_ids)[:MAX_STOP_TOKENS]):
+            stops[i] = t
+        total_cap = min(self.max_context,
+                        self.pages_per_seq_max * self.config.cache.page_size)
+        # After recompute-preemption already-generated tokens live in
+        # prompt_ids; the device budget is what REMAINS of max_new_tokens.
+        already = len(seq.prompt_ids) - seq.orig_prompt_len
+        remaining = max(0, s.max_new_tokens - already)
+
+        self.pool, self.state = self._prefill_fn(
+            self.params, self.pool, self.state, jnp.asarray(padded),
+            jnp.int32(L), jnp.asarray(self._tables_host[slot]),
+            self._next_rng(),
+            jnp.float32(0.0 if s.greedy else s.temperature),
+            jnp.int32(s.top_k), jnp.float32(s.top_p),
+            jnp.int32(remaining), jnp.asarray(stops),
+            jnp.int32(total_cap), slot=slot)
         seq.tokens_in_kv = L
-        seq.last_token = int(tok)
+        seq.slot = slot
         self.metrics.counter("prefill_tokens", L)
-        return seq.last_token
 
     # ------------------------------------------------------------------ decode
 
-    def decode(self, seqs: List[Optional[Sequence]]) -> np.ndarray:
-        """One batched decode step over the slot list (None = inactive slot).
+    def decode_chunk(self, step_budget: np.ndarray) -> None:
+        """Dispatch one K-step decode chunk (async; no sync)."""
+        if self._tables_dirty or self._tables_dev is None:
+            self._tables_dev = jnp.asarray(self._tables_host)
+            self._tables_dirty = False
+        self.pool, self.state = self._chunk_fn(
+            self.params, self.pool, self.state, self._tables_dev,
+            jnp.asarray(step_budget.astype(np.int32)), self._next_rng(),
+            steps=self.chunk_steps)
+        self.metrics.counter("decode_chunks", 1)
 
-        Each active sequence's `last_token` is fed at position `tokens_in_kv`;
-        on return tokens_in_kv has advanced and `last_token` is the new sample.
-        Caller must already have called `allocator.append_token` for each
-        active sequence (page headroom for the incoming token).
-        """
-        B = self.max_slots
-        assert len(seqs) == B
-        token_ids = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        seq_lens = np.zeros(B, np.int32)
-        tables = np.full((B, self.pages_per_seq_max),
-                         self.allocator.num_pages, np.int32)
-        active = np.zeros(B, bool)
-        temps = np.zeros(B, np.float32)
-        top_ks = np.zeros(B, np.int32)
-        top_ps = np.ones(B, np.float32)
+    def fetch_summary(self) -> StateSummary:
+        """ONE host<->device sync: read the small state arrays."""
+        st = self.state
+        tk, ac, oc, ob, lt = jax.device_get(
+            (st.tokens_in_kv, st.active, st.out_count, st.out_buf,
+             st.last_token))
+        return StateSummary(np.asarray(tk), np.asarray(ac), np.asarray(oc),
+                            np.asarray(ob), np.asarray(lt))
 
-        for i, seq in enumerate(seqs):
-            if seq is None:
-                continue
-            active[i] = True
-            token_ids[i] = seq.last_token
-            positions[i] = seq.tokens_in_kv
-            seq_lens[i] = seq.tokens_in_kv + 1
-            tables[i] = self.allocator.padded_table(seq.seq_id)
-            s = seq.sampling
-            temps[i] = 0.0 if s.greedy else s.temperature
-            top_ks[i] = s.top_k
-            top_ps[i] = s.top_p
+    def sync_slot(self, seq: Sequence) -> None:
+        """Pull one slot's device state into the host Sequence (used before
+        preempting a sequence that was admitted after the last chunk sync —
+        its first sampled token exists only on device). One small device_get."""
+        slot = seq.slot
+        st = self.state
+        tk, oc, ob, lt = jax.device_get(
+            (st.tokens_in_kv[slot], st.out_count[slot], st.out_buf[slot],
+             st.last_token[slot]))
+        delta = int(tk) - seq.tokens_in_kv
+        if delta > 0:
+            self.allocator.advance(seq.seq_id, delta)
+        seq.tokens_in_kv = int(tk)
+        seq.output_ids = [int(t) for t in np.asarray(ob)[: int(oc)]]
+        seq.last_token = int(lt)
 
-        toks, self.pool = self._decode_fn(
-            self.params, self.pool, jnp.asarray(token_ids),
-            jnp.asarray(positions), jnp.asarray(seq_lens),
-            jnp.asarray(tables), jnp.asarray(active), self._next_rng(),
-            jnp.asarray(temps), jnp.asarray(top_ks), jnp.asarray(top_ps))
-        toks = np.asarray(jax.device_get(toks))
-
-        for i, seq in enumerate(seqs):
-            if seq is None:
-                continue
-            seq.output_ids.append(seq.last_token)
-            seq.tokens_in_kv += 1
-            seq.last_token = int(toks[i])
-        self.metrics.counter("decode_steps", 1)
-        self.metrics.counter("decode_tokens", int(active.sum()))
-        return toks
+    def clear_slot(self, slot: int) -> None:
+        """Deactivate a slot on device (called on finish/abort/preempt)."""
+        self.state = dataclasses.replace(
+            self.state,
+            active=self.state.active.at[slot].set(False))
+        self._tables_host[slot] = self.config.cache.num_pages
+        self._tables_dirty = True
 
     # ----------------------------------------------------------- free and swap
 
@@ -217,6 +349,8 @@ class LLMEngine:
         if self.allocator.has_seq(seq.seq_id):
             self.allocator.free(seq.seq_id)
         self._swapped.pop(seq.seq_id, None)
+        if seq.slot is not None:
+            self.clear_slot(seq.slot)
 
     def swap_out(self, seq: Sequence) -> None:
         """Copy the sequence's KV pages to host RAM and release them.
@@ -226,43 +360,76 @@ class LLMEngine:
         """
         pages = self.allocator.seq_pages(seq.seq_id)
         idx = jnp.asarray(pages, jnp.int32)
-        arrays = {
-            "k": np.asarray(jax.device_get(self.pool.k_pages[:, :, idx])),
-            "v": np.asarray(jax.device_get(self.pool.v_pages[:, :, idx])),
-        }
+
+        def gather(layers):
+            # [L, H, n_pages, ps, d(or nothing)] on host
+            return np.stack([np.asarray(jax.device_get(x[:, idx]))
+                             for x in layers])
+
+        arrays = {"k": gather(self.pool.k_pages),
+                  "v": gather(self.pool.v_pages)}
         if self.pool.quantized:
-            arrays["ks"] = np.asarray(jax.device_get(
-                self.pool.k_scales[:, :, idx]))
-            arrays["vs"] = np.asarray(jax.device_get(
-                self.pool.v_scales[:, :, idx]))
+            arrays["ks"] = gather(self.pool.k_scales)
+            arrays["vs"] = gather(self.pool.v_scales)
         self._swapped[seq.seq_id] = SwappedKV(arrays, seq.tokens_in_kv)
         self.allocator.release_for_swap(seq.seq_id)
+        if seq.slot is not None:
+            self.clear_slot(seq.slot)
         self.metrics.counter("swap_outs", 1)
 
     def can_swap_in(self, seq: Sequence) -> bool:
         return self.allocator.can_allocate(seq.tokens_in_kv)
 
-    def swap_in(self, seq: Sequence) -> None:
-        """Re-allocate pages and restore KV contents from host RAM."""
+    def swap_in(self, seq: Sequence, slot: int) -> None:
+        """Re-allocate pages, restore KV from host RAM, re-insert the slot."""
         sw = self._swapped.pop(seq.seq_id)
         pages = self.allocator.allocate_for_swap_in(seq.seq_id, sw.num_tokens)
         idx = jnp.asarray(pages, jnp.int32)
-        import dataclasses as _dc
         pool = self.pool
-        pool = _dc.replace(
+
+        def scatter(layers, host, dtype):
+            return [x.at[:, idx].set(jnp.asarray(host[i], dtype))
+                    for i, x in enumerate(layers)]
+
+        pool = dataclasses.replace(
             pool,
-            k_pages=pool.k_pages.at[:, :, idx].set(
-                jnp.asarray(sw.arrays["k"], pool.k_pages.dtype)),
-            v_pages=pool.v_pages.at[:, :, idx].set(
-                jnp.asarray(sw.arrays["v"], pool.v_pages.dtype)),
+            k_pages=scatter(pool.k_pages, sw.arrays["k"],
+                            pool.k_pages[0].dtype),
+            v_pages=scatter(pool.v_pages, sw.arrays["v"],
+                            pool.v_pages[0].dtype),
         )
         if pool.quantized:
-            pool = _dc.replace(
+            pool = dataclasses.replace(
                 pool,
-                k_scales=pool.k_scales.at[:, :, idx].set(
-                    jnp.asarray(sw.arrays["ks"])),
-                v_scales=pool.v_scales.at[:, :, idx].set(
-                    jnp.asarray(sw.arrays["vs"])),
+                k_scales=scatter(pool.k_scales, sw.arrays["ks"], jnp.float32),
+                v_scales=scatter(pool.v_scales, sw.arrays["vs"], jnp.float32),
             )
         self.pool = pool
+        # Re-activate the slot with the sequence's saved sampling state.
+        s = seq.sampling
+        stops = np.full(MAX_STOP_TOKENS, -1, np.int32)
+        for i, t in enumerate(list(s.stop_token_ids)[:MAX_STOP_TOKENS]):
+            stops[i] = t
+        gen = seq.generated_ids()
+        out_buf_row = np.zeros(self.state.out_buf.shape[1], np.int32)
+        out_buf_row[: len(gen)] = gen
+        st = self.state
+        self.state = dataclasses.replace(
+            st,
+            last_token=st.last_token.at[slot].set(
+                0 if seq.last_token is None else seq.last_token),
+            tokens_in_kv=st.tokens_in_kv.at[slot].set(seq.tokens_in_kv),
+            active=st.active.at[slot].set(True),
+            out_buf=st.out_buf.at[slot].set(jnp.asarray(out_buf_row)),
+            out_count=st.out_count.at[slot].set(len(gen)),
+            max_new=st.max_new.at[slot].set(s.max_new_tokens),
+            stop_tokens=st.stop_tokens.at[slot].set(jnp.asarray(stops)),
+            total_cap=st.total_cap.at[slot].set(self.max_context),
+            temps=st.temps.at[slot].set(0.0 if s.greedy else s.temperature),
+            top_ks=st.top_ks.at[slot].set(s.top_k),
+            top_ps=st.top_ps.at[slot].set(s.top_p),
+        )
+        self._tables_host[slot] = self.allocator.padded_table(seq.seq_id)
+        self._tables_dirty = True
+        seq.slot = slot
         self.metrics.counter("swap_ins", 1)

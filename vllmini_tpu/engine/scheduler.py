@@ -1,17 +1,19 @@
-"""Continuous-batching scheduler.
+"""Continuous-batching scheduler (chunked device-resident decode).
 
 Reference counterpart: `/root/reference/vllmini/scheduler.py`. The reference's loop
 is FCFS-run-to-completion: re-queued items keep their arrival key, so the earliest
 sequence decodes to COMPLETION before any other starts (`scheduler.py:25,104` —
 head-of-line blocking, SURVEY.md "bugs"). This scheduler does real continuous
-batching:
+batching with one host sync per K-token chunk:
 
-- a fixed set of decode slots advances every tick in ONE batched forward;
-- new requests are admitted into free slots on token boundaries (prefill runs
-  between decode ticks);
-- on page-pool exhaustion the most-recently-admitted running sequence is
-  preempted (the reference's eviction policy, `scheduler.py:117-130`) and its KV
-  is swapped to host RAM or dropped for recompute per SchedulerConfig;
+- a fixed set of decode slots advances every tick in ONE jitted K-step chunk
+  (all per-token state lives on device; see engine.py);
+- new requests are admitted into free slots on chunk boundaries (prefill+insert
+  is a single device call, no readback);
+- page headroom for the whole chunk is reserved up front; on pool exhaustion the
+  most-recently-admitted running sequence is preempted (the reference's eviction
+  policy, `scheduler.py:117-130`) and its KV swapped to host RAM or dropped for
+  recompute per SchedulerConfig;
 - swapped/preempted sequences re-enter ahead of new arrivals once pages free up.
 
 Per-request `max_new_tokens` is honored (the reference accepts it then ignores it,
@@ -23,6 +25,8 @@ from __future__ import annotations
 import logging
 from collections import deque
 from typing import Deque, Dict, List, Optional
+
+import numpy as np
 
 from ..config import EngineConfig, SamplingParams
 from ..memory.allocator import OutOfPages
@@ -41,9 +45,7 @@ class Scheduler:
         self.slots: List[Optional[Sequence]] = [None] * engine.max_slots
         self.sequences: Dict[int, Sequence] = {}
         self._admission_counter = 0
-        self._max_total_tokens = min(
-            self.config.cache.max_context_len,
-            self.config.model.max_position_embeddings)
+        self._max_total_tokens = engine.max_context
 
     # ------------------------------------------------------------------ intake
 
@@ -111,10 +113,9 @@ class Scheduler:
 
     def _admit(self, seq: Sequence, slot: int, *, from_swap: bool) -> None:
         if from_swap:
-            self.engine.swap_in(seq)
+            self.engine.swap_in(seq, slot)
         else:
-            self.engine.prefill(seq)
-        seq.slot = slot
+            self.engine.prefill(seq, slot)
         seq.state = SequenceState.RUNNING
         self._admission_counter += 1
         seq.admission_index = self._admission_counter
@@ -133,13 +134,17 @@ class Scheduler:
             return False
         mode = self.config.scheduler.preemption_mode
         logger.info("preempting seq %d (%s)", victim.seq_id, mode)
+        # The victim's newest tokens may exist only on device (admitted or
+        # advanced since the last chunk sync) — pull them before dropping KV.
+        self.engine.sync_slot(victim)
         if mode == "swap":
-            self.engine.swap_out(victim)
+            self.engine.swap_out(victim)  # also clears the device slot
             victim.state = SequenceState.SWAPPED
             self.slots[victim.slot] = None
             victim.slot = None
             self.swapped.appendleft(victim)
         else:  # recompute: drop KV, re-prefill later with prompt+output so far
+            slot = victim.slot
             self.engine.free_sequence(victim)
             victim.prompt_ids = victim.all_token_ids()
             if victim.last_token is not None:
@@ -148,7 +153,7 @@ class Scheduler:
             victim.output_ids = []
             victim.tokens_in_kv = 0
             victim.state = SequenceState.WAITING
-            self.slots[victim.slot] = None
+            self.slots[slot] = None
             victim.slot = None
             self.waiting.appendleft(victim)
         self.engine.metrics.counter("preemptions", 1)
@@ -157,7 +162,7 @@ class Scheduler:
     # -------------------------------------------------------------------- step
 
     def step(self) -> List[Sequence]:
-        """One engine tick: admit, decode one token for all running sequences.
+        """One engine tick: admit, run ONE K-step decode chunk, sync state.
 
         Returns sequences that finished during this tick.
         """
@@ -186,30 +191,26 @@ class Scheduler:
             try:
                 self._admit(seq, slot, from_swap=False)
             except OutOfPages:
-                # Raced against concurrent growth; push back and stop admitting.
                 self.waiting.appendleft(seq)
                 seq.slot = None
                 break
-            if seq.last_token is not None and self._check_finish(seq):
-                finished.append(seq)
 
-        # 3. Grow each running sequence by one page slot if needed; preempt on
-        #    exhaustion.
+        # 3. Reserve page headroom for the chunk; preempt on exhaustion.
+        budget = np.zeros(self.engine.max_slots, np.int32)
         for seq in list(self.slots):
-            if seq is None:
+            if seq is None or seq.state != SequenceState.RUNNING:
                 continue
-            if seq.state != SequenceState.RUNNING:
-                # Preempted by an earlier iteration of this very loop.
-                continue
+            want = min(self.engine.chunk_steps,
+                       self._max_total_tokens - seq.tokens_in_kv)
+            if want <= 0:
+                continue  # device will have flagged hit_cap already
             while True:
                 try:
-                    self.engine.allocator.append_token(seq.seq_id)
+                    self.engine.allocator.reserve(seq.seq_id, want)
+                    budget[seq.slot] = want
                     break
                 except OutOfPages:
                     if not self._preempt_newest(exclude=seq):
-                        # A single sequence exhausted the whole pool: cannot
-                        # make progress, surface as an aborted request rather
-                        # than wedging the engine.
                         logger.error(
                             "seq %d: page pool exhausted with no preemption "
                             "victim; aborting request", seq.seq_id)
@@ -217,39 +218,52 @@ class Scheduler:
                         finished.append(seq)
                         break
                 except ValueError:
-                    # exceeded per-seq max context
-                    self._finish(seq, FinishReason.MAX_CONTEXT)
-                    finished.append(seq)
+                    # Needs more pages than pages_per_seq_max allows: cap the
+                    # budget at what fits.
+                    fit = (self.engine.pages_per_seq_max
+                           * self.config.cache.page_size - seq.tokens_in_kv)
+                    if fit > 0:
+                        self.engine.allocator.reserve(seq.seq_id, fit)
+                        budget[seq.slot] = fit
                     break
+            if seq.is_finished:
+                continue
+            # New pages may have extended the table: refresh the device copy.
+            if seq.slot is not None:
+                table = self.engine.allocator.padded_table(seq.seq_id)
+                if not np.array_equal(table,
+                                      self.engine._tables_host[seq.slot]):
+                    self.engine._tables_host[seq.slot] = table
+                    self.engine._tables_dirty = True
 
-        # 4. Batched decode over all active slots.
+        # 4. Dispatch the chunk and sync.
         if any(s is not None for s in self.slots):
-            self.engine.decode(self.slots)
-            for seq in list(self.slots):
+            self.engine.decode_chunk(budget)
+            summary = self.engine.fetch_summary()
+            for slot, seq in enumerate(list(self.slots)):
                 if seq is None:
                     continue
-                if self._check_finish(seq):
+                delta = int(summary.tokens_in_kv[slot]) - seq.tokens_in_kv
+                if delta > 0:
+                    self.engine.allocator.advance(seq.seq_id, delta)
+                seq.tokens_in_kv = int(summary.tokens_in_kv[slot])
+                n_out = int(summary.out_count[slot])
+                seq.output_ids = [int(t) for t in
+                                  summary.out_buf[slot, :n_out]]
+                seq.last_token = int(summary.last_token[slot])
+                if not bool(summary.active[slot]):
                     finished.append(seq)
+                    self._finish(seq, self._infer_reason(seq))
         return finished
 
-    def _check_finish(self, seq: Sequence) -> bool:
+    def _infer_reason(self, seq: Sequence) -> FinishReason:
         s = seq.sampling
-        # The latest sample is in seq.last_token (not yet committed to KV).
-        stop_ids = set(s.stop_token_ids)
-        if seq.last_token is not None and seq.last_token in stop_ids:
-            # Don't emit the stop token.
-            self._finish(seq, FinishReason.STOP_TOKEN)
-            return True
+        if seq.last_token is not None and seq.last_token in set(
+                s.stop_token_ids):
+            return FinishReason.STOP_TOKEN
         if seq.num_generated >= s.max_new_tokens:
-            self._finish(seq, FinishReason.MAX_NEW_TOKENS)
-            return True
-        if seq.num_tokens + 1 >= self._max_total_tokens:
-            # +1: the pending last_token would exceed the context budget.
-            seq.output_ids.append(seq.last_token)
-            seq.last_token = None
-            self._finish(seq, FinishReason.MAX_CONTEXT)
-            return True
-        return False
+            return FinishReason.MAX_NEW_TOKENS
+        return FinishReason.MAX_CONTEXT
 
     # ------------------------------------------------------------ run helpers
 

@@ -97,6 +97,36 @@ class PageAllocator:
         self._lengths[seq_id] = num_tokens
         return pages
 
+    def reserve(self, seq_id: int, extra_tokens: int) -> List[int]:
+        """Ensure the sequence's pages cover `length + extra_tokens` (headroom
+        for a multi-step decode chunk that advances without host involvement).
+        Returns newly allocated pages. Raises OutOfPages / ValueError like
+        append_token."""
+        pages = self._tables[seq_id]
+        target = self._lengths[seq_id] + extra_tokens
+        needed = self.pages_needed(target)
+        if needed > self.pages_per_seq_max:
+            raise ValueError(
+                f"sequence {seq_id} would exceed max context "
+                f"{self.pages_per_seq_max * self.page_size}")
+        new_pages = []
+        while len(pages) < needed:
+            if needed - len(pages) > len(self._free):
+                raise OutOfPages(
+                    f"need {needed - len(pages)} pages, only "
+                    f"{len(self._free)} free")
+            p = self._take_page()
+            pages.append(p)
+            new_pages.append(p)
+        return new_pages
+
+    def advance(self, seq_id: int, n_tokens: int) -> None:
+        """Commit `n_tokens` decoded tokens (must be within reserved pages)."""
+        new_len = self._lengths[seq_id] + n_tokens
+        if new_len > len(self._tables[seq_id]) * self.page_size:
+            raise ValueError("advance beyond reserved pages")
+        self._lengths[seq_id] = new_len
+
     def append_token(self, seq_id: int) -> Optional[int]:
         """Advance a sequence by one token; allocates a fresh page on a page
         boundary. Returns the new page index or None. Analog of `decode_step`'s
@@ -186,3 +216,24 @@ class PageAllocator:
         physical pages). Fixes the reference's broken `swap_from_cpu`
         (`block_manager.py:75-88`)."""
         return self.allocate(seq_id, num_tokens)
+
+
+def make_allocator(num_pages: int, page_size: int, pages_per_seq_max: int,
+                   *, force_python: Optional[bool] = None):
+    """Return the C++ allocator when the native library builds/loads, else the
+    Python reference implementation. `VLLMINI_PYTHON_ALLOCATOR=1` forces
+    Python."""
+    import os
+
+    if force_python is None:
+        force_python = os.environ.get("VLLMINI_PYTHON_ALLOCATOR") == "1"
+    if not force_python:
+        try:
+            from .native import NativePageAllocator, native_available
+
+            if native_available():
+                return NativePageAllocator(num_pages, page_size,
+                                           pages_per_seq_max)
+        except Exception:
+            pass
+    return PageAllocator(num_pages, page_size, pages_per_seq_max)

@@ -3,23 +3,28 @@
 Reference counterpart: the two global cache tensors in `KVCache`
 (`/root/reference/vllmini/kv_cache.py:13-14`). TPU-first layout deltas (SURVEY.md §7):
 
-- key layout `[num_layers, num_kv_heads, num_pages, page_size, head_dim]` with
-  head_dim on the 128-lane axis — NOT the reference's CUDA 16-byte-LDG vectorized
-  `[blocks, heads, head_size//8, block_size, 8]` layout;
+- per-layer arrays `[num_kv_heads, num_pages, page_size, head_dim]` with
+  head_dim on the 128-lane axis — NOT the reference's CUDA 16-byte-LDG
+  vectorized `[blocks, heads, head_size//8, block_size, 8]` layout;
 - key and value share one layout (the reference needs two);
-- layer is a leading dim of single arrays, so one page table serves all layers;
+- the pool is a LIST of per-layer arrays rather than one stacked
+  `[layers, ...]` tensor: layer updates then swap a pytree leaf instead of a
+  dynamic-update-slice through a multi-hundred-MB array (XLA cannot always
+  elide that slice+writeback, and it costs a full layer copy per step);
+- one page table per sequence serves all layers (same page index in every
+  layer's array);
 - optional int8/fp8 payload with per-token fp32 scales stored alongside
   (the north-star quantized cache; the reference's fp8 machinery is
   `quantization/fp8/**` + `convert_fp8`).
 
-The pool is a pytree threaded through the jitted step functions with donation, so
-in-place scatter updates never copy it.
+The pool is a pytree threaded through the jitted step functions with donation,
+so in-place scatter updates never copy it.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,67 +35,95 @@ from ..config import CacheConfig, ModelConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVPool:
-    """All KV state for one model, all layers, all sequences."""
+    """All KV state for one model, all layers, all sequences.
 
-    k_pages: jax.Array  # [L, H_kv, P, page_size, head_dim] kv_dtype
-    v_pages: jax.Array
-    k_scales: Optional[jax.Array]  # [L, H_kv, P, page_size] f32 | None
-    v_scales: Optional[jax.Array]
+    Each list holds `num_layers` arrays of shape
+    [num_kv_heads, num_pages, page_size, head_dim] (scales: [..., page_size]).
+    """
+
+    k_pages: List[jax.Array]
+    v_pages: List[jax.Array]
+    k_scales: Optional[List[jax.Array]]
+    v_scales: Optional[List[jax.Array]]
 
     @property
     def num_layers(self) -> int:
-        return self.k_pages.shape[0]
+        return len(self.k_pages)
 
     @property
     def num_kv_heads(self) -> int:
-        return self.k_pages.shape[1]
+        return self.k_pages[0].shape[0]
 
     @property
     def num_pages(self) -> int:
-        return self.k_pages.shape[2]
+        return self.k_pages[0].shape[1]
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.k_pages[0].shape[2]
 
     @property
     def head_dim(self) -> int:
-        return self.k_pages.shape[4]
+        return self.k_pages[0].shape[3]
 
     @property
     def quantized(self) -> bool:
         return self.k_scales is not None
 
     def layer(self, i: int):
-        """(k_pages, v_pages, k_scales, v_scales) views for layer i."""
+        """(k_pages, v_pages, k_scales, v_scales) for layer i."""
         ks = self.k_scales[i] if self.k_scales is not None else None
         vs = self.v_scales[i] if self.v_scales is not None else None
         return self.k_pages[i], self.v_pages[i], ks, vs
 
+    def with_layer(self, i: int, k_pages, v_pages, k_scales=None,
+                   v_scales=None) -> "KVPool":
+        """Functional single-layer replacement (leaf swap, no array copy)."""
+        k_list = list(self.k_pages)
+        v_list = list(self.v_pages)
+        k_list[i], v_list[i] = k_pages, v_pages
+        ks_list, vs_list = self.k_scales, self.v_scales
+        if k_scales is not None:
+            ks_list = list(self.k_scales)
+            vs_list = list(self.v_scales)
+            ks_list[i], vs_list[i] = k_scales, v_scales
+        return KVPool(k_list, v_list, ks_list, vs_list)
+
     def bytes(self) -> int:
-        total = self.k_pages.nbytes + self.v_pages.nbytes
+        total = sum(x.nbytes for x in self.k_pages)
+        total += sum(x.nbytes for x in self.v_pages)
         if self.k_scales is not None:
-            total += self.k_scales.nbytes + self.v_scales.nbytes
+            total += sum(x.nbytes for x in self.k_scales)
+            total += sum(x.nbytes for x in self.v_scales)
         return total
 
 
 def create_kv_pool(model: ModelConfig, cache: CacheConfig,
                    sharding=None) -> KVPool:
-    """Allocate the zero-filled pool. ~`2 * L * H_kv * P * page_size * head_dim *
-    itemsize` bytes (the reference's ≈49 MB GPT-2 pool, `SURVEY.md` §3.1)."""
-    shape = (model.num_layers, model.kv_heads, cache.num_pages,
-             cache.page_size, cache.padded_head_dim(model.head_size))
+    """Allocate the zero-filled pool: ~`2 * L * H_kv * P * page_size *
+    padded_head_dim * itemsize` bytes (the reference's ≈49 MB GPT-2 pool,
+    `SURVEY.md` §3.1, lane padding included).
+
+    One extra physical page beyond `cache.num_pages` is allocated as the TRASH
+    page: padding/inactive writes land there unconditionally, which lets the
+    KV-write ops avoid `lax.cond` (a cond around a pool update forces XLA to
+    copy the whole pool). The allocator never hands it out; its index equals
+    the page-table padding sentinel (`cache.num_pages`)."""
+    shape = (model.kv_heads, cache.num_pages + 1, cache.page_size,
+             cache.padded_head_dim(model.head_size))
     dtype = cache.jnp_kv_dtype
+    L = model.num_layers
 
     def _zeros(shape, dtype):
+        x = jnp.zeros(shape, dtype)
         if sharding is not None:
-            return jax.device_put(jnp.zeros(shape, dtype), sharding)
-        return jnp.zeros(shape, dtype)
+            x = jax.device_put(x, sharding)
+        return x
 
-    k_pages = _zeros(shape, dtype)
-    v_pages = _zeros(shape, dtype)
+    k_pages = [_zeros(shape, dtype) for _ in range(L)]
+    v_pages = [_zeros(shape, dtype) for _ in range(L)]
     k_scales = v_scales = None
     if cache.quantized:
-        k_scales = _zeros(shape[:-1], jnp.float32)
-        v_scales = _zeros(shape[:-1], jnp.float32)
+        k_scales = [_zeros(shape[:-1], jnp.float32) for _ in range(L)]
+        v_scales = [_zeros(shape[:-1], jnp.float32) for _ in range(L)]
     return KVPool(k_pages, v_pages, k_scales, v_scales)

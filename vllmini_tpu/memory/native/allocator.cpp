@@ -1,0 +1,238 @@
+// Native page allocator for the paged KV cache.
+//
+// C++ twin of the Python PageAllocator in ../allocator.py (which is the
+// behavioral spec; the shared test suite runs against both). The reference
+// implements this layer in Python over CUDA tensors
+// (/root/reference/vllmini/kv_cache.py free list, block_manager.py tables);
+// here the runtime half is native: the scheduler calls into this on every
+// chunk (reserve/advance for every running slot) and at admission, so the
+// host-side cost stays flat as slot counts and pools grow to production sizes
+// (hundreds of slots x 100k+ pages, multi-host schedulers).
+//
+// Exposed via a C ABI consumed with ctypes (no pybind11 in this image).
+// Error codes: -1 = no page / none, -2 = out of pages, -3 = exceeds per-seq
+// max, -4 = unknown/duplicate sequence.
+
+#include <cstdint>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Seq {
+  std::vector<int32_t> pages;  // logical order
+  int64_t length = 0;          // committed tokens
+};
+
+struct Allocator {
+  int32_t num_pages;
+  int32_t page_size;
+  int32_t pages_per_seq_max;
+  std::vector<int32_t> free_list;   // back = next to hand out
+  std::vector<int32_t> refcount;
+  std::unordered_map<int64_t, Seq> seqs;
+
+  Allocator(int32_t np, int32_t ps, int32_t ppsm)
+      : num_pages(np), page_size(ps), pages_per_seq_max(ppsm),
+        refcount(np, 0) {
+    free_list.reserve(np);
+    for (int32_t i = np - 1; i >= 0; --i) free_list.push_back(i);
+  }
+
+  int64_t pages_needed(int64_t tokens) const {
+    return (tokens + page_size - 1) / page_size;
+  }
+
+  int32_t take_page() {
+    int32_t p = free_list.back();
+    free_list.pop_back();
+    refcount[p] = 1;
+    return p;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pa_create(int32_t num_pages, int32_t page_size,
+                int32_t pages_per_seq_max) {
+  return new Allocator(num_pages, page_size, pages_per_seq_max);
+}
+
+void pa_destroy(void* h) { delete static_cast<Allocator*>(h); }
+
+int32_t pa_num_free(void* h) {
+  return static_cast<int32_t>(static_cast<Allocator*>(h)->free_list.size());
+}
+
+int32_t pa_can_allocate(void* h, int64_t num_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  return a->pages_needed(num_tokens) <=
+         static_cast<int64_t>(a->free_list.size());
+}
+
+int32_t pa_has_seq(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  return a->seqs.count(seq_id) ? 1 : 0;
+}
+
+int64_t pa_seq_len(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  return it->second.length;
+}
+
+int32_t pa_num_seq_pages(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  return static_cast<int32_t>(it->second.pages.size());
+}
+
+// out_pages must hold pages_per_seq_max entries. Returns #pages or error.
+int32_t pa_allocate(void* h, int64_t seq_id, int64_t num_tokens,
+                    int32_t* out_pages) {
+  auto* a = static_cast<Allocator*>(h);
+  if (a->seqs.count(seq_id)) return -4;
+  int64_t tokens = num_tokens < 1 ? 1 : num_tokens;
+  int64_t n = a->pages_needed(tokens);
+  if (n > a->pages_per_seq_max) return -3;
+  if (n > static_cast<int64_t>(a->free_list.size())) return -2;
+  Seq s;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t p = a->take_page();
+    s.pages.push_back(p);
+    if (out_pages) out_pages[i] = p;
+  }
+  s.length = num_tokens;
+  a->seqs.emplace(seq_id, std::move(s));
+  return static_cast<int32_t>(n);
+}
+
+// Reserve page coverage for length+extra tokens. Returns #new pages or error.
+int32_t pa_reserve(void* h, int64_t seq_id, int64_t extra,
+                   int32_t* out_new_pages) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  Seq& s = it->second;
+  int64_t needed = a->pages_needed(s.length + extra);
+  if (needed > a->pages_per_seq_max) return -3;
+  int64_t missing = needed - static_cast<int64_t>(s.pages.size());
+  if (missing <= 0) return 0;
+  if (missing > static_cast<int64_t>(a->free_list.size())) return -2;
+  for (int64_t i = 0; i < missing; ++i) {
+    int32_t p = a->take_page();
+    s.pages.push_back(p);
+    if (out_new_pages) out_new_pages[i] = p;
+  }
+  return static_cast<int32_t>(missing);
+}
+
+int32_t pa_advance(void* h, int64_t seq_id, int64_t n_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  Seq& s = it->second;
+  int64_t new_len = s.length + n_tokens;
+  if (new_len > static_cast<int64_t>(s.pages.size()) * a->page_size)
+    return -3;
+  s.length = new_len;
+  return 0;
+}
+
+// Returns new page index, -1 if no new page needed, or error code.
+int32_t pa_append_token(void* h, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  Seq& s = it->second;
+  int32_t result = -1;
+  if (s.length == static_cast<int64_t>(s.pages.size()) * a->page_size) {
+    if (static_cast<int32_t>(s.pages.size()) >= a->pages_per_seq_max)
+      return -3;
+    if (a->free_list.empty()) return -2;
+    result = a->take_page();
+    s.pages.push_back(result);
+  }
+  s.length += 1;
+  return result;
+}
+
+// out_released must hold pages_per_seq_max entries. Returns #released.
+int32_t pa_free_seq(void* h, int64_t seq_id, int32_t* out_released) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  int32_t released = 0;
+  for (int32_t p : it->second.pages) {
+    if (--a->refcount[p] == 0) {
+      a->free_list.push_back(p);
+      if (out_released) out_released[released] = p;
+      ++released;
+    }
+  }
+  a->seqs.erase(it);
+  return released;
+}
+
+int32_t pa_fork(void* h, int64_t parent, int64_t child) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(parent);
+  if (it == a->seqs.end() || a->seqs.count(child)) return -4;
+  Seq c;
+  c.pages = it->second.pages;
+  c.length = it->second.length;
+  for (int32_t p : c.pages) ++a->refcount[p];
+  a->seqs.emplace(child, std::move(c));
+  return 0;
+}
+
+// src_dst[0]=src, src_dst[1]=dst on copy; returns 1 if COW happened, 0 if the
+// page was exclusive, or error.
+int32_t pa_cow_last(void* h, int64_t seq_id, int32_t* src_dst) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  Seq& s = it->second;
+  int32_t last = s.pages.back();
+  if (a->refcount[last] == 1) return 0;
+  if (a->free_list.empty()) return -2;
+  int32_t dst = a->take_page();
+  --a->refcount[last];
+  s.pages.back() = dst;
+  src_dst[0] = last;
+  src_dst[1] = dst;
+  return 1;
+}
+
+// Fill out[pages_per_seq_max] with page indices, padded with num_pages.
+int32_t pa_padded_table(void* h, int64_t seq_id, int32_t* out) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  const Seq& s = it->second;
+  int32_t i = 0;
+  for (; i < static_cast<int32_t>(s.pages.size()); ++i) out[i] = s.pages[i];
+  for (; i < a->pages_per_seq_max; ++i) out[i] = a->num_pages;
+  return static_cast<int32_t>(s.pages.size());
+}
+
+// Copy the seq's pages (logical order) into out, then drop the sequence.
+int32_t pa_release_for_swap(void* h, int64_t seq_id, int32_t* out_pages) {
+  auto* a = static_cast<Allocator*>(h);
+  auto it = a->seqs.find(seq_id);
+  if (it == a->seqs.end()) return -4;
+  int32_t n = static_cast<int32_t>(it->second.pages.size());
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t p = it->second.pages[i];
+    if (out_pages) out_pages[i] = p;
+    if (--a->refcount[p] == 0) a->free_list.push_back(p);
+  }
+  a->seqs.erase(it);
+  return n;
+}
+
+}  // extern "C"

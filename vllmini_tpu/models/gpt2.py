@@ -75,16 +75,7 @@ def init_params(config: ModelConfig, key: jax.Array) -> Params:
 
 def _update_pool_layer(pool: KVPool, i: int, k_pages, v_pages, k_scales,
                        v_scales) -> KVPool:
-    import dataclasses as _dc
-    return _dc.replace(
-        pool,
-        k_pages=pool.k_pages.at[i].set(k_pages),
-        v_pages=pool.v_pages.at[i].set(v_pages),
-        k_scales=(pool.k_scales.at[i].set(k_scales)
-                  if k_scales is not None else pool.k_scales),
-        v_scales=(pool.v_scales.at[i].set(v_scales)
-                  if v_scales is not None else pool.v_scales),
-    )
+    return pool.with_layer(i, k_pages, v_pages, k_scales, v_scales)
 
 
 def _split_qkv(qkv: jax.Array, num_heads: int, num_kv_heads: int,
@@ -116,8 +107,13 @@ def prefill_forward(
     *,
     interpret: bool = False,
     tp_axis: str | None = None,
+    return_all_logits: bool = False,
 ):
-    """Run one sequence's (padded) prompt; returns (last_token_logits, pool)."""
+    """Run one sequence's (padded) prompt; returns (logits, pool).
+
+    logits is the last token's [vocab] row, or [L_pad, vocab] when
+    `return_all_logits` (used by the PPL harness). `pool=None` skips KV cache
+    writes entirely (pure scoring mode)."""
     L_pad = token_ids.shape[0]
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
     positions = start_pos + jnp.arange(L_pad, dtype=jnp.int32)
@@ -131,14 +127,16 @@ def prefill_forward(
         qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
         q, k, v = _split_qkv(qkv, H, Hkv, d)
 
-        kp, vp, ks, vs = pool.layer(i)
-        out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
-                               start_pos=start_pos, k_scales=ks, v_scales=vs)
-        if pool.quantized:
-            kp, vp, ks, vs = out
-        else:
-            kp, vp = out
-        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+        if pool is not None:
+            kp, vp, ks, vs = pool.layer(i)
+            out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
+                                   start_pos=start_pos, k_scales=ks,
+                                   v_scales=vs)
+            if pool.quantized:
+                kp, vp, ks, vs = out
+            else:
+                kp, vp = out
+            pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
 
         attn = flash_attention_prefill(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
@@ -154,9 +152,12 @@ def prefill_forward(
 
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
                    config.layer_norm_eps)
-    last = x[seq_len - 1]
-    logits = jnp.dot(last, params["wte"].T,
-                     preferred_element_type=jnp.float32)
+    if return_all_logits:
+        logits = jnp.dot(x, params["wte"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(x[seq_len - 1], params["wte"].T,
+                         preferred_element_type=jnp.float32)
     return logits, pool
 
 
@@ -187,7 +188,8 @@ def decode_forward(
 
         kp, vp, ks, vs = pool.layer(i)
         out = write_kv_decode(kp, vp, k, v, positions, page_tables, active,
-                              k_scales=ks, v_scales=vs)
+                              k_scales=ks, v_scales=vs,
+                              interpret=interpret)
         if pool.quantized:
             kp, vp, ks, vs = out
         else:

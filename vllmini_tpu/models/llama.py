@@ -88,6 +88,7 @@ def prefill_forward(
     *,
     interpret: bool = False,
     tp_axis: str | None = None,
+    return_all_logits: bool = False,
 ):
     L_pad = token_ids.shape[0]
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
@@ -103,14 +104,16 @@ def prefill_forward(
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
-        kp, vp, ks, vs = pool.layer(i)
-        out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
-                               start_pos=start_pos, k_scales=ks, v_scales=vs)
-        if pool.quantized:
-            kp, vp, ks, vs = out
-        else:
-            kp, vp = out
-        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+        if pool is not None:
+            kp, vp, ks, vs = pool.layer(i)
+            out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
+                                   start_pos=start_pos, k_scales=ks,
+                                   v_scales=vs)
+            if pool.quantized:
+                kp, vp, ks, vs = out
+            else:
+                kp, vp = out
+            pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
 
         attn = flash_attention_prefill(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
@@ -121,6 +124,8 @@ def prefill_forward(
         x = x + maybe_psum(_mlp(block, h2), tp_axis)
 
     x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    if return_all_logits:
+        return _logits(params, x), pool
     return _logits(params, x[seq_len - 1]), pool
 
 
@@ -152,7 +157,8 @@ def decode_forward(
 
         kp, vp, ks, vs = pool.layer(i)
         out = write_kv_decode(kp, vp, k, v, positions, page_tables, active,
-                              k_scales=ks, v_scales=vs)
+                              k_scales=ks, v_scales=vs,
+                              interpret=interpret)
         if pool.quantized:
             kp, vp, ks, vs = out
         else:

@@ -20,10 +20,13 @@ buffers XLA performs them in place, so no copy of the multi-MB pool happens per 
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _pad_head(x: jax.Array, pages: jax.Array) -> jax.Array:
@@ -53,6 +56,93 @@ def _quantize_tokens(x: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
     return q.astype(dtype), scale.astype(jnp.float32)
 
 
+def _decode_write_kernel(
+    page_idx_ref, offset_ref,       # scalar prefetch [B] i32
+    k_new_ref, v_new_ref,           # VMEM [B, H, head_dim]
+    k_pages_any, v_pages_any,       # ANY (aliased with the outputs)
+    k_out, v_out,                   # ANY outputs (same memory)
+    k_buf, v_buf,                   # VMEM [B, H, page_size, head_dim]
+    sem,
+    *, batch: int,
+):
+    """Read-modify-write each slot's current page in one kernel launch.
+
+    Mosaic cannot DMA a single token row (sub-tile slice of the (page_size,
+    head_dim) tiled page), so each page is pulled whole into VMEM, the token's
+    row replaced with a vector select, and pushed back. 2 x batch strided DMAs
+    of ~heads*page_size*head_dim bytes each — one XLA op instead of a
+    per-sequence dynamic_update_slice chain (each XLA op costs ~85 us of launch
+    overhead on this backend; the chain dominated the whole decode step).
+    """
+    del k_pages_any, v_pages_any  # use the aliased output refs
+
+    def copies(direction_in: bool):
+        out = []
+        for b in range(batch):
+            page = page_idx_ref[b]
+            for pages, buf in ((k_out, k_buf), (v_out, v_buf)):
+                src = pages.at[:, page]
+                dst = buf.at[b]
+                if direction_in:
+                    out.append(pltpu.make_async_copy(src, dst, sem))
+                else:
+                    out.append(pltpu.make_async_copy(dst, src, sem))
+        return out
+
+    for c in copies(True):
+        c.start()
+    for c in copies(True):
+        c.wait()
+
+    page_size = k_buf.shape[2]
+    for b in range(batch):
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, page_size, 1), 1)
+        hit = row == offset_ref[b]
+        k_buf[b] = jnp.where(hit, k_new_ref[b][:, None, :], k_buf[b])
+        v_buf[b] = jnp.where(hit, v_new_ref[b][:, None, :], v_buf[b])
+
+    for c in copies(False):
+        c.start()
+    for c in copies(False):
+        c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_kv_decode_fused(k_pages, v_pages, k_new, v_new, page_idx, offset,
+                           *, interpret: bool = False):
+    batch = k_new.shape[0]
+    kernel = functools.partial(_decode_write_kernel, batch=batch)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)),
+            scratch_shapes=[
+                pltpu.VMEM((batch,) + k_pages.shape[0:1] + k_pages.shape[2:],
+                           k_pages.dtype),
+                pltpu.VMEM((batch,) + v_pages.shape[0:1] + v_pages.shape[2:],
+                           v_pages.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)),
+        # inputs (incl. 2 scalar-prefetch): page_idx, offset, k_new, v_new,
+        # k_pages (idx 4), v_pages (idx 5) -> alias pools onto the outputs.
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(page_idx, offset, k_new, v_new, k_pages, v_pages)
+
+
 def write_kv_decode(
     k_pages: jax.Array,        # [num_kv_heads, num_pages, page_size, head_dim]
     v_pages: jax.Array,
@@ -63,6 +153,7 @@ def write_kv_decode(
     active: jax.Array,         # [batch] bool — False rows are dropped
     k_scales: Optional[jax.Array] = None,  # [num_kv_heads, num_pages, page_size]
     v_scales: Optional[jax.Array] = None,
+    interpret: bool = False,
 ):
     """Scatter one new token per sequence into the paged KV pool.
 
@@ -77,28 +168,34 @@ def write_kv_decode(
     page_idx = jnp.take_along_axis(
         page_tables, logical_page[:, None], axis=1
     )[:, 0]
-    # Inactive rows -> OOB page index -> dropped by the scatter.
-    page_idx = jnp.where(active, page_idx, num_pages)
+    page_idx = jnp.clip(page_idx, 0, num_pages - 1)
 
     kv_dtype = k_pages.dtype
     if k_scales is not None:
         k_q, k_s = _quantize_tokens(k_new, kv_dtype)   # [b,h,d], [b,h]
         v_q, v_s = _quantize_tokens(v_new, kv_dtype)
-        k_scales = k_scales.at[:, page_idx, offset].set(
-            k_s.T, mode="drop")
-        v_scales = v_scales.at[:, page_idx, offset].set(
-            v_s.T, mode="drop")
         k_src, v_src = k_q, v_q
     else:
         k_src, v_src = k_new.astype(kv_dtype), v_new.astype(kv_dtype)
 
-    # [num_kv_heads, batch, head_dim] scattered at (:, page_idx[b], offset[b], :)
-    k_pages = k_pages.at[:, page_idx, offset, :].set(
-        k_src.transpose(1, 0, 2), mode="drop")
-    v_pages = v_pages.at[:, page_idx, offset, :].set(
-        v_src.transpose(1, 0, 2), mode="drop")
+    # Inactive slots write to the pool's dedicated TRASH page (the last
+    # physical page, see memory/kv_cache.py): every write becomes
+    # unconditional. (A lax.cond here forces XLA to copy the whole pool per
+    # iteration.)
+    trash = num_pages - 1
+    page_idx = jnp.where(active, page_idx, trash)
+
+    # Payload goes through the fused one-launch RMW kernel.
+    k_pages, v_pages = _write_kv_decode_fused(
+        k_pages, v_pages, k_src, v_src, page_idx.astype(jnp.int32),
+        offset.astype(jnp.int32), interpret=interpret)
 
     if k_scales is not None:
+        # Scale pools are below Mosaic's DMA tiling granularity; update them
+        # with one scatter per pool (small arrays). TODO(perf): pack per-token
+        # scales into the page's padding lanes to fold this into the kernel.
+        k_scales = k_scales.at[:, page_idx, offset].set(k_s.T)
+        v_scales = v_scales.at[:, page_idx, offset].set(v_s.T)
         return k_pages, v_pages, k_scales, v_scales
     return k_pages, v_pages
 
@@ -122,32 +219,65 @@ def write_kv_prefill(
     max_pages_per_seq * page_size lands in its own pages.
     """
     L = k_new.shape[0]
-    num_pages, page_size = k_pages.shape[1], k_pages.shape[2]
+    num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
     k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
-
-    positions = start_pos + jnp.arange(L, dtype=jnp.int32)
-    logical_page = positions // page_size
-    offset = positions % page_size
-    valid = jnp.arange(L) < seq_len
-    # Clamp the table lookup (logical_page may run past the table for padding),
-    # then invalidate padding rows via OOB.
-    logical_page = jnp.minimum(logical_page, page_table.shape[0] - 1)
-    page_idx = jnp.where(valid, page_table[logical_page], num_pages)
 
     kv_dtype = k_pages.dtype
     if k_scales is not None:
         k_q, k_s = _quantize_tokens(k_new, kv_dtype)   # [L,h,d],[L,h]
         v_q, v_s = _quantize_tokens(v_new, kv_dtype)
-        k_scales = k_scales.at[:, page_idx, offset].set(k_s.T, mode="drop")
-        v_scales = v_scales.at[:, page_idx, offset].set(v_s.T, mode="drop")
         k_src, v_src = k_q, v_q
     else:
         k_src, v_src = k_new.astype(kv_dtype), v_new.astype(kv_dtype)
+        k_s = v_s = None
 
-    k_pages = k_pages.at[:, page_idx, offset, :].set(
-        k_src.transpose(1, 0, 2), mode="drop")
-    v_pages = v_pages.at[:, page_idx, offset, :].set(
-        v_src.transpose(1, 0, 2), mode="drop")
+    # Prompt tokens fill logical pages contiguously from position 0, so the
+    # write is one whole-page dynamic_update_slice per page (all heads at
+    # once) — not a per-token scatter (XLA scatter serializes per element on
+    # TPU). Garbage in the tail of the last page is never read: attention
+    # masks positions >= seq_len, and decode overwrites its own slots later.
+    # (The engine always prefills whole prompts from position 0; a chunked
+    # prefill with start_pos % page_size != 0 would need a partial-first-page
+    # path.)
+    n_logical = page_table.shape[0]
+    L_pad = -(-L // page_size) * page_size
+
+    def pad_tokens(x):
+        return jnp.pad(x, ((0, L_pad - L),) + ((0, 0),) * (x.ndim - 1))
+
+    # [n_prompt_pages, H, page_size, d] / [n_prompt_pages, H, page_size]
+    k_pg = pad_tokens(k_src).reshape(-1, page_size, num_kv_heads,
+                                     head_dim).transpose(0, 2, 1, 3)
+    v_pg = pad_tokens(v_src).reshape(-1, page_size, num_kv_heads,
+                                     head_dim).transpose(0, 2, 1, 3)
+    if k_s is not None:
+        ks_pg = pad_tokens(k_s).reshape(-1, page_size,
+                                        num_kv_heads).transpose(0, 2, 1)
+        vs_pg = pad_tokens(v_s).reshape(-1, page_size,
+                                        num_kv_heads).transpose(0, 2, 1)
+    n_prompt_pages = k_pg.shape[0]
+
+    # No conditional: logical pages beyond the prompt map to the table's
+    # padding sentinel, which clips to the trash page (see decode path note on
+    # why lax.cond is poison here).
+    trash = num_pages - 1
+
+    def body(j, carry):
+        kp, vp, ks, vs = carry
+        page = jnp.clip(page_table[jnp.minimum(j, n_logical - 1)], 0, trash)
+        page = jnp.where((j * page_size) < seq_len, page, trash)
+        start = (0, page, 0, 0)
+        kp = jax.lax.dynamic_update_slice(kp, k_pg[j][:, None], start)
+        vp = jax.lax.dynamic_update_slice(vp, v_pg[j][:, None], start)
+        if ks is not None:
+            ks = jax.lax.dynamic_update_slice(ks, ks_pg[j][:, None],
+                                              start[:3])
+            vs = jax.lax.dynamic_update_slice(vs, vs_pg[j][:, None],
+                                              start[:3])
+        return kp, vp, ks, vs
+
+    k_pages, v_pages, k_scales, v_scales = jax.lax.fori_loop(
+        0, n_prompt_pages, body, (k_pages, v_pages, k_scales, v_scales))
 
     if k_scales is not None:
         return k_pages, v_pages, k_scales, v_scales

@@ -5,15 +5,19 @@ TPU-native equivalent of the reference's `paged_attention_v1` CUDA kernel
 one query token per sequence attends over a page-table-indirected KV cache. The CUDA
 design (warp-per-KV-block iteration, fp32 softmax in shared memory) maps to TPU as:
 
-- grid over (batch, kv_head); each step processes one sequence x one KV head,
-- the KV pool stays in HBM; pages are gathered by index via async DMA into a
-  double-buffered VMEM scratch (pages are non-contiguous, so one DMA per page,
-  all started concurrently),
-- online softmax (running max m, normalizer l, fp32 accumulator) over page blocks,
-  i.e. the flash-decoding structure of the reference's `paged_attention_v2`
-  (`attention_kernels.cu:534-669`) fused into a single kernel,
-- GQA: the q heads sharing a KV head are computed together as a [group, head_dim]
-  tile (the CUDA kernel's num_queries_per_kv, `attention_kernels.cu:152-153`),
+- grid over (batch,): each program handles one sequence, ALL kv heads at once —
+  a single strided DMA per page (`pool.at[:, page]`) gathers every head's slice
+  of that page, so DMA count per layer is `batch x pages`, not
+  `batch x heads x pages` (12x fewer descriptors than a head-per-program grid;
+  decode attention here is DMA-issue-bound, not FLOP-bound),
+- pages are double-buffered in VMEM; the non-contiguity across pages still
+  costs one DMA per page, all started concurrently,
+- online softmax (running max m, normalizer l, fp32 accumulator) over page
+  blocks — the flash-decoding structure of the reference's `paged_attention_v2`
+  (`attention_kernels.cu:534-669`) fused into one kernel — with all heads
+  advanced together as batched [H, group, *] tiles,
+- GQA: q heads sharing a KV head form the `group` dim (the CUDA kernel's
+  num_queries_per_kv, `attention_kernels.cu:152-153`),
 - optional int8/fp8 KV with per-token scales dequantized in-register; scales are
   pre-gathered OUTSIDE the kernel into dense per-sequence rows and streamed in as
   a normal VMEM operand (Mosaic cannot DMA-slice sub-128-lane scale pages), the
@@ -23,7 +27,8 @@ Hardware contract (enforced by the engine for native runs; interpret mode is lax
 - pool head_dim must be a multiple of 128 (pools for head_size<128 models are
   lane-padded; wrappers pad q / slice the output transparently),
 - page_size must be a multiple of the dtype's sublane tile (8 f32 / 16 bf16 /
-  32 int8|fp8), since each page is an individual DMA.
+  32 int8|fp8): the page's (page_size, head_dim) trailing dims are what each
+  strided DMA slices on, and Mosaic requires tile-aligned sliced memrefs.
 
 Layouts are TPU-first, not the reference's 16-byte LDG-vectorized key layout
 (`cache_kernels.cu:184-194`); see SURVEY.md §7.
@@ -43,21 +48,22 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 class _PageGatherCopy:
-    """Async-gather of `pages_per_block` non-contiguous KV pages into one VMEM slot.
+    """Async-gather of a compute block's non-contiguous KV pages into one VMEM
+    slot, ALL HEADS per page in a single strided DMA.
 
-    Pages live at arbitrary indices of the HBM pool, so a single strided DMA cannot
-    fetch a compute block; instead one DMA per page is issued and all are started
-    back-to-back (the DMA engine keeps them in flight concurrently).
+    `pages_hbm_ref.at[:, page]` is a strided slice (head stride = pool
+    pages*page_size*head_dim); the DMA engine walks it natively, so one
+    descriptor moves `num_kv_heads x page_size x head_dim` bytes.
     """
 
     def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref, seq_idx,
-                 head_idx, block_idx, slot, pages_per_block):
+                 block_idx, slot, pages_per_block):
         self._copies = []
         for j in range(pages_per_block):
             page_idx = page_tables_ref[seq_idx, block_idx * pages_per_block + j]
             self._copies.append(
                 pltpu.make_async_copy(
-                    pages_hbm_ref.at[head_idx, page_idx],
+                    pages_hbm_ref.at[:, page_idx],  # [H, page_size, head_dim]
                     vmem_buf.at[slot, j],
                     sem,
                 )
@@ -77,15 +83,15 @@ def _paged_attention_kernel(
     seq_lens_ref,      # [batch] int32 (length INCLUDES the current token)
     page_tables_ref,   # [batch, pages_per_seq_max] int32 (clamped in range)
     # inputs
-    q_ref,             # [1, 1, group, head_dim] VMEM
+    q_ref,             # [1, num_kv_heads, group, head_dim] VMEM
     k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size, head_dim] HBM/ANY
     v_pages_hbm_ref,
-    k_scale_rows_ref,  # [1, 1, ctx_pad] f32 VMEM or None (dense per-seq scales)
+    k_scale_rows_ref,  # [1, num_kv_heads, ctx_pad] f32 VMEM or None
     v_scale_rows_ref,
     # outputs
-    o_ref,             # [1, 1, group, head_dim] VMEM
+    o_ref,             # [1, num_kv_heads, group, head_dim] VMEM
     # scratch
-    k_buf, v_buf,      # [2, pages_per_block, page_size, head_dim] VMEM
+    k_buf, v_buf,      # [2, pages_per_block, num_kv_heads, page_size, head_dim]
     k_sem, v_sem,
     *,
     pages_per_block: int,
@@ -94,9 +100,9 @@ def _paged_attention_kernel(
     mask_value: float,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     seq_len = seq_lens_ref[b]
-    group, head_dim = q_ref.shape[2], q_ref.shape[3]
+    num_kv_heads, group, head_dim = (
+        q_ref.shape[1], q_ref.shape[2], q_ref.shape[3])
     block_tokens = pages_per_block * page_size
     quantized = k_scale_rows_ref is not None
 
@@ -104,15 +110,15 @@ def _paged_attention_kernel(
 
     def start_block(block_idx, slot):
         _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
-                        b, h, block_idx, slot, pages_per_block).start()
+                        b, block_idx, slot, pages_per_block).start()
         _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
-                        b, h, block_idx, slot, pages_per_block).start()
+                        b, block_idx, slot, pages_per_block).start()
 
     def wait_block(block_idx, slot):
         _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
-                        b, h, block_idx, slot, pages_per_block).wait()
+                        b, block_idx, slot, pages_per_block).wait()
         _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
-                        b, h, block_idx, slot, pages_per_block).wait()
+                        b, block_idx, slot, pages_per_block).wait()
 
     @pl.when(seq_len == 0)
     def _():
@@ -123,7 +129,16 @@ def _paged_attention_kernel(
     def _():
         start_block(0, 0)
 
-        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [group, head_dim]
+        # [H, group, head_dim] fp32
+        q = q_ref[0].astype(jnp.float32) * sm_scale
+
+        def load_kv(buf, slot):
+            # [ppb, H, ps, d] -> [H, ppb*ps, d] (leading-dim shuffle only; no
+            # lane/sublane relayout).
+            x = buf[slot]
+            x = jnp.transpose(x, (1, 0, 2, 3))
+            return x.reshape(num_kv_heads, block_tokens, head_dim).astype(
+                jnp.float32)
 
         def body(i, carry):
             m_prev, l_prev, acc_prev = carry
@@ -136,51 +151,51 @@ def _paged_attention_kernel(
             wait_block(i, slot)
 
             tok0 = pl.multiple_of(i * block_tokens, block_tokens)
-            k = k_buf[slot].reshape(block_tokens, head_dim).astype(jnp.float32)
+            k = load_kv(k_buf, slot)  # [H, bt, d]
             if quantized:
-                ks = k_scale_rows_ref[0, 0, pl.ds(tok0, block_tokens)]
-                k = k * ks.reshape(block_tokens, 1)
+                ks = k_scale_rows_ref[0, :, pl.ds(tok0, block_tokens)]
+                k = k * ks[:, :, None]
 
-            # [group, block_tokens] scores, fp32 accumulation on the MXU.
+            # Batched over heads on the MXU: [H, g, d] x [H, bt, d] -> [H, g, bt]
             s = jax.lax.dot_general(
                 q, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
 
-            # Mask positions beyond the sequence length.
             token_pos = (
                 i * block_tokens
-                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             )
             s = jnp.where(token_pos < seq_len, s, mask_value)
 
-            m_cur = jnp.max(s, axis=-1, keepdims=True)          # [group, 1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)          # [H, g, 1]
             m_next = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)                             # [group, bt]
+            p = jnp.exp(s - m_next)                             # [H, g, bt]
             l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-            v = v_buf[slot].reshape(block_tokens, head_dim).astype(jnp.float32)
+            v = load_kv(v_buf, slot)  # [H, bt, d]
             if quantized:
-                vs = v_scale_rows_ref[0, 0, pl.ds(tok0, block_tokens)]
-                v = v * vs.reshape(block_tokens, 1)
+                vs = v_scale_rows_ref[0, :, pl.ds(tok0, block_tokens)]
+                v = v * vs[:, :, None]
 
+            # [H, g, bt] x [H, bt, d] -> [H, g, d]
             o_cur = jax.lax.dot_general(
                 p, v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             acc_next = alpha * acc_prev + o_cur
             return m_next, l_next, acc_next
 
-        m0 = jnp.full((group, 1), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((group, 1), jnp.float32)
-        acc0 = jnp.zeros((group, head_dim), jnp.float32)
+        m0 = jnp.full((num_kv_heads, group, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((num_kv_heads, group, 1), jnp.float32)
+        acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
         _, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
 
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
@@ -246,7 +261,7 @@ def paged_attention(
     if quantized:
         assert v_scales is not None
 
-    grid = (batch, num_kv_heads)
+    grid = (batch,)
     kernel = functools.partial(
         _paged_attention_kernel,
         pages_per_block=pages_per_compute_block,
@@ -267,7 +282,8 @@ def paged_attention(
                    None, None, o_ref, kb, vb, ks, vs)
 
     in_specs = [
-        pl.BlockSpec((1, 1, group, head_dim), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, num_kv_heads, group, head_dim),
+                     lambda b, *_: (b, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),  # k_pages stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # v_pages
     ]
@@ -284,16 +300,16 @@ def paged_attention(
             ).astype(jnp.float32)
         ctx_pad = pages_per_seq * page_size
         in_specs += [
-            pl.BlockSpec((1, 1, ctx_pad), lambda b, h, *_: (b, h, 0)),
-            pl.BlockSpec((1, 1, ctx_pad), lambda b, h, *_: (b, h, 0)),
+            pl.BlockSpec((1, num_kv_heads, ctx_pad), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, ctx_pad), lambda b, *_: (b, 0, 0)),
         ]
         inputs += [rows(k_scales), rows(v_scales)]
 
     scratch_shapes = [
-        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim),
-                   k_pages.dtype),
-        pltpu.VMEM((2, pages_per_compute_block, page_size, head_dim),
-                   v_pages.dtype),
+        pltpu.VMEM((2, pages_per_compute_block, num_kv_heads, page_size,
+                    head_dim), k_pages.dtype),
+        pltpu.VMEM((2, pages_per_compute_block, num_kv_heads, page_size,
+                    head_dim), v_pages.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
@@ -305,7 +321,7 @@ def paged_attention(
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, group, head_dim), lambda b, h, *_: (b, h, 0, 0)
+                (1, num_kv_heads, group, head_dim), lambda b, *_: (b, 0, 0, 0)
             ),
             scratch_shapes=scratch_shapes,
         ),
@@ -313,7 +329,7 @@ def paged_attention(
             (batch, num_kv_heads, group, head_dim), q.dtype
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(seq_lens.astype(jnp.int32), page_tables, *inputs)

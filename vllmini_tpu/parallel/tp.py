@@ -166,24 +166,25 @@ def param_specs(params) -> Any:
                                   is_leaf=lambda x: x is None)
 
 
-def pool_pspec(quantized: bool) -> KVPool:
-    """Pool dims [layers, kv_heads, pages, page_size, head_dim]: kv_heads on
-    MODEL (head-sharded KV), pages on DATA (per-replica pools)."""
-    arr = P(None, MODEL_AXIS, DATA_AXIS, None, None)
-    sc = P(None, MODEL_AXIS, DATA_AXIS, None) if quantized else None
-    return KVPool(k_pages=arr, v_pages=arr, k_scales=sc, v_scales=sc)
+def pool_pspec(num_layers: int, quantized: bool) -> KVPool:
+    """Per-layer pool arrays [kv_heads, pages, page_size, head_dim]: kv_heads
+    on MODEL (head-sharded KV), pages on DATA (per-replica pools)."""
+    arr = [P(MODEL_AXIS, DATA_AXIS, None, None)] * num_layers
+    sc = ([P(MODEL_AXIS, DATA_AXIS, None)] * num_layers if quantized
+          else None)
+    return KVPool(k_pages=arr, v_pages=list(arr), k_scales=sc,
+                  v_scales=list(sc) if sc else None)
 
 
 def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
-    spec = P(None, MODEL_AXIS, DATA_AXIS, None, None)
-    s = NamedSharding(mesh, spec)
-    ss = NamedSharding(mesh, P(None, MODEL_AXIS, DATA_AXIS, None))
+    s = NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS, None, None))
+    ss = NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS, None))
     return KVPool(
-        k_pages=jax.device_put(pool.k_pages, s),
-        v_pages=jax.device_put(pool.v_pages, s),
-        k_scales=(jax.device_put(pool.k_scales, ss)
+        k_pages=[jax.device_put(x, s) for x in pool.k_pages],
+        v_pages=[jax.device_put(x, s) for x in pool.v_pages],
+        k_scales=([jax.device_put(x, ss) for x in pool.k_scales]
                   if pool.k_scales is not None else None),
-        v_scales=(jax.device_put(pool.v_scales, ss)
+        v_scales=([jax.device_put(x, ss) for x in pool.v_scales]
                   if pool.v_scales is not None else None),
     )
 
@@ -200,7 +201,7 @@ def make_tp_decode_fn(family, config: ModelConfig, mesh: Mesh, params,
     tp = mesh.shape[MODEL_AXIS]
     local_cfg = local_model_config(config, tp)
     p_specs = param_specs(params)
-    pool_specs = pool_pspec(quantized=quantized_pool)
+    pool_specs = pool_pspec(config.num_layers, quantized=quantized_pool)
 
     data = P(DATA_AXIS)
     in_specs = (p_specs, pool_specs, data, data, data,
