@@ -46,13 +46,19 @@ def main():
     from vllmini_tpu.engine.engine import LLMEngine
     from vllmini_tpu.engine.scheduler import Scheduler
 
+    import os
+
     on_tpu = jax.default_backend() == "tpu"
-    slots = 8
+    slots = int(os.environ.get("VLLMINI_BENCH_SLOTS", "8"))
+    chunk = int(os.environ.get("VLLMINI_BENCH_CHUNK", "16"))
+    depth = int(os.environ.get("VLLMINI_BENCH_DEPTH", "4"))
     config = EngineConfig(
         model=ModelConfig.gpt2_124m(dtype="bfloat16" if on_tpu else "float32"),
-        cache=CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=32,
+        cache=CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=64,
                           kv_dtype="bfloat16" if on_tpu else "float32"),
         scheduler=SchedulerConfig(max_decode_slots=slots,
+                                  decode_chunk_steps=chunk,
+                                  pipeline_depth=depth,
                                   prefill_buckets=(64, 128, 256)),
         hf_model=None,
     )
@@ -61,26 +67,22 @@ def main():
 
     rng = np.random.default_rng(0)
     prompt_len = 64
-    chunk = config.scheduler.decode_chunk_steps
-    warm_chunks, bench_chunks = 4, 16
-    max_new = (warm_chunks + bench_chunks + 8) * chunk
+    warm_chunks, bench_chunks = 6, 16
+    max_new = (warm_chunks + bench_chunks + 16) * chunk
 
     def total_generated():
         return sum(len(s.output_ids) for s in sched.sequences.values())
 
-    # Admit `slots` concurrent greedy requests; measure TTFT per prefill.
-    ttfts = []
+    # Admit `slots` concurrent greedy requests (compiles prefill + chunk fns).
     for i in range(slots):
         prompt = rng.integers(0, config.model.vocab_size,
                               prompt_len).tolist()
         sched.add_request(prompt, SamplingParams(max_new_tokens=max_new,
                                                  greedy=True))
     while sched.num_running < slots:
-        t0 = time.perf_counter()
         sched.step()
-        ttfts.append(time.perf_counter() - t0)
 
-    # Warm up (ensures the chunk fn is compiled and steady).
+    # Warm up (ensures the chunk fn is compiled and the pipeline is primed).
     for _ in range(warm_chunks):
         sched.step()
 
@@ -91,6 +93,22 @@ def main():
     elapsed = time.perf_counter() - t0
     tokens = total_generated() - n0
     bench_steps = bench_chunks * chunk
+
+    # Steady-state TTFT: drop one request, time until its first token is
+    # visible to the client (includes prefill + pipeline lag). Requires a free
+    # slot: finish one sequence first.
+    victim = next(s for s in sched.sequences.values() if s.slot is not None)
+    sched.abort(victim.seq_id)
+    ttfts = []
+    for _ in range(3):
+        t0t = time.perf_counter()
+        prompt = rng.integers(0, config.model.vocab_size, prompt_len).tolist()
+        rid = sched.add_request(
+            prompt, SamplingParams(max_new_tokens=max_new, greedy=True))
+        while not sched.get(rid).output_ids:
+            sched.step()
+        ttfts.append(time.perf_counter() - t0t)
+        sched.abort(rid)
 
     tok_s = tokens / elapsed
 
@@ -112,7 +130,8 @@ def main():
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / roofline_tok_s, 4),
-        "config": "gpt2-124m bf16, paged KV bf16, batch=8, ctx~200",
+        "config": (f"gpt2-124m bf16, paged KV bf16, batch={slots}, "
+                   f"ctx~{ctx}, chunk={chunk}, depth={depth}"),
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
         "ttft_p50_ms": round(1e3 * float(np.median(ttfts)), 2),

@@ -189,6 +189,13 @@ class SchedulerConfig:
     # through a tunneled TPU) at the price of up to K-1 wasted steps after a
     # mid-chunk EOS and K-step admission latency for queued requests.
     decode_chunk_steps: int = 16
+    # Decode chunks in flight before the scheduler blocks on a summary fetch.
+    # Depth 2 hides the host<->device round trip behind device compute (the
+    # fetch at tick t reads chunk t-1's state while chunk t runs); depth 1
+    # restores strictly synchronous dispatch-then-fetch ticks. The cost of
+    # depth d: finish/admission decisions lag d-1 chunks and page headroom is
+    # reserved for d chunks.
+    pipeline_depth: int = 2
     # Preemption: when the page pool is exhausted mid-decode, evict the
     # most-recently-admitted sequence (the reference's OOM policy,
     # `vllmini/scheduler.py:117-130`) and either swap its pages to host or requeue.

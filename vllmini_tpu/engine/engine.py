@@ -13,6 +13,13 @@ and for high-latency host<->device links:
 - Decode runs in jitted CHUNKS of K steps (`lax.scan` over the full forward +
   sampling + state commit); the host syncs once per chunk: reserve KV page
   headroom, dispatch, fetch a tiny state summary.
+- Chunks PIPELINE: only the multi-MB pool is donated; the small decode-state
+  pytree is copied by XLA each chunk (~20 KB), so every chunk's post-state
+  remains a readable snapshot. The scheduler dispatches chunk k+1 before
+  fetching chunk k's summary, hiding the (tunneled, ~25 ms) host<->device
+  round trip behind device compute; `decode_chunk` starts an async
+  device->host copy of the snapshot at dispatch so the lagged fetch finds the
+  bytes already on the host.
 - Prefill + first-token sampling + slot insertion are one jitted call — no
   readback on admission.
 - The KV pool and decode state are donated through every call (in-place, no
@@ -69,8 +76,7 @@ class DecodeState:
 
 
 def make_decode_state(batch: int, out_cap: int) -> DecodeState:
-    # Each field gets its OWN buffer: the state is donated through every jitted
-    # call, and XLA rejects donating one buffer twice.
+    # Each field gets its OWN buffer (no shared aliasing surprises).
     def z():
         return jnp.zeros(batch, jnp.int32)
 
@@ -162,10 +168,13 @@ class LLMEngine:
             buckets.append(self.max_context)
         self.prefill_buckets = buckets
 
-        self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1, 2),
+        # Donate ONLY the pool: the small DecodeState must stay readable as a
+        # per-chunk snapshot after later chunks are dispatched (pipelining).
+        self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1,),
                                  static_argnames=("steps",))
-        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1, 2),
-                                   static_argnames=("slot",))
+        # `slot` is a traced scalar: one compile per prompt bucket, not per
+        # bucket x slot (which made first-token latency scale with slot count).
+        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
 
     # ------------------------------------------------------------------ device
 
@@ -220,7 +229,7 @@ class LLMEngine:
 
     def _prefill_impl(self, params, pool, state: DecodeState, token_ids,
                       seq_len, page_table, rng, temp, top_k, top_p, max_new,
-                      stop_tokens, total_cap, *, slot: int):
+                      stop_tokens, total_cap, slot):
         logits, pool = self.family.prefill_forward(
             params, self.config.model, pool, token_ids, seq_len, page_table,
             interpret=self.interpret)
@@ -292,15 +301,22 @@ class LLMEngine:
             jnp.float32(0.0 if s.greedy else s.temperature),
             jnp.int32(s.top_k), jnp.float32(s.top_p),
             jnp.int32(remaining), jnp.asarray(stops),
-            jnp.int32(total_cap), slot=slot)
+            jnp.int32(total_cap), jnp.int32(slot))
         seq.tokens_in_kv = L
         seq.slot = slot
         self.metrics.counter("prefill_tokens", L)
 
     # ------------------------------------------------------------------ decode
 
-    def decode_chunk(self, step_budget: np.ndarray) -> None:
-        """Dispatch one K-step decode chunk (async; no sync)."""
+    def decode_chunk(self, step_budget: np.ndarray) -> DecodeState:
+        """Dispatch one K-step decode chunk (async; no device sync).
+
+        Returns the post-chunk DecodeState snapshot: because only the pool is
+        donated, the snapshot's buffers remain valid after LATER chunks are
+        dispatched, so the scheduler can fetch its summary with a pipeline
+        lag. An async device->host copy of the summary fields is started here
+        so the lagged fetch usually finds the bytes already transferred.
+        """
         if self._tables_dirty or self._tables_dev is None:
             self._tables_dev = jnp.asarray(self._tables_host)
             self._tables_dirty = False
@@ -308,11 +324,22 @@ class LLMEngine:
             self.params, self.pool, self.state, self._tables_dev,
             jnp.asarray(step_budget.astype(np.int32)), self._next_rng(),
             steps=self.chunk_steps)
+        snapshot = self.state
+        for arr in (snapshot.tokens_in_kv, snapshot.active,
+                    snapshot.out_count, snapshot.out_buf,
+                    snapshot.last_token):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # interpret/CPU arrays
+                break
         self.metrics.counter("decode_chunks", 1)
+        return snapshot
 
-    def fetch_summary(self) -> StateSummary:
-        """ONE host<->device sync: read the small state arrays."""
-        st = self.state
+    def fetch_summary(self, snapshot: Optional[DecodeState] = None
+                      ) -> StateSummary:
+        """ONE host<->device sync: read a chunk snapshot's small state arrays
+        (defaults to the latest state)."""
+        st = self.state if snapshot is None else snapshot
         tk, ac, oc, ob, lt = jax.device_get(
             (st.tokens_in_kv, st.active, st.out_count, st.out_buf,
              st.last_token))

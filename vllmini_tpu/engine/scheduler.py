@@ -8,6 +8,12 @@ batching with one host sync per K-token chunk:
 
 - a fixed set of decode slots advances every tick in ONE jitted K-step chunk
   (all per-token state lives on device; see engine.py);
+- chunks PIPELINE: tick t dispatches chunk t, then blocks only on the summary
+  of chunk t-(depth-1). Through a tunneled TPU a host<->device round trip
+  costs ~25 ms — serializing dispatch+fetch caps the engine at ~40% of device
+  throughput; with the lagged fetch the round trip hides behind device
+  compute (~3x measured). The price: finish/admission decisions lag by
+  depth-1 chunks, and page headroom must cover all in-flight chunks;
 - new requests are admitted into free slots on chunk boundaries (prefill+insert
   is a single device call, no readback);
 - page headroom for the whole chunk is reserved up front; on pool exhaustion the
@@ -22,6 +28,7 @@ Per-request `max_new_tokens` is honored (the reference accepts it then ignores i
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from collections import deque
 from typing import Deque, Dict, List, Optional
@@ -30,10 +37,19 @@ import numpy as np
 
 from ..config import EngineConfig, SamplingParams
 from ..memory.allocator import OutOfPages
-from .engine import LLMEngine
+from .engine import DecodeState, LLMEngine
 from .sequence import FinishReason, Sequence, SequenceState
 
 logger = logging.getLogger("vllmini_tpu.scheduler")
+
+
+@dataclasses.dataclass
+class _InFlightChunk:
+    """A dispatched-but-not-yet-summarized decode chunk."""
+
+    snapshot: DecodeState          # post-chunk device state (not donated)
+    mapping: Dict[int, int]        # slot -> seq_id of RUNNING seqs at dispatch
+    budgets: np.ndarray            # [slots] int32 step budget given the chunk
 
 
 class Scheduler:
@@ -44,6 +60,9 @@ class Scheduler:
         self.swapped: Deque[Sequence] = deque()
         self.slots: List[Optional[Sequence]] = [None] * engine.max_slots
         self.sequences: Dict[int, Sequence] = {}
+        self.inflight: Deque[_InFlightChunk] = deque()
+        self.pipeline_depth = max(
+            1, getattr(engine.config.scheduler, "pipeline_depth", 2))
         self._admission_counter = 0
         self._max_total_tokens = engine.max_context
 
@@ -84,6 +103,7 @@ class Scheduler:
     @property
     def has_work(self) -> bool:
         return (bool(self.waiting) or bool(self.swapped)
+                or bool(self.inflight)
                 or any(s is not None for s in self.slots))
 
     @property
@@ -159,14 +179,60 @@ class Scheduler:
         self.engine.metrics.counter("preemptions", 1)
         return True
 
+    # --------------------------------------------------- pipelined summaries
+
+    def _pending_budget(self, seq: Sequence) -> int:
+        """Decode steps the in-flight chunks may still add to `seq` beyond the
+        host's last-synced view (page reservations must cover them)."""
+        return int(sum(int(e.budgets[seq.slot])
+                       for e in self.inflight
+                       if seq.slot is not None
+                       and e.mapping.get(seq.slot) == seq.seq_id))
+
+    def _process_oldest(self) -> List[Sequence]:
+        """Fetch and apply the oldest in-flight chunk's summary (blocking)."""
+        entry = self.inflight.popleft()
+        summary = self.engine.fetch_summary(entry.snapshot)
+        finished: List[Sequence] = []
+        for slot, seq_id in entry.mapping.items():
+            seq = self.sequences.get(seq_id)
+            # Skip slots whose occupant changed since dispatch (finished /
+            # aborted / preempted seqs; the slot may even host a new seq whose
+            # state this old snapshot predates).
+            if seq is None or seq.is_finished or seq.slot != slot:
+                continue
+            delta = int(summary.tokens_in_kv[slot]) - seq.tokens_in_kv
+            if delta > 0:
+                self.engine.allocator.advance(seq.seq_id, delta)
+            seq.tokens_in_kv = int(summary.tokens_in_kv[slot])
+            n_out = int(summary.out_count[slot])
+            seq.output_ids = [int(t) for t in summary.out_buf[slot, :n_out]]
+            seq.last_token = int(summary.last_token[slot])
+            if not bool(summary.active[slot]):
+                finished.append(seq)
+                self._finish(seq, self._infer_reason(seq))
+        return finished
+
+    def _drain_pipeline(self) -> List[Sequence]:
+        finished: List[Sequence] = []
+        while self.inflight:
+            finished.extend(self._process_oldest())
+        return finished
+
     # -------------------------------------------------------------------- step
 
     def step(self) -> List[Sequence]:
-        """One engine tick: admit, run ONE K-step decode chunk, sync state.
+        """One engine tick: sync the lagged chunk summary, admit, dispatch the
+        next K-step decode chunk (without waiting for it).
 
-        Returns sequences that finished during this tick.
+        Returns sequences observed finished during this tick (their finish
+        happened up to `pipeline_depth-1` chunks ago on device).
         """
         finished: List[Sequence] = []
+
+        # 0. Apply the oldest in-flight summary once the pipeline is full.
+        if len(self.inflight) >= self.pipeline_depth:
+            finished.extend(self._process_oldest())
 
         # 1. Re-admit swapped sequences first (they hold partial results).
         while self.swapped:
@@ -195,21 +261,38 @@ class Scheduler:
                 seq.slot = None
                 break
 
-        # 3. Reserve page headroom for the chunk; preempt on exhaustion.
+        # 3. Reserve page headroom for the chunk about to be dispatched PLUS
+        #    everything still in flight; preempt on exhaustion.
         budget = np.zeros(self.engine.max_slots, np.int32)
+        mapping: Dict[int, int] = {}
         for seq in list(self.slots):
             if seq is None or seq.state != SequenceState.RUNNING:
                 continue
+            dispatch_slot = seq.slot
+            mapping[dispatch_slot] = seq.seq_id
+            pending = self._pending_budget(seq)
+            upper = seq.tokens_in_kv + pending  # device-visible upper bound
             want = min(self.engine.chunk_steps,
-                       self._max_total_tokens - seq.tokens_in_kv)
+                       self._max_total_tokens - upper)
             if want <= 0:
                 continue  # device will have flagged hit_cap already
             while True:
                 try:
-                    self.engine.allocator.reserve(seq.seq_id, want)
+                    self.engine.allocator.reserve(seq.seq_id, pending + want)
                     budget[seq.slot] = want
                     break
                 except OutOfPages:
+                    if self.inflight:
+                        # Stale host view may be hoarding reservations:
+                        # sync before resorting to preemption.
+                        finished.extend(self._drain_pipeline())
+                        pending = 0
+                        upper = seq.tokens_in_kv
+                        want = min(self.engine.chunk_steps,
+                                   self._max_total_tokens - upper)
+                        if seq.is_finished or want <= 0:
+                            break
+                        continue
                     if not self._preempt_newest(exclude=seq):
                         logger.error(
                             "seq %d: page pool exhausted with no preemption "
@@ -221,39 +304,32 @@ class Scheduler:
                     # Needs more pages than pages_per_seq_max allows: cap the
                     # budget at what fits.
                     fit = (self.engine.pages_per_seq_max
-                           * self.config.cache.page_size - seq.tokens_in_kv)
+                           * self.config.cache.page_size - upper)
                     if fit > 0:
-                        self.engine.allocator.reserve(seq.seq_id, fit)
+                        self.engine.allocator.reserve(seq.seq_id,
+                                                      pending + fit)
                         budget[seq.slot] = fit
                     break
-            if seq.is_finished:
+            if seq.is_finished or seq.slot is None:
+                mapping.pop(dispatch_slot, None)
                 continue
             # New pages may have extended the table: refresh the device copy.
-            if seq.slot is not None:
-                table = self.engine.allocator.padded_table(seq.seq_id)
-                if not np.array_equal(table,
-                                      self.engine._tables_host[seq.slot]):
-                    self.engine._tables_host[seq.slot] = table
-                    self.engine._tables_dirty = True
+            table = self.engine.allocator.padded_table(seq.seq_id)
+            if not np.array_equal(table,
+                                  self.engine._tables_host[seq.slot]):
+                self.engine._tables_host[seq.slot] = table
+                self.engine._tables_dirty = True
 
-        # 4. Dispatch the chunk and sync.
+        # 4. Dispatch the chunk (no sync; its summary is fetched
+        #    pipeline_depth-1 ticks later).
         if any(s is not None for s in self.slots):
-            self.engine.decode_chunk(budget)
-            summary = self.engine.fetch_summary()
-            for slot, seq in enumerate(list(self.slots)):
-                if seq is None:
-                    continue
-                delta = int(summary.tokens_in_kv[slot]) - seq.tokens_in_kv
-                if delta > 0:
-                    self.engine.allocator.advance(seq.seq_id, delta)
-                seq.tokens_in_kv = int(summary.tokens_in_kv[slot])
-                n_out = int(summary.out_count[slot])
-                seq.output_ids = [int(t) for t in
-                                  summary.out_buf[slot, :n_out]]
-                seq.last_token = int(summary.last_token[slot])
-                if not bool(summary.active[slot]):
-                    finished.append(seq)
-                    self._finish(seq, self._infer_reason(seq))
+            snapshot = self.engine.decode_chunk(budget)
+            self.inflight.append(
+                _InFlightChunk(snapshot=snapshot, mapping=mapping,
+                               budgets=budget))
+        elif self.inflight:
+            # Nothing running to dispatch: drain the tail of the pipeline.
+            finished.extend(self._process_oldest())
         return finished
 
     def _infer_reason(self, seq: Sequence) -> FinishReason:
