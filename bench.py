@@ -67,8 +67,9 @@ def main():
 
     rng = np.random.default_rng(0)
     prompt_len = 64
-    warm_chunks, bench_chunks = 6, 16
-    max_new = (warm_chunks + bench_chunks + 16) * chunk
+    # Sized so prompt + all decode steps stay under GPT-2's 1024-position cap.
+    warm_chunks, bench_chunks, windows = 6, 16, 3
+    max_new = (warm_chunks + windows * bench_chunks + 4) * chunk
 
     def total_generated():
         return sum(len(s.output_ids) for s in sched.sequences.values())
@@ -86,13 +87,18 @@ def main():
     for _ in range(warm_chunks):
         sched.step()
 
-    n0 = total_generated()
-    t0 = time.perf_counter()
-    for _ in range(bench_chunks):
-        sched.step()
-    elapsed = time.perf_counter() - t0
-    tokens = total_generated() - n0
-    bench_steps = bench_chunks * chunk
+    # Median of several measurement windows (the tunneled link is jittery).
+    rates, step_rates = [], []
+    for _ in range(windows):
+        n0 = total_generated()
+        t0 = time.perf_counter()
+        for _ in range(bench_chunks):
+            sched.step()
+        dt = time.perf_counter() - t0
+        rates.append((total_generated() - n0) / dt)
+        step_rates.append(bench_chunks * chunk / dt)
+    tok_s_med = float(np.median(rates))
+    steps_s_med = float(np.median(step_rates))
 
     # Steady-state TTFT: drop one request, time until its first token is
     # visible to the client (includes prefill + pipeline lag). Requires a free
@@ -110,15 +116,13 @@ def main():
         ttfts.append(time.perf_counter() - t0t)
         sched.abort(rid)
 
-    tok_s = tokens / elapsed
-
     # Roofline: every decode step streams all weights once; KV read per step is
     # ~2 * layers * kv_heads * ctx * head_dim_padded * itemsize per sequence.
     bw = device_hbm_gbps() * 1e9
     weight_bytes = count_param_bytes(engine.params)
     m = config.model
     kv_item = jnp.dtype(config.cache.jnp_kv_dtype).itemsize
-    ctx = prompt_len + chunk * (warm_chunks + bench_chunks // 2)
+    ctx = prompt_len + chunk * (warm_chunks + windows * bench_chunks // 2)
     kv_bytes = (2 * m.num_layers * m.kv_heads *
                 config.cache.padded_head_dim(m.head_size) * ctx * kv_item)
     step_bytes = weight_bytes + slots * kv_bytes
@@ -127,16 +131,16 @@ def main():
 
     result = {
         "metric": "decode_tokens_per_s_per_chip",
-        "value": round(tok_s, 1),
+        "value": round(tok_s_med, 1),
         "unit": "tokens/s",
-        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+        "vs_baseline": round(tok_s_med / roofline_tok_s, 4),
         "config": (f"gpt2-124m bf16, paged KV bf16, batch={slots}, "
                    f"ctx~{ctx}, chunk={chunk}, depth={depth}"),
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
         "ttft_p50_ms": round(1e3 * float(np.median(ttfts)), 2),
         "roofline_tokens_per_s": round(roofline_tok_s, 1),
-        "steps_per_s": round(bench_steps / elapsed, 2),
+        "steps_per_s": round(steps_s_med, 2),
         "chunk_steps": chunk,
     }
     print(json.dumps(result))

@@ -104,3 +104,91 @@ def test_bfloat16_io():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+def test_fused_write_matches_separate():
+    """paged_attention(k_new=, v_new=) == write_kv_decode then attention."""
+    from vllmini_tpu.ops.kv_write import write_kv_decode
+
+    key = jax.random.PRNGKey(4)
+    batch, heads, hd, psize, pps = 3, 4, 64, 16, 4
+    seq_lens = [37, 1, 49]  # includes a first-token (page start) case
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
+        num_pages=batch * pps + 3, page_size=psize, pages_per_seq=pps,
+        seq_lens=seq_lens)
+    k_new = jax.random.normal(jax.random.PRNGKey(5), (batch, heads, hd))
+    v_new = jax.random.normal(jax.random.PRNGKey(6), (batch, heads, hd))
+    positions = sl - 1
+    active = sl > 0
+
+    # Oracle: write first, then attend over the updated pool.
+    kp_ref, vp_ref = write_kv_decode(kp, vp, k_new, v_new, positions, pt,
+                                     active, interpret=True)
+    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
+
+    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt, k_new=k_new,
+                                          v_new=v_new, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # The pools must contain the written token rows (and nothing else changed).
+    np.testing.assert_allclose(np.asarray(kp_out), np.asarray(kp_ref),
+                               atol=0, rtol=0)
+    np.testing.assert_allclose(np.asarray(vp_out), np.asarray(vp_ref),
+                               atol=0, rtol=0)
+
+
+def test_fused_write_inactive_slot_untouched():
+    """seq_len == 0 slots must neither write KV nor produce attention."""
+    key = jax.random.PRNGKey(7)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
+        num_pages=11, page_size=16, pages_per_seq=4, seq_lens=[0, 33])
+    k_new = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 64))
+    v_new = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 64))
+    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt, k_new=k_new,
+                                          v_new=v_new, interpret=True)
+    assert np.all(np.asarray(out[0]) == 0.0)
+    # Slot 0's pages are untouched (compare pool outside slot 1's written row).
+    page1 = int(pt[1, 33 // 16])
+    mask = np.ones(kp.shape[1], bool)
+    mask[page1] = False
+    np.testing.assert_array_equal(np.asarray(kp_out)[:, mask],
+                                  np.asarray(kp)[:, mask])
+
+
+def test_fused_write_quantized():
+    from vllmini_tpu.ops.kv_write import quantize_decode_tokens
+
+    key = jax.random.PRNGKey(10)
+    batch, heads, hd, psize, pps = 2, 4, 64, 16, 4
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
+        num_pages=16, page_size=psize, pages_per_seq=pps, seq_lens=[40, 64])
+    # Full-precision oracle pool with the new token written densely.
+    k_new = jax.random.normal(jax.random.PRNGKey(11), (batch, heads, hd))
+    v_new = jax.random.normal(jax.random.PRNGKey(12), (batch, heads, hd))
+    positions = sl - 1
+    active = sl > 0
+
+    def quant(p):
+        amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+        return qv, scale[..., 0]
+
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    k_src, v_src, ks2, vs2 = quantize_decode_tokens(
+        k_new, v_new, positions, pt, active, ks, vs, jnp.int8)
+    out, kq_out, vq_out = paged_attention(
+        q, kq, vq, sl, pt, k_scales=ks2, v_scales=vs2,
+        k_new=k_src, v_new=v_src, interpret=True)
+
+    from vllmini_tpu.ops.kv_write import write_kv_decode
+    kp_ref, vp_ref = write_kv_decode(
+        kp.astype(jnp.float32), vp.astype(jnp.float32), k_new, v_new,
+        positions, pt, active, interpret=True)
+    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=6e-2, rtol=6e-2)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..memory.kv_cache import KVPool
 from ..ops.flash_attention import flash_attention_prefill
-from ..ops.kv_write import write_kv_decode, write_kv_prefill
+from ..ops.kv_write import quantize_decode_tokens, write_kv_prefill
 from ..ops.paged_attention import paged_attention
 from .common import layer_norm, linear, maybe_psum
 
@@ -187,19 +187,22 @@ def decode_forward(
         q, k, v = _split_qkv(qkv, H, Hkv, d)  # [B,H,d], [B,Hkv,d]
 
         kp, vp, ks, vs = pool.layer(i)
-        out = write_kv_decode(kp, vp, k, v, positions, page_tables, active,
-                              k_scales=ks, v_scales=vs,
-                              interpret=interpret)
+        # The current token's KV write is FUSED into the attention kernel
+        # (patched into the gathered page in VMEM, written back while the
+        # kernel computes) — one launch per layer instead of two. Quantized
+        # pools pre-quantize here and scatter the scales separately (they sit
+        # below Mosaic DMA granularity).
         if pool.quantized:
-            kp, vp, ks, vs = out
+            k_src, v_src, ks, vs = quantize_decode_tokens(
+                k, v, positions, page_tables, active, ks, vs, kp.dtype)
         else:
-            kp, vp = out
-        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
-
+            k_src, v_src = k, v
         masked_lens = jnp.where(active, seq_lens, 0)
-        attn = paged_attention(q, kp, vp, masked_lens, page_tables,
-                               k_scales=ks, v_scales=vs,
-                               interpret=interpret)  # [B, H, d]
+        attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
+                                       k_scales=ks, v_scales=vs,
+                                       k_new=k_src, v_new=v_src,
+                                       interpret=interpret)  # [B, H, d]
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
         x = x + maybe_psum(
             linear(attn.reshape(B, H * d), block["attn"]["c_proj_w"],
                    block["attn"]["c_proj_b"]), tp_axis)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..memory.kv_cache import KVPool
 from ..ops.flash_attention import flash_attention_prefill
-from ..ops.kv_write import write_kv_decode, write_kv_prefill
+from ..ops.kv_write import quantize_decode_tokens, write_kv_prefill
 from ..ops.paged_attention import paged_attention
 from .common import apply_rope, linear, maybe_psum, rms_norm, rope_table
 from .gpt2 import _update_pool_layer
@@ -156,18 +156,18 @@ def decode_forward(
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
         kp, vp, ks, vs = pool.layer(i)
-        out = write_kv_decode(kp, vp, k, v, positions, page_tables, active,
-                              k_scales=ks, v_scales=vs,
-                              interpret=interpret)
+        # Fused write+attend: one kernel launch per layer (see gpt2.py).
         if pool.quantized:
-            kp, vp, ks, vs = out
+            k_src, v_src, ks, vs = quantize_decode_tokens(
+                k, v, positions, page_tables, active, ks, vs, kp.dtype)
         else:
-            kp, vp = out
-        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
-
+            k_src, v_src = k, v
         masked_lens = jnp.where(active, seq_lens, 0)
-        attn = paged_attention(q, kp, vp, masked_lens, page_tables,
-                               k_scales=ks, v_scales=vs, interpret=interpret)
+        attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
+                                       k_scales=ks, v_scales=vs,
+                                       k_new=k_src, v_new=v_src,
+                                       interpret=interpret)
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
         x = x + maybe_psum(
             linear(attn.reshape(B, H * d), block["attn"]["wo"]), tp_axis)
         h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)

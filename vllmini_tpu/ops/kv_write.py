@@ -143,6 +143,38 @@ def _write_kv_decode_fused(k_pages, v_pages, k_new, v_new, page_idx, offset,
     )(page_idx, offset, k_new, v_new, k_pages, v_pages)
 
 
+def quantize_decode_tokens(
+    k_new: jax.Array,          # [batch, num_kv_heads, head_dim]
+    v_new: jax.Array,
+    positions: jax.Array,      # [batch] int32
+    page_tables: jax.Array,    # [batch, pages_per_seq_max] int32
+    active: jax.Array,         # [batch] bool
+    k_scales: jax.Array,       # [num_kv_heads, num_pages, page_size] f32
+    v_scales: jax.Array,
+    kv_dtype,
+):
+    """Quantize one decode token per sequence and scatter its scales.
+
+    Companion to the fused write inside `paged_attention(..., k_new=, v_new=)`:
+    the kernel patches the quantized payload into the page, while the scale
+    pools (below Mosaic DMA granularity) are updated here with one XLA scatter
+    each. Returns (k_q, v_q, k_scales, v_scales).
+    """
+    num_pages, page_size = k_scales.shape[1], k_scales.shape[2]
+    k_q, k_s = _quantize_tokens(k_new, kv_dtype)   # [b,h,d], [b,h]
+    v_q, v_s = _quantize_tokens(v_new, kv_dtype)
+    logical_page = positions // page_size
+    offset = positions % page_size
+    page_idx = jnp.take_along_axis(
+        page_tables, logical_page[:, None], axis=1)[:, 0]
+    # Inactive slots park their scale on the trash page (see write_kv_decode).
+    trash = num_pages - 1
+    page_idx = jnp.where(active, jnp.clip(page_idx, 0, num_pages - 1), trash)
+    k_scales = k_scales.at[:, page_idx, offset].set(k_s.T)
+    v_scales = v_scales.at[:, page_idx, offset].set(v_s.T)
+    return k_q, v_q, k_scales, v_scales
+
+
 def write_kv_decode(
     k_pages: jax.Array,        # [num_kv_heads, num_pages, page_size, head_dim]
     v_pages: jax.Array,

@@ -84,6 +84,8 @@ def _paged_attention_kernel(
     page_tables_ref,   # [batch, pages_per_seq_max] int32 (clamped in range)
     # inputs
     q_ref,             # [1, num_kv_heads, group, head_dim] VMEM
+    k_new_ref,         # [1, num_kv_heads, head_dim] VMEM or None (fused write)
+    v_new_ref,
     k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size, head_dim] HBM/ANY
     v_pages_hbm_ref,
     k_scale_rows_ref,  # [1, num_kv_heads, ctx_pad] f32 VMEM or None
@@ -92,7 +94,7 @@ def _paged_attention_kernel(
     o_ref,             # [1, num_kv_heads, group, head_dim] VMEM
     # scratch
     k_buf, v_buf,      # [2, pages_per_block, num_kv_heads, page_size, head_dim]
-    k_sem, v_sem,
+    k_sem, v_sem, wb_sem,
     *,
     pages_per_block: int,
     page_size: int,
@@ -105,8 +107,24 @@ def _paged_attention_kernel(
         q_ref.shape[1], q_ref.shape[2], q_ref.shape[3])
     block_tokens = pages_per_block * page_size
     quantized = k_scale_rows_ref is not None
+    fused_write = k_new_ref is not None
 
     num_blocks = pl.cdiv(seq_len, block_tokens)
+    # Location of the CURRENT token (position seq_len-1) for the fused write.
+    cur_logical = jnp.maximum(seq_len - 1, 0) // page_size
+    cur_block = cur_logical // pages_per_block
+    cur_j = jax.lax.rem(cur_logical, pages_per_block)  # page within block buf
+    cur_off = jax.lax.rem(jnp.maximum(seq_len - 1, 0), page_size)
+    cur_page = page_tables_ref[b, cur_logical]
+
+    def writeback_copies(slot):
+        """Push the patched current page (k and v) back to HBM."""
+        return [
+            pltpu.make_async_copy(k_buf.at[slot, cur_j],
+                                  k_pages_hbm_ref.at[:, cur_page], wb_sem),
+            pltpu.make_async_copy(v_buf.at[slot, cur_j],
+                                  v_pages_hbm_ref.at[:, cur_page], wb_sem),
+        ]
 
     def start_block(block_idx, slot):
         _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
@@ -122,7 +140,7 @@ def _paged_attention_kernel(
 
     @pl.when(seq_len == 0)
     def _():
-        # Inactive batch slot: emit zeros, no DMA.
+        # Inactive batch slot: emit zeros, no DMA, no write.
         o_ref[...] = jnp.zeros_like(o_ref)
 
     @pl.when(seq_len > 0)
@@ -149,6 +167,25 @@ def _paged_attention_kernel(
                 start_block(i + 1, jax.lax.rem(i + 1, 2))
 
             wait_block(i, slot)
+
+            if fused_write:
+                # Patch the current token's K/V row into the freshly gathered
+                # page IN VMEM, then push just that page back to HBM while
+                # attention computes on it. This replaces a whole separate
+                # read-modify-write kernel per layer (TPU analog of
+                # `reshape_and_cache`, `cache_kernels.cu:153-207`, fused into
+                # the attention launch).
+                @pl.when(i == cur_block)
+                def _():
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, page_size, 1), 1)
+                    hit = row == cur_off
+                    k_buf[slot, cur_j] = jnp.where(
+                        hit, k_new_ref[0][:, None, :], k_buf[slot, cur_j])
+                    v_buf[slot, cur_j] = jnp.where(
+                        hit, v_new_ref[0][:, None, :], v_buf[slot, cur_j])
+                    for c in writeback_copies(slot):
+                        c.start()
 
             tok0 = pl.multiple_of(i * block_tokens, block_tokens)
             k = load_kv(k_buf, slot)  # [H, bt, d]
@@ -194,6 +231,13 @@ def _paged_attention_kernel(
         acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
         _, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
 
+        if fused_write:
+            # The current page is always in the LAST block (the current token
+            # is position seq_len-1), so its buffer slot is never reused by a
+            # later gather; just await the write-back before the program ends.
+            for c in writeback_copies(jax.lax.rem(num_blocks - 1, 2)):
+                c.wait()
+
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -222,16 +266,24 @@ def paged_attention(
     pages_per_compute_block: int | None = None,
     k_scales: jax.Array | None = None,  # [num_kv_heads, num_pages, page_size]
     v_scales: jax.Array | None = None,
+    k_new: jax.Array | None = None,  # [batch, num_kv_heads, head_dim_q]:
+    v_new: jax.Array | None = None,  # fuse the current token's KV write
     mask_value: float = DEFAULT_MASK_VALUE,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Single-token-per-sequence attention over a paged KV cache.
 
     The pool's head_dim may exceed q's (lane padding); q is zero-padded to match
     and the output sliced back. Unlike the reference (`vllmini/scheduler.py:96`
     passes seq_lens *excluding* the just-cached token, so a token never attends
     to itself — SURVEY.md "bugs"), `seq_lens` here includes the current token:
-    KV for position `seq_lens-1` must already be written (cache-then-attend).
+    KV for position `seq_lens-1` must already be written (cache-then-attend)
+    — UNLESS `k_new`/`v_new` are given, in which case the kernel itself writes
+    the current token's K/V into its page (patched in VMEM on the gathered
+    page, pushed back to HBM while attention computes) and the call returns
+    `(out, k_pages, v_pages)` with the pools aliased in-place. `k_new`/`v_new`
+    must already be in the pool dtype (pre-quantized when the pool is int8/fp8,
+    with their scales already scattered into the scale pools).
     """
     batch, num_q_heads, head_dim_q = q.shape
     num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
@@ -239,6 +291,7 @@ def paged_attention(
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
     pages_per_seq = page_tables.shape[1]
+    fused_write = k_new is not None
 
     if sm_scale is None:
         sm_scale = head_dim_q ** -0.5
@@ -270,25 +323,49 @@ def paged_attention(
         mask_value=mask_value,
     )
 
-    def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref,
-                      k_hbm, v_hbm, *rest):
+    def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref, *rest):
+        rest = list(rest)
+        knr = vnr = None
+        if fused_write:
+            knr, vnr = rest.pop(0), rest.pop(0)
+        k_in, v_in = rest.pop(0), rest.pop(0)  # pool inputs (ANY)
+        ksr = vsr = None
         if quantized:
-            ksr, vsr, o_ref, kb, vb, ks, vs = rest
-            kernel(seq_lens_ref, page_tables_ref, q_ref, k_hbm, v_hbm,
-                   ksr, vsr, o_ref, kb, vb, ks, vs)
+            ksr, vsr = rest.pop(0), rest.pop(0)
+        o_ref = rest.pop(0)
+        if fused_write:
+            # Write (and read) through the aliased output refs.
+            k_hbm, v_hbm = rest.pop(0), rest.pop(0)
         else:
-            o_ref, kb, vb, ks, vs = rest
-            kernel(seq_lens_ref, page_tables_ref, q_ref, k_hbm, v_hbm,
-                   None, None, o_ref, kb, vb, ks, vs)
+            k_hbm, v_hbm = k_in, v_in
+        kb, vb, ks, vs, wbs = rest
+        kernel(seq_lens_ref, page_tables_ref, q_ref, knr, vnr, k_hbm, v_hbm,
+               ksr, vsr, o_ref, kb, vb, ks, vs, wbs)
 
     in_specs = [
         pl.BlockSpec((1, num_kv_heads, group, head_dim),
                      lambda b, *_: (b, 0, 0, 0)),
+    ]
+    inputs = [q.reshape(batch, num_kv_heads, group, head_dim)]
+    if fused_write:
+        def pad_new(x):
+            x = x.astype(k_pages.dtype)
+            if x.shape[-1] < head_dim:
+                x = jnp.pad(x, ((0, 0), (0, 0),
+                                (0, head_dim - x.shape[-1])))
+            return x.reshape(batch, num_kv_heads, head_dim)
+        in_specs += [
+            pl.BlockSpec((1, num_kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0)),
+        ]
+        inputs += [pad_new(k_new), pad_new(v_new)]
+    in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),  # k_pages stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # v_pages
     ]
-    inputs = [q.reshape(batch, num_kv_heads, group, head_dim),
-              k_pages, v_pages]
+    inputs += [k_pages, v_pages]
     if quantized:
         # Pre-gather per-sequence dense scale rows [batch, kv_heads, ctx_pad]:
         # a handful of KB, and it sidesteps Mosaic's inability to DMA-slice
@@ -312,31 +389,55 @@ def paged_attention(
                     head_dim), v_pages.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
     ]
 
-    out = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, num_kv_heads, group, head_dim),
+                          lambda b, *_: (b, 0, 0, 0))
+    o_shape = jax.ShapeDtypeStruct(
+        (batch, num_kv_heads, group, head_dim), q.dtype)
+    if fused_write:
+        out_specs = (o_spec, pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+        out_shape = (o_shape,
+                     jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                     jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype))
+        # Operand order incl. 2 scalar-prefetch args: seq_lens(0), tables(1),
+        # q(2), k_new(3), v_new(4), k_pages(5), v_pages(6) -> outputs 1, 2.
+        io_aliases = {5: 1, 6: 2}
+    else:
+        out_specs = o_spec
+        out_shape = o_shape
+        io_aliases = {}
+
+    call = pl.pallas_call(
         _kernel_entry,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, num_kv_heads, group, head_dim), lambda b, *_: (b, 0, 0, 0)
-            ),
+            out_specs=out_specs,
             scratch_shapes=scratch_shapes,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, group, head_dim), q.dtype
-        ),
+        out_shape=out_shape,
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            has_side_effects=fused_write,
         ),
         interpret=interpret,
-    )(seq_lens.astype(jnp.int32), page_tables, *inputs)
+    )
+    result = call(seq_lens.astype(jnp.int32), page_tables, *inputs)
 
+    if fused_write:
+        out, k_pages, v_pages = result
+    else:
+        out = result
     out = out.reshape(batch, num_q_heads, head_dim)
     if head_dim_q < head_dim:
         out = out[:, :, :head_dim_q]
+    if fused_write:
+        return out, k_pages, v_pages
     return out
 
 
