@@ -109,3 +109,74 @@ def test_tp_decode_matches_single_device(family_name, dp, tp):
 def test_local_config_divisibility_errors():
     with pytest.raises(ValueError):
         local_model_config(CFGS["gpt2"], 3)
+
+
+# ---------------------------------------------------------------- TP engine
+
+def _engine_cfg(tp):
+    from vllmini_tpu.config import (CacheConfig, EngineConfig, ParallelConfig,
+                                    SchedulerConfig)
+    return EngineConfig(
+        model=CFGS["llama"],
+        cache=CacheConfig(num_pages=32, page_size=4, max_pages_per_seq=8,
+                          kv_dtype="float32", head_pad_to=1),
+        scheduler=SchedulerConfig(max_decode_slots=2, decode_chunk_steps=3,
+                                  prefill_buckets=(8, 16)),
+        parallel=ParallelConfig(tensor_parallel=tp),
+        hf_model=None,
+    )
+
+
+@pytest.mark.parametrize("tp", [4])
+def test_tp_engine_end_to_end_matches_single_device(tp):
+    """The WHOLE serving stack (engine + scheduler) under tensor parallelism
+    generates the same greedy tokens as the single-device engine."""
+    from vllmini_tpu.config import SamplingParams
+    from vllmini_tpu.engine.engine import LLMEngine
+    from vllmini_tpu.engine.scheduler import Scheduler
+    from vllmini_tpu.models.registry import get_family
+
+    family = get_family(CFGS["llama"])
+    params = family.init_params(CFGS["llama"], jax.random.PRNGKey(7))
+
+    outs = {}
+    for world in (1, tp):
+        cfg = _engine_cfg(world)
+        engine = LLMEngine(cfg, params=jax.tree.map(jnp.copy, params))
+        sched = Scheduler(engine)
+        prompts = [[5, 9, 2], [11, 3, 8, 1, 12]]
+        ids = [sched.add_request(p, SamplingParams(max_new_tokens=10,
+                                                   greedy=True))
+               for p in prompts]
+        sched.run_to_completion(max_steps=200)
+        outs[world] = [sched.get(i).output_ids for i in ids]
+        assert all(len(o) == 10 for o in outs[world]), outs[world]
+
+    assert outs[1] == outs[tp], (outs[1], outs[tp])
+
+
+def test_tp_engine_with_quantized_weights():
+    """int8 weight-only quantized params shard and serve under TP (the
+    QuantizedWeight pytree shards its qvalues/scales like the full weight)."""
+    from vllmini_tpu.config import QuantConfig, SamplingParams
+    from vllmini_tpu.engine.engine import LLMEngine
+    from vllmini_tpu.engine.scheduler import Scheduler
+    from vllmini_tpu.models.registry import get_family
+    from vllmini_tpu.ops.quant_matmul import quantize_params
+
+    family = get_family(CFGS["llama"])
+    params = family.init_params(CFGS["llama"], jax.random.PRNGKey(3))
+    qparams = quantize_params(params, QuantConfig(weight_dtype="int8",
+                                                  group_size=16))
+
+    outs = {}
+    for world in (1, 4):
+        cfg = _engine_cfg(world)
+        engine = LLMEngine(cfg, params=jax.tree.map(jnp.copy, qparams))
+        sched = Scheduler(engine)
+        rid = sched.add_request([4, 8, 15, 16], SamplingParams(
+            max_new_tokens=6, greedy=True))
+        sched.run_to_completion(max_steps=100)
+        outs[world] = sched.get(rid).output_ids
+        assert len(outs[world]) == 6
+    assert outs[1] == outs[4], outs

@@ -37,6 +37,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..config import EngineConfig
 from ..memory.allocator import make_allocator
@@ -137,8 +138,29 @@ class LLMEngine:
         if params is None:
             params = self.family.init_params(
                 config.model, jax.random.PRNGKey(config.seed))
+
+        # --- tensor parallelism over a (1, tp) mesh. Weights are head-/
+        # channel-sharded, the KV pool is kv-head-sharded, the decode state is
+        # replicated; the step fns below are shard_map'd so the Pallas kernels
+        # run unmodified on each chip's local heads (zero attention-time
+        # communication). Engine-level data parallelism is NOT a mesh axis:
+        # DP replicas are independent engines behind the server.
+        self.tp = config.parallel.tensor_parallel
+        if self.tp > 1:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.tp import (local_model_config, shard_params,
+                                       shard_pool)
+            self.mesh = make_mesh(1, self.tp)
+            self.local_model = local_model_config(config.model, self.tp)
+            params = shard_params(params, config.model, self.mesh)
+        else:
+            self.mesh = None
+            self.local_model = config.model
         self.params = params
         self.pool: KVPool = create_kv_pool(config.model, config.cache)
+        if self.mesh is not None:
+            from ..parallel.tp import shard_pool
+            self.pool = shard_pool(self.pool, self.mesh)
         self.allocator = make_allocator(
             config.cache.num_pages, config.cache.page_size,
             config.cache.max_pages_per_seq)
@@ -170,20 +192,59 @@ class LLMEngine:
 
         # Donate ONLY the pool: the small DecodeState must stay readable as a
         # per-chunk snapshot after later chunks are dispatched (pipelining).
-        self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1,),
-                                 static_argnames=("steps",))
         # `slot` is a traced scalar: one compile per prompt bucket, not per
         # bucket x slot (which made first-token latency scale with slot count).
-        self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        if self.mesh is None:
+            self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1,),
+                                     static_argnames=("steps",))
+            self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        else:
+            from ..parallel.tp import param_specs, pool_pspec
+
+            pspecs = param_specs(self.params)
+            poolspecs = pool_pspec(config.model.num_layers,
+                                   self.pool.quantized)
+            stspecs = jax.tree.map(lambda _: P(), self.state)
+
+            def chunk_sharded(params, pool, state, tables, budget, rng, *,
+                              steps: int):
+                inner = jax.shard_map(
+                    lambda *a: self._chunk_impl(*a, steps=steps),
+                    mesh=self.mesh,
+                    in_specs=(pspecs, poolspecs, stspecs, P(), P(), P()),
+                    out_specs=(poolspecs, stspecs),
+                    check_vma=False)
+                return inner(params, pool, state, tables, budget, rng)
+
+            def prefill_sharded(params, pool, state, *rest):
+                inner = jax.shard_map(
+                    self._prefill_impl,
+                    mesh=self.mesh,
+                    in_specs=(pspecs, poolspecs, stspecs) + (P(),) * 11,
+                    out_specs=(poolspecs, stspecs),
+                    check_vma=False)
+                return inner(params, pool, state, *rest)
+
+            self._chunk_fn = jax.jit(chunk_sharded, donate_argnums=(1,),
+                                     static_argnames=("steps",))
+            self._prefill_fn = jax.jit(prefill_sharded, donate_argnums=(1,))
 
     # ------------------------------------------------------------------ device
+
+    @property
+    def _tp_axis(self) -> Optional[str]:
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import MODEL_AXIS
+        return MODEL_AXIS
 
     def _forward_decode(self, params, pool, state: DecodeState, page_tables):
         positions = state.tokens_in_kv
         seq_lens = jnp.where(state.active, state.tokens_in_kv + 1, 0)
         return self.family.decode_forward(
-            params, self.config.model, pool, state.last_token, positions,
-            seq_lens, page_tables, state.active, interpret=self.interpret)
+            params, self.local_model, pool, state.last_token, positions,
+            seq_lens, page_tables, state.active, interpret=self.interpret,
+            tp_axis=self._tp_axis)
 
     def _chunk_impl(self, params, pool, state: DecodeState, page_tables,
                     step_budget, rng, *, steps: int):
@@ -231,8 +292,8 @@ class LLMEngine:
                       seq_len, page_table, rng, temp, top_k, top_p, max_new,
                       stop_tokens, total_cap, slot):
         logits, pool = self.family.prefill_forward(
-            params, self.config.model, pool, token_ids, seq_len, page_table,
-            interpret=self.interpret)
+            params, self.local_model, pool, token_ids, seq_len, page_table,
+            interpret=self.interpret, tp_axis=self._tp_axis)
         tok = sample_tokens(logits[None, :], rng, temp[None], top_k[None],
                             top_p[None])[0]
         is_stop = jnp.any(tok == stop_tokens)

@@ -22,6 +22,7 @@ shard is an independent replica pool addressed by local page indices.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Dict
 
 import jax
@@ -54,10 +55,14 @@ def local_model_config(config: ModelConfig, tp: int) -> ModelConfig:
     )
 
 
-def _permute_gpt2_qkv(w: jax.Array, b: jax.Array, num_heads: int,
+def _permute_gpt2_qkv(w, b: jax.Array, num_heads: int,
                       head_dim: int, tp: int):
     """Reorder fused-QKV output columns so a contiguous 1/tp slice holds
-    (q_i | k_i | v_i) for head group i."""
+    (q_i | k_i | v_i) for head group i. Works on plain and weight-only-
+    quantized weights (column permutation commutes with per-group row
+    quantization)."""
+    from ..models.common import QuantizedWeight
+
     h = num_heads * head_dim
     hl = num_heads // tp * head_dim  # local q width
     cols = []
@@ -66,7 +71,12 @@ def _permute_gpt2_qkv(w: jax.Array, b: jax.Array, num_heads: int,
         cols.append(h + np.arange(i * hl, (i + 1) * hl))        # k_i
         cols.append(2 * h + np.arange(i * hl, (i + 1) * hl))    # v_i
     idx = np.concatenate(cols)
-    return w[:, idx], b[idx]
+    if isinstance(w, QuantizedWeight):
+        w = dataclasses.replace(w, qvalues=jnp.asarray(w.qvalues)[:, idx],
+                                scales=jnp.asarray(w.scales)[:, idx])
+    else:
+        w = jnp.asarray(np.asarray(w)[:, idx])
+    return w, jnp.asarray(np.asarray(b)[idx])
 
 
 def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
@@ -77,8 +87,7 @@ def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
     colb = NamedSharding(mesh, P(MODEL_AXIS))        # column-parallel bias
     row = NamedSharding(mesh, P(MODEL_AXIS, None))   # row-parallel weight
 
-    def put(x, s):
-        return jax.device_put(x, s)
+    put = _put_weight
 
     out = {
         "wte": put(params["wte"], rep),
@@ -90,13 +99,13 @@ def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
     for blk in params["blocks"]:
         aw, ab = blk["attn"]["c_attn_w"], blk["attn"]["c_attn_b"]
         if tp > 1:
-            aw, ab = _permute_gpt2_qkv(np.asarray(aw), np.asarray(ab), H, d, tp)
+            aw, ab = _permute_gpt2_qkv(aw, ab, H, d, tp)
         out["blocks"].append({
             "ln_1": jax.tree_util.tree_map(lambda x: put(x, rep), blk["ln_1"]),
             "ln_2": jax.tree_util.tree_map(lambda x: put(x, rep), blk["ln_2"]),
             "attn": {
-                "c_attn_w": put(jnp.asarray(aw), col),
-                "c_attn_b": put(jnp.asarray(ab), colb),
+                "c_attn_w": put(aw, col),
+                "c_attn_b": put(ab, colb),
                 "c_proj_w": put(blk["attn"]["c_proj_w"], row),
                 "c_proj_b": put(blk["attn"]["c_proj_b"] / tp, rep),
             },
@@ -110,14 +119,43 @@ def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
     return out
 
 
+def _puttable(x, sharding: NamedSharding) -> bool:
+    """True when every leaf dimension divides by its mesh-axis extent."""
+    def ok(leaf):
+        for dim, axis in enumerate(sharding.spec):
+            if axis is None:
+                continue
+            if leaf.shape[dim] % sharding.mesh.shape[axis] != 0:
+                return False
+        return True
+    return all(ok(l) for l in jax.tree_util.tree_leaves(x))
+
+
+def _put_weight(x, sharding: NamedSharding):
+    """device_put that degrades gracefully for quantized weights whose scale
+    grid doesn't divide the mesh axis (e.g. K/group_size % tp != 0): the
+    weight is dequantized and sharded full-precision instead of failing."""
+    from ..models.common import QuantizedWeight
+
+    if x is None:
+        return None
+    if isinstance(x, QuantizedWeight) and not _puttable(x, sharding):
+        from ..ops.quant_matmul import dequantize_weight
+
+        logging.getLogger("vllmini_tpu.tp").warning(
+            "quantized weight %s (groups %s) does not divide mesh axis; "
+            "sharding dequantized", x.shape, x.scales.shape)
+        return jax.device_put(dequantize_weight(x), sharding)
+    return jax.device_put(x, sharding)
+
+
 def shard_params_llama(params: Dict[str, Any], config: ModelConfig,
                        mesh: Mesh) -> Dict[str, Any]:
     rep = NamedSharding(mesh, P())
     col = NamedSharding(mesh, P(None, MODEL_AXIS))
     row = NamedSharding(mesh, P(MODEL_AXIS, None))
 
-    def put(x, s):
-        return jax.device_put(x, s) if x is not None else None
+    put = _put_weight
 
     out = {
         "embed": put(params["embed"], rep),

@@ -37,6 +37,8 @@ def build_engine_config(args) -> EngineConfig:
                           max_pages_per_seq=args.max_pages_per_seq,
                           kv_dtype=args.kv_dtype),
         scheduler=SchedulerConfig(max_decode_slots=args.max_decode_slots,
+                                  decode_chunk_steps=args.decode_chunk_steps,
+                                  pipeline_depth=args.pipeline_depth,
                                   preemption_mode=args.preemption),
         quant=QuantConfig(weight_dtype=args.weight_dtype),
         parallel=ParallelConfig(tensor_parallel=args.tensor_parallel),
@@ -59,6 +61,9 @@ def main(argv=None):
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--max-pages-per-seq", type=int, default=64)
     p.add_argument("--max-decode-slots", type=int, default=8)
+    p.add_argument("--decode-chunk-steps", type=int, default=16)
+    p.add_argument("--pipeline-depth", type=int, default=4,
+                   help="decode chunks in flight (1 = synchronous ticks)")
     p.add_argument("--preemption", default="swap",
                    choices=["swap", "recompute"])
     p.add_argument("--tensor-parallel", type=int, default=1)
@@ -98,8 +103,16 @@ def main(argv=None):
 
         tokenizer = _IdTokenizer()
 
-    if args.weight_dtype != "none" and params is not None:
+    if args.weight_dtype != "none":
         from ..ops.quant_matmul import quantize_params
+
+        if params is None:  # --random-weights: materialize, then quantize
+            import jax
+
+            from ..models.registry import get_family
+
+            params = get_family(config.model).init_params(
+                config.model, jax.random.PRNGKey(config.seed))
         params = quantize_params(params, config.quant)
 
     engine = LLMEngine(config, params)
