@@ -74,3 +74,34 @@ def test_quantize_params_structure():
     assert isinstance(blk["attn"]["c_attn_w"], QuantizedWeight)
     assert isinstance(blk["attn"]["c_attn_b"], jax.Array)
     assert isinstance(blk["mlp"]["c_fc_w"], QuantizedWeight)
+
+
+def test_w8a8_matches_fp_reference():
+    key = jax.random.PRNGKey(20)
+    M, K, N, G = 16, 256, 128, 64
+    x = jax.random.normal(key, (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(21), (K, N), jnp.float32) * 0.05
+    qw = quantize_weight(w, bits=8, group_size=G)
+    qw = QuantizedWeight(qvalues=qw.qvalues, scales=qw.scales, bits=8,
+                         group_size=G, act_quant=True)
+    got = quantized_matmul(x, qw, interpret=True)
+    ref = x @ w
+    # int8 weights AND int8 activations: ~1% relative error budget
+    err = jnp.abs(got - ref) / (jnp.abs(ref).mean() + 1e-6)
+    assert float(err.mean()) < 0.02, float(err.mean())
+
+
+def test_w8a8_quantize_params_marks_act_quant():
+    from vllmini_tpu.models.gpt2 import init_params
+    from vllmini_tpu.config import ModelConfig
+
+    cfg = ModelConfig(family="gpt2", vocab_size=128, hidden_size=128,
+                      num_layers=1, num_heads=2, max_position_embeddings=32,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params(params, QuantConfig(weight_dtype="w8a8",
+                                             group_size=64))
+    blk = qp["blocks"][0]
+    assert isinstance(blk["attn"]["c_attn_w"], QuantizedWeight)
+    assert blk["attn"]["c_attn_w"].act_quant
+    assert blk["attn"]["c_attn_w"].bits == 8

@@ -203,3 +203,37 @@ def test_native_matches_python_fuzz():
                 assert py.seq_len(sid) == nat.seq_len(sid)
         finally:
             assert py.num_free_pages == nat.num_free_pages
+
+
+def test_convert_pool_roundtrip():
+    """convert_fp8 analog: float -> int8 -> float roundtrip within scale
+    error; fp8 target produces fp8 payload + scales."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vllmini_tpu.config import CacheConfig, ModelConfig
+    from vllmini_tpu.memory.kv_cache import convert_pool, create_kv_pool
+
+    cfg = ModelConfig(family="gpt2", vocab_size=64, hidden_size=32,
+                      num_layers=2, num_heads=2, max_position_embeddings=32,
+                      dtype="float32")
+    cache = CacheConfig(num_pages=4, page_size=4, max_pages_per_seq=2,
+                        kv_dtype="float32", head_pad_to=1)
+    pool = create_kv_pool(cfg, cache)
+    key = jax.random.PRNGKey(0)
+    pool.k_pages[0] = jax.random.normal(key, pool.k_pages[0].shape)
+    pool.v_pages[0] = jax.random.normal(jax.random.PRNGKey(1),
+                                        pool.v_pages[0].shape)
+
+    q = convert_pool(pool, jnp.int8)
+    assert q.quantized and q.k_pages[0].dtype == jnp.int8
+    back = convert_pool(q, jnp.float32)
+    assert not back.quantized
+    np.testing.assert_allclose(np.asarray(back.k_pages[0]),
+                               np.asarray(pool.k_pages[0]), atol=2e-2)
+
+    f8 = convert_pool(pool, jnp.float8_e4m3fn)
+    assert f8.k_pages[0].dtype == jnp.float8_e4m3fn
+    back8 = convert_pool(f8, jnp.float32)
+    np.testing.assert_allclose(np.asarray(back8.k_pages[0]),
+                               np.asarray(pool.k_pages[0]), atol=8e-2)

@@ -204,9 +204,14 @@ class SchedulerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
-    """Weight quantization. KV-cache quantization lives in CacheConfig."""
+    """Weight quantization. KV-cache quantization lives in CacheConfig.
 
-    weight_dtype: str = "none"  # "none" | "int8" | "int4"
+    "int8"/"int4" are weight-only (dequant fused after the HBM->VMEM stream);
+    "w8a8" also quantizes activations per token at run time and runs the
+    matmul int8 x int8 on the MXU with int32 accumulation (BASELINE config 4).
+    """
+
+    weight_dtype: str = "none"  # "none" | "int8" | "int4" | "w8a8"
     group_size: int = 128  # per-group scales along the contraction dim
 
     @property

@@ -98,6 +98,56 @@ class KVPool:
         return total
 
 
+def convert_pool(pool: KVPool, target_dtype) -> KVPool:
+    """Cache-wide dtype conversion — the TPU analog of the reference's
+    `convert_fp8` (`cache_kernels.cu:322-392`), both directions:
+
+    - float pool -> int8/fp8 pool: per-token symmetric quantization, scales
+      materialized alongside;
+    - quantized pool -> float pool: dequantize with the stored scales and
+      drop them.
+
+    Used when changing serving precision on a warm cache (e.g. admitting a
+    long-context burst by halving KV bytes without evicting anything).
+    """
+    import jax.numpy as _jnp
+
+    target = _jnp.dtype(target_dtype)
+    quant_targets = (_jnp.int8, _jnp.dtype("float8_e4m3fn"),
+                     _jnp.dtype("float8_e5m2"))
+
+    def quantize(x):  # [H, P, ps, d] float -> (q, scale [H, P, ps])
+        amax = _jnp.max(_jnp.abs(x.astype(_jnp.float32)), axis=-1)
+        qmax = 127.0 if target == _jnp.int8 else float(
+            _jnp.finfo(target).max)
+        scale = _jnp.maximum(amax / qmax, 1e-8)
+        q = x.astype(_jnp.float32) / scale[..., None]
+        if target == _jnp.int8:
+            q = _jnp.clip(_jnp.round(q), -qmax, qmax)
+        return q.astype(target), scale.astype(_jnp.float32)
+
+    def dequantize(x, s):
+        return (x.astype(_jnp.float32) * s[..., None]).astype(target)
+
+    if target in quant_targets:
+        if pool.quantized:  # re-quantize via fp32
+            pool = convert_pool(pool, _jnp.float32)
+        kq = [quantize(x) for x in pool.k_pages]
+        vq = [quantize(x) for x in pool.v_pages]
+        return KVPool(k_pages=[q for q, _ in kq], v_pages=[q for q, _ in vq],
+                      k_scales=[s for _, s in kq], v_scales=[s for _, s in vq])
+    if pool.quantized:
+        return KVPool(
+            k_pages=[dequantize(x, s) for x, s in zip(pool.k_pages,
+                                                      pool.k_scales)],
+            v_pages=[dequantize(x, s) for x, s in zip(pool.v_pages,
+                                                      pool.v_scales)],
+            k_scales=None, v_scales=None)
+    return KVPool(k_pages=[x.astype(target) for x in pool.k_pages],
+                  v_pages=[x.astype(target) for x in pool.v_pages],
+                  k_scales=None, v_scales=None)
+
+
 def create_kv_pool(model: ModelConfig, cache: CacheConfig,
                    sharding=None) -> KVPool:
     """Allocate the zero-filled pool: ~`2 * L * H_kv * P * page_size *

@@ -27,6 +27,10 @@ class QuantizedWeight:
     scales: jax.Array
     bits: int = dataclasses.field(metadata=dict(static=True), default=8)
     group_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+    # W8A8: quantize activations per token at run time and do the matmul
+    # int8 x int8 on the MXU (int32 accumulation); False = weight-only.
+    act_quant: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
     @property
     def shape(self):

@@ -75,16 +75,24 @@ def dequantize_weight(qw: QuantizedWeight) -> jax.Array:
 
 def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64):
     """Quantize every 2-D weight inside transformer blocks (embeddings, norms,
-    and biases stay full precision)."""
+    and biases stay full precision). weight_dtype="w8a8" additionally marks
+    the weights for runtime int8 activation quantization (BASELINE.md config
+    4's W8A8 mode)."""
     if not quant.enabled:
         return params
     bits = 4 if quant.weight_dtype == "int4" else 8
+    act_quant = quant.weight_dtype == "w8a8"
 
     def maybe_quant(x):
         if (isinstance(x, jax.Array) and x.ndim == 2
                 and min(x.shape) >= min_dim
                 and x.shape[0] % quant.group_size == 0):
-            return quantize_weight(x, bits, quant.group_size)
+            qw = quantize_weight(x, bits, quant.group_size)
+            if act_quant:
+                qw = QuantizedWeight(qvalues=qw.qvalues, scales=qw.scales,
+                                     bits=8, group_size=qw.group_size,
+                                     act_quant=True)
+            return qw
         return x
 
     out = dict(params)
@@ -108,12 +116,17 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
     if bits == 8:
         w = q_ref[...].astype(jnp.float32)  # [bk, bn]
     else:
-        packed = q_ref[...]  # [bk//2, bn]
-        low = (jnp.left_shift(packed, 4).astype(jnp.int8) >> 4)
-        high = packed >> 4
+        # Nibble unpack WITHOUT int8 shifts (Mosaic cannot legalize
+        # arith.shli on i8 vectors): widen to i32, mask, and sign-extend via
+        # the (v ^ 8) - 8 trick.
+        p32 = q_ref[...].astype(jnp.int32)  # [bk//2, bn]
+        low = ((p32 & 15) ^ 8) - 8
+        high = (((p32 >> 4) & 15) ^ 8) - 8
         w = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
     # One K-tile == one quantization group: a single scale row applies.
-    w = w * s_ref[...]  # s_ref: [1, bn] broadcasts over bk
+    # (s_ref holds the whole [k_tiles, bn] scale block: a (1, bn) block spec
+    # would violate Mosaic's tile-divisibility rule for sub-8 sublanes.)
+    w = w * s_ref[pl.ds(k, 1), :]  # [1, bn] broadcasts over bk
     acc_ref[...] += jax.lax.dot(
         x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
 
@@ -144,7 +157,7 @@ def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
         in_specs=[
             pl.BlockSpec((M, G), lambda n, k: (0, k)),
             pl.BlockSpec((qrows, bn), lambda n, k: (k, n)),
-            pl.BlockSpec((1, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((k_tiles, bn), lambda n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
@@ -156,19 +169,89 @@ def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
     )(x, qvalues, scales)
 
 
+def _w8a8_kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                 k_tiles: int):
+    """int8 activation x int8 weight: MXU int8 path with int32 accumulation,
+    per-group weight scale applied per K-tile, per-token activation scale at
+    the end."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    prod = jax.lax.dot(x_ref[...], q_ref[...],
+                       preferred_element_type=jnp.int32)  # [M, bn] i32
+    acc_ref[...] += prod.astype(jnp.float32) * s_ref[pl.ds(k, 1), :]
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * xs_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "out_dtype", "block_n", "interpret"))
+def _w8a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
+             scales: jax.Array, *, group_size: int, out_dtype,
+             block_n: int = 256, interpret: bool = False) -> jax.Array:
+    """xq [M, K] i8, xs [M, 1] f32 -> [M, N] out_dtype."""
+    M, K = xq.shape
+    N = qvalues.shape[1]
+    G = group_size
+    bn = min(block_n, N)
+    assert N % bn == 0 and K % G == 0
+    k_tiles = K // G
+
+    return pl.pallas_call(
+        functools.partial(_w8a8_kernel, k_tiles=k_tiles),
+        grid=(N // bn, k_tiles),
+        in_specs=[
+            pl.BlockSpec((M, G), lambda n, k: (0, k)),
+            pl.BlockSpec((M, 1), lambda n, k: (0, 0)),
+            pl.BlockSpec((G, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((k_tiles, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, xs, qvalues, scales)
+
+
+def quantize_activations(x: jax.Array):
+    """Per-token (row) symmetric int8 quantization: x [M, K] ->
+    (q [M, K] i8, scale [M, 1] f32)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
                      interpret: bool | None = None) -> jax.Array:
-    """y = x @ dequant(qw); x may have any leading shape."""
+    """y = x @ dequant(qw); x may have any leading shape. act_quant weights
+    take the W8A8 path (dynamic per-token int8 activations)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     K, N = qw.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    # Tiny-M fallback and ragged shapes: plain XLA dequant matmul.
+    # Ragged shapes: plain XLA dequant matmul.
     if N % 128 != 0 or K % qw.group_size != 0:
         y = jnp.dot(x2, dequantize_weight(qw).astype(x.dtype),
                     preferred_element_type=x.dtype)
+    elif qw.act_quant:
+        xq, xs = quantize_activations(x2)
+        y = _w8a8_2d(xq, xs, qw.qvalues, qw.scales,
+                     group_size=qw.group_size,
+                     out_dtype=jnp.dtype(x.dtype).name,
+                     interpret=interpret)
     else:
         y = _qmm_2d(x2, qw.qvalues, qw.scales, bits=qw.bits,
                     group_size=qw.group_size, interpret=interpret)
