@@ -182,6 +182,10 @@ class LLMEngine:
             config.seed if rng_seed is None else rng_seed)
         self._step_counter = 0
         self._swapped: Dict[int, SwappedKV] = {}
+        # Multi-host: when set, every device-mutating exec_* call appends
+        # (op_name, kwargs-of-arrays) here; the primary broadcasts the log and
+        # workers replay it via apply_commands (see parallel/multihost.py).
+        self.command_sink: Optional[List] = None
 
         # Bucket list covering up to max context.
         buckets = sorted(b for b in config.scheduler.prefill_buckets
@@ -330,6 +334,16 @@ class LLMEngine:
             f"prompt length {length} exceeds max context "
             f"{self.prefill_buckets[-1]}")
 
+    def _emit(self, op: str, **kw) -> None:
+        if self.command_sink is not None:
+            self.command_sink.append((op, kw))
+
+    def apply_commands(self, ops) -> None:
+        """Replay a device-command log recorded by a primary engine (SPMD
+        worker side of cross-host serving; see parallel/multihost.py)."""
+        for op, kw in ops:
+            getattr(self, "exec_" + op)(**kw)
+
     def prefill(self, seq: Sequence, slot: int) -> None:
         """Allocate pages, run the prompt, sample the first token, insert the
         sequence into the device slot. No host<->device sync.
@@ -339,8 +353,7 @@ class LLMEngine:
         L = len(seq.prompt_ids)
         bucket = self.bucket_for(L)
         self.allocator.allocate(seq.seq_id, L)
-        self._tables_host[slot] = self.allocator.padded_table(seq.seq_id)
-        self._tables_dirty = True
+        table_row = self.allocator.padded_table(seq.seq_id)
         padded = np.zeros(bucket, np.int32)
         padded[:L] = seq.prompt_ids
 
@@ -355,17 +368,28 @@ class LLMEngine:
         already = len(seq.prompt_ids) - seq.orig_prompt_len
         remaining = max(0, s.max_new_tokens - already)
 
-        self.pool, self.state = self._prefill_fn(
-            self.params, self.pool, self.state, jnp.asarray(padded),
-            jnp.int32(L), jnp.asarray(self._tables_host[slot]),
-            self._next_rng(),
-            jnp.float32(0.0 if s.greedy else s.temperature),
-            jnp.int32(s.top_k), jnp.float32(s.top_p),
-            jnp.int32(remaining), jnp.asarray(stops),
-            jnp.int32(total_cap), jnp.int32(slot))
+        kw = dict(slot=slot, padded=padded, length=L, table_row=table_row,
+                  temp=np.float32(0.0 if s.greedy else s.temperature),
+                  top_k=np.int32(s.top_k), top_p=np.float32(s.top_p),
+                  max_new=np.int32(remaining), stops=stops,
+                  total_cap=np.int32(total_cap))
+        self._emit("prefill", **kw)
+        self.exec_prefill(**kw)
         seq.tokens_in_kv = L
         seq.slot = slot
         self.metrics.counter("prefill_tokens", L)
+
+    def exec_prefill(self, slot, padded, length, table_row, temp, top_k,
+                     top_p, max_new, stops, total_cap) -> None:
+        self._tables_host[slot] = table_row
+        self._tables_dirty = True
+        self.pool, self.state = self._prefill_fn(
+            self.params, self.pool, self.state, jnp.asarray(padded),
+            jnp.int32(length), jnp.asarray(table_row),
+            self._next_rng(),
+            jnp.float32(temp), jnp.int32(top_k), jnp.float32(top_p),
+            jnp.int32(max_new), jnp.asarray(stops),
+            jnp.int32(total_cap), jnp.int32(slot))
 
     # ------------------------------------------------------------------ decode
 
@@ -378,6 +402,16 @@ class LLMEngine:
         lag. An async device->host copy of the summary fields is started here
         so the lagged fetch usually finds the bytes already transferred.
         """
+        self._emit("chunk", step_budget=np.asarray(step_budget, np.int32),
+                   tables=self._tables_host.copy())
+        return self.exec_chunk(np.asarray(step_budget, np.int32),
+                               self._tables_host)
+
+    def exec_chunk(self, step_budget: np.ndarray,
+                   tables: np.ndarray) -> DecodeState:
+        if not np.array_equal(tables, self._tables_host):
+            self._tables_host = np.array(tables)
+            self._tables_dirty = True
         if self._tables_dirty or self._tables_dev is None:
             self._tables_dev = jnp.asarray(self._tables_host)
             self._tables_dirty = False
@@ -425,6 +459,10 @@ class LLMEngine:
 
     def clear_slot(self, slot: int) -> None:
         """Deactivate a slot on device (called on finish/abort/preempt)."""
+        self._emit("clear_slot", slot=slot)
+        self.exec_clear_slot(slot)
+
+    def exec_clear_slot(self, slot: int) -> None:
         self.state = dataclasses.replace(
             self.state,
             active=self.state.active.at[slot].set(False))
@@ -436,17 +474,36 @@ class LLMEngine:
     def free_sequence(self, seq: Sequence) -> None:
         if self.allocator.has_seq(seq.seq_id):
             self.allocator.free(seq.seq_id)
-        self._swapped.pop(seq.seq_id, None)
-        if seq.slot is not None:
-            self.clear_slot(seq.slot)
+        slot = -1 if seq.slot is None else seq.slot
+        self._emit("free", seq_id=seq.seq_id, slot=slot)
+        self.exec_free(seq.seq_id, slot)
+
+    def exec_free(self, seq_id: int, slot: int) -> None:
+        self._swapped.pop(seq_id, None)
+        if slot >= 0:
+            self.exec_clear_slot(slot)
 
     def swap_out(self, seq: Sequence) -> None:
         """Copy the sequence's KV pages to host RAM and release them.
 
         TPU analog of `swap_blocks` GPU->CPU (`cache_kernels.cu:24-63`) plus the
-        bookkeeping `swap_to_cpu` (`block_manager.py:70-73`).
+        bookkeeping `swap_to_cpu` (`block_manager.py:70-73`). Each host keeps
+        only its own KV shard; swap-in restores shard-locally too.
         """
-        pages = self.allocator.seq_pages(seq.seq_id)
+        # Gather only the FILLED pages: the table may hold reserved-but-empty
+        # headroom pages beyond tokens_in_kv (chunk reservations), and swap-in
+        # re-allocates from the token count alone.
+        filled = self.allocator.pages_needed(max(1, seq.tokens_in_kv))
+        pages = np.asarray(self.allocator.seq_pages(seq.seq_id)[:filled],
+                           np.int32)
+        slot = -1 if seq.slot is None else seq.slot
+        self._emit("swap_out", seq_id=seq.seq_id, pages=pages,
+                   num_tokens=seq.tokens_in_kv, slot=slot)
+        self.exec_swap_out(seq.seq_id, pages, seq.tokens_in_kv, slot)
+        self.allocator.release_for_swap(seq.seq_id)
+
+    def exec_swap_out(self, seq_id: int, pages: np.ndarray, num_tokens: int,
+                      slot: int) -> None:
         idx = jnp.asarray(pages, jnp.int32)
 
         def gather(layers):
@@ -459,10 +516,9 @@ class LLMEngine:
         if self.pool.quantized:
             arrays["ks"] = gather(self.pool.k_scales)
             arrays["vs"] = gather(self.pool.v_scales)
-        self._swapped[seq.seq_id] = SwappedKV(arrays, seq.tokens_in_kv)
-        self.allocator.release_for_swap(seq.seq_id)
-        if seq.slot is not None:
-            self.clear_slot(seq.slot)
+        self._swapped[seq_id] = SwappedKV(arrays, num_tokens)
+        if slot >= 0:
+            self.exec_clear_slot(slot)
         self.metrics.counter("swap_outs", 1)
 
     def can_swap_in(self, seq: Sequence) -> bool:
@@ -470,8 +526,36 @@ class LLMEngine:
 
     def swap_in(self, seq: Sequence, slot: int) -> None:
         """Re-allocate pages, restore KV from host RAM, re-insert the slot."""
-        sw = self._swapped.pop(seq.seq_id)
-        pages = self.allocator.allocate_for_swap_in(seq.seq_id, sw.num_tokens)
+        num_tokens = self._swapped[seq.seq_id].num_tokens
+        pages = np.asarray(
+            self.allocator.allocate_for_swap_in(seq.seq_id, num_tokens),
+            np.int32)
+        s = seq.sampling
+        stops = np.full(MAX_STOP_TOKENS, -1, np.int32)
+        for i, t in enumerate(list(s.stop_token_ids)[:MAX_STOP_TOKENS]):
+            stops[i] = t
+        gen = seq.generated_ids()
+        out_buf_row = np.zeros(self.state.out_buf.shape[1], np.int32)
+        out_buf_row[: len(gen)] = gen
+        kw = dict(
+            seq_id=seq.seq_id, slot=slot, pages=pages,
+            table_row=self.allocator.padded_table(seq.seq_id),
+            last_token=np.int32(0 if seq.last_token is None
+                                else seq.last_token),
+            tokens_in_kv=np.int32(seq.tokens_in_kv),
+            out_buf_row=out_buf_row, out_count=np.int32(len(gen)),
+            max_new=np.int32(s.max_new_tokens), stops=stops,
+            total_cap=np.int32(self.max_context),
+            temp=np.float32(0.0 if s.greedy else s.temperature),
+            top_k=np.int32(s.top_k), top_p=np.float32(s.top_p))
+        self._emit("swap_in", **kw)
+        self.exec_swap_in(**kw)
+        seq.slot = slot
+
+    def exec_swap_in(self, seq_id, slot, pages, table_row, last_token,
+                     tokens_in_kv, out_buf_row, out_count, max_new, stops,
+                     total_cap, temp, top_k, top_p) -> None:
+        sw = self._swapped.pop(seq_id)
         idx = jnp.asarray(pages, jnp.int32)
         pool = self.pool
 
@@ -493,31 +577,22 @@ class LLMEngine:
                 v_scales=scatter(pool.v_scales, sw.arrays["vs"], jnp.float32),
             )
         self.pool = pool
-        # Re-activate the slot with the sequence's saved sampling state.
-        s = seq.sampling
-        stops = np.full(MAX_STOP_TOKENS, -1, np.int32)
-        for i, t in enumerate(list(s.stop_token_ids)[:MAX_STOP_TOKENS]):
-            stops[i] = t
-        gen = seq.generated_ids()
-        out_buf_row = np.zeros(self.state.out_buf.shape[1], np.int32)
-        out_buf_row[: len(gen)] = gen
         st = self.state
         self.state = dataclasses.replace(
             st,
-            last_token=st.last_token.at[slot].set(
-                0 if seq.last_token is None else seq.last_token),
-            tokens_in_kv=st.tokens_in_kv.at[slot].set(seq.tokens_in_kv),
+            last_token=st.last_token.at[slot].set(jnp.int32(last_token)),
+            tokens_in_kv=st.tokens_in_kv.at[slot].set(
+                jnp.int32(tokens_in_kv)),
             active=st.active.at[slot].set(True),
             out_buf=st.out_buf.at[slot].set(jnp.asarray(out_buf_row)),
-            out_count=st.out_count.at[slot].set(len(gen)),
-            max_new=st.max_new.at[slot].set(s.max_new_tokens),
+            out_count=st.out_count.at[slot].set(jnp.int32(out_count)),
+            max_new=st.max_new.at[slot].set(jnp.int32(max_new)),
             stop_tokens=st.stop_tokens.at[slot].set(jnp.asarray(stops)),
-            total_cap=st.total_cap.at[slot].set(self.max_context),
-            temps=st.temps.at[slot].set(0.0 if s.greedy else s.temperature),
-            top_ks=st.top_ks.at[slot].set(s.top_k),
-            top_ps=st.top_ps.at[slot].set(s.top_p),
+            total_cap=st.total_cap.at[slot].set(jnp.int32(total_cap)),
+            temps=st.temps.at[slot].set(jnp.float32(temp)),
+            top_ks=st.top_ks.at[slot].set(jnp.int32(top_k)),
+            top_ps=st.top_ps.at[slot].set(jnp.float32(top_p)),
         )
-        self._tables_host[slot] = self.allocator.padded_table(seq.seq_id)
+        self._tables_host[slot] = table_row
         self._tables_dirty = True
-        seq.slot = slot
         self.metrics.counter("swap_ins", 1)

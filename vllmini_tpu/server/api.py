@@ -38,8 +38,13 @@ class EngineLoop:
     """Background thread driving Scheduler.step(); all scheduler access is
     serialized through `self.lock` (the engine objects are not thread-safe)."""
 
-    def __init__(self, scheduler: Scheduler, idle_sleep_s: float = 0.002):
+    def __init__(self, scheduler: Scheduler, idle_sleep_s: float = 0.002,
+                 driver=None):
         self.scheduler = scheduler
+        # Multi-host: a parallel.multihost.PrimaryDriver wrapping the step so
+        # every tick's device-command log is broadcast to worker hosts. The
+        # loop then ticks even when idle (workers block on the broadcast).
+        self.driver = driver
         self.lock = threading.Lock()
         self.idle_sleep_s = idle_sleep_s
         self._stop = threading.Event()
@@ -59,13 +64,18 @@ class EngineLoop:
         while not self._stop.is_set():
             with self.lock:
                 has_work = self.scheduler.has_work
-                if has_work:
+                if has_work or self.driver is not None:
                     try:
-                        self.scheduler.step()
+                        if self.driver is not None:
+                            self.driver.step()
+                        else:
+                            self.scheduler.step()
                     except Exception:
                         logger.exception("engine step failed")
             if not has_work:
                 time.sleep(self.idle_sleep_s)
+        if self.driver is not None:
+            self.driver.shutdown()
 
 
 def _json_error(status: int, detail: str) -> web.Response:
@@ -73,15 +83,17 @@ def _json_error(status: int, detail: str) -> web.Response:
 
 
 def create_app(scheduler: Scheduler, tokenizer, *,
-               eos_token_id=None) -> web.Application:
+               eos_token_id=None, driver=None) -> web.Application:
     """Build the app around an existing scheduler + tokenizer.
 
     `tokenizer` needs `encode(str) -> list[int]` and `decode(list[int]) -> str`;
     `eos_token_id` defaults to `tokenizer.eos_token_id` when present.
+    `driver` (multi-host): PrimaryDriver broadcasting each tick to workers.
     """
     if eos_token_id is None:
         eos_token_id = getattr(tokenizer, "eos_token_id", None)
-    loop = EngineLoop(scheduler)
+    idle = 0.002 if driver is None else 0.01
+    loop = EngineLoop(scheduler, idle_sleep_s=idle, driver=driver)
 
     app = web.Application()
     app["engine_loop"] = loop

@@ -67,6 +67,13 @@ def main(argv=None):
     p.add_argument("--preemption", default="swap",
                    choices=["swap", "recompute"])
     p.add_argument("--tensor-parallel", type=int, default=1)
+    # Multi-host serving (BASELINE config 5): process 0 owns the HTTP server,
+    # scheduler, and allocator; workers replay its device-command stream.
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="hosts in the slice (1 = single-host)")
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
     p.add_argument("--random-weights", action="store_true",
                    help="skip HF loading (random init; for smoke tests)")
     p.add_argument("--host", default="0.0.0.0")
@@ -74,6 +81,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+
+    from ..parallel.multihost import initialize_distributed
+
+    initialize_distributed(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
 
     from ..engine.engine import LLMEngine
     from ..engine.scheduler import Scheduler
@@ -116,8 +129,22 @@ def main(argv=None):
         params = quantize_params(params, config.quant)
 
     engine = LLMEngine(config, params)
+
+    if args.num_processes > 1 and args.process_id != 0:
+        # Worker host: no HTTP, no scheduler — replay the primary's
+        # device-command stream until shutdown.
+        from ..parallel.multihost import WorkerDriver
+
+        WorkerDriver(engine).run_forever()
+        return
+
     scheduler = Scheduler(engine)
-    app = create_app(scheduler, tokenizer)
+    driver = None
+    if args.num_processes > 1:
+        from ..parallel.multihost import PrimaryDriver
+
+        driver = PrimaryDriver(scheduler)
+    app = create_app(scheduler, tokenizer, driver=driver)
 
     from .api import run_app
 
