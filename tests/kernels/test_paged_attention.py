@@ -192,3 +192,18 @@ def test_fused_write_quantized():
     ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=6e-2, rtol=6e-2)
+
+
+def test_sliding_window_matches_oracle():
+    key = jax.random.PRNGKey(30)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=64,
+        num_pages=32, page_size=4, pages_per_seq=8, seq_lens=[30, 3, 17])
+    for window in (4, 8, 100):
+        out = paged_attention(q, kp, vp, sl, pt, sliding_window=window,
+                              pages_per_compute_block=2, interpret=True)
+        ref = paged_attention_reference(q, kp, vp, sl, pt,
+                                        sliding_window=window)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"window={window}")

@@ -41,7 +41,7 @@ class ModelConfig:
     (RoPE, GQA, SwiGLU, RMSNorm) families via the `family` switch.
     """
 
-    family: str = "gpt2"  # "gpt2" | "llama"
+    family: str = "gpt2"  # "gpt2" | "llama" (llama serves Mistral/Qwen2 too)
     vocab_size: int = 50257
     hidden_size: int = 768
     num_layers: int = 12
@@ -53,6 +53,11 @@ class ModelConfig:
     layer_norm_eps: float = 1e-5
     rope_theta: float = 10000.0  # llama only
     tie_word_embeddings: bool = True
+    # QKV projection biases (Qwen2-style; o_proj stays bias-free).
+    attention_bias: bool = False
+    # Sliding-window attention (Mistral-style): each token attends to at most
+    # the last `sliding_window` positions. None = full causal.
+    sliding_window: Optional[int] = None
     dtype: str = "bfloat16"
 
     @property
@@ -103,6 +108,40 @@ class ModelConfig:
             layer_norm_eps=1e-5,
             rope_theta=500000.0,
             tie_word_embeddings=False,
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def mistral_7b(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(
+            family="llama",
+            vocab_size=32000,
+            hidden_size=4096,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            intermediate_size=14336,
+            max_position_embeddings=32768,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+            sliding_window=4096,
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def qwen2_7b(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(
+            family="llama",
+            vocab_size=152064,
+            hidden_size=3584,
+            num_layers=28,
+            num_heads=28,
+            num_kv_heads=4,
+            intermediate_size=18944,
+            max_position_embeddings=32768,
+            rope_theta=1000000.0,
+            tie_word_embeddings=False,
+            attention_bias=True,
             dtype=dtype,
         )
 

@@ -6,6 +6,8 @@ Capability extension beyond the reference (which serves only GPT-2,
 table across layers, cache-then-attend, seq_lens include the current token.
 
 Architecture: RMSNorm, RoPE (rotate-half convention matching HF), GQA, SwiGLU.
+The same forward serves Mistral (`config.sliding_window`) and Qwen2
+(`config.attention_bias` — QKV biases, bias-free o_proj).
 """
 
 from __future__ import annotations
@@ -54,6 +56,10 @@ def init_params(config: ModelConfig, key: jax.Array) -> Params:
                 "wk": norm(ks[1], (h, Hkv * d)),
                 "wv": norm(ks[2], (h, Hkv * d)),
                 "wo": norm(ks[3], (H * d, h)),
+                **({"bq": jnp.zeros(H * d, dt),
+                    "bk": jnp.zeros(Hkv * d, dt),
+                    "bv": jnp.zeros(Hkv * d, dt)}
+                   if config.attention_bias else {}),
             },
             "mlp": {
                 "w_gate": norm(ks[4], (h, m)),
@@ -98,9 +104,10 @@ def prefill_forward(
 
     for i, block in enumerate(params["blocks"]):
         h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
-        q = linear(h1, block["attn"]["wq"]).reshape(L_pad, H, d)
-        k = linear(h1, block["attn"]["wk"]).reshape(L_pad, Hkv, d)
-        v = linear(h1, block["attn"]["wv"]).reshape(L_pad, Hkv, d)
+        a = block["attn"]
+        q = linear(h1, a["wq"], a.get("bq")).reshape(L_pad, H, d)
+        k = linear(h1, a["wk"], a.get("bk")).reshape(L_pad, Hkv, d)
+        v = linear(h1, a["wv"], a.get("bv")).reshape(L_pad, Hkv, d)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
@@ -117,7 +124,8 @@ def prefill_forward(
 
         attn = flash_attention_prefill(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-            seq_len, causal=True, interpret=interpret,
+            seq_len, causal=True, sliding_window=config.sliding_window,
+            interpret=interpret,
         ).transpose(1, 0, 2).reshape(L_pad, H * d)
         x = x + maybe_psum(linear(attn, block["attn"]["wo"]), tp_axis)
         h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
@@ -149,9 +157,10 @@ def decode_forward(
 
     for i, block in enumerate(params["blocks"]):
         h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
-        q = linear(h1, block["attn"]["wq"]).reshape(B, H, d)
-        k = linear(h1, block["attn"]["wk"]).reshape(B, Hkv, d)
-        v = linear(h1, block["attn"]["wv"]).reshape(B, Hkv, d)
+        a = block["attn"]
+        q = linear(h1, a["wq"], a.get("bq")).reshape(B, H, d)
+        k = linear(h1, a["wk"], a.get("bk")).reshape(B, Hkv, d)
+        v = linear(h1, a["wv"], a.get("bv")).reshape(B, Hkv, d)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
@@ -166,6 +175,7 @@ def decode_forward(
         attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
                                        k_scales=ks, v_scales=vs,
                                        k_new=k_src, v_new=v_src,
+                                       sliding_window=config.sliding_window,
                                        interpret=interpret)
         pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
         x = x + maybe_psum(

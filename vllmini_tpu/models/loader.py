@@ -44,7 +44,14 @@ def config_from_hf(hf_config) -> ModelConfig:
             max_position_embeddings=hf_config.n_positions,
             layer_norm_eps=hf_config.layer_norm_epsilon,
         )
-    if mt == "llama":
+    if mt in ("llama", "mistral", "qwen2"):
+        # All three share the Llama block structure; deltas are captured in
+        # config flags (sliding_window for Mistral, attention_bias for Qwen2).
+        window = None
+        if mt == "mistral":
+            window = getattr(hf_config, "sliding_window", None)
+        elif mt == "qwen2" and getattr(hf_config, "use_sliding_window", False):
+            window = getattr(hf_config, "sliding_window", None)
         return ModelConfig(
             family="llama",
             vocab_size=hf_config.vocab_size,
@@ -56,7 +63,11 @@ def config_from_hf(hf_config) -> ModelConfig:
             max_position_embeddings=hf_config.max_position_embeddings,
             layer_norm_eps=hf_config.rms_norm_eps,
             rope_theta=getattr(hf_config, "rope_theta", 10000.0),
-            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            attention_bias=(mt == "qwen2"
+                            or getattr(hf_config, "attention_bias", False)),
+            sliding_window=window,
         )
     raise ValueError(f"unsupported HF model_type {mt!r}")
 
@@ -120,15 +131,20 @@ def llama_params_from_state_dict(sd: Dict[str, Any], config: ModelConfig,
         params["lm_head"] = g("lm_head.weight", transpose=True)
     for i in range(config.num_layers):
         p = f"layers.{i}."
+        attn = {
+            "wq": g(p + "self_attn.q_proj.weight", transpose=True),
+            "wk": g(p + "self_attn.k_proj.weight", transpose=True),
+            "wv": g(p + "self_attn.v_proj.weight", transpose=True),
+            "wo": g(p + "self_attn.o_proj.weight", transpose=True),
+        }
+        if config.attention_bias:  # Qwen2-style QKV biases
+            attn["bq"] = g(p + "self_attn.q_proj.bias")
+            attn["bk"] = g(p + "self_attn.k_proj.bias")
+            attn["bv"] = g(p + "self_attn.v_proj.bias")
         params["blocks"].append({
             "input_norm": g(p + "input_layernorm.weight"),
             "post_attn_norm": g(p + "post_attention_layernorm.weight"),
-            "attn": {
-                "wq": g(p + "self_attn.q_proj.weight", transpose=True),
-                "wk": g(p + "self_attn.k_proj.weight", transpose=True),
-                "wv": g(p + "self_attn.v_proj.weight", transpose=True),
-                "wo": g(p + "self_attn.o_proj.weight", transpose=True),
-            },
+            "attn": attn,
             "mlp": {
                 "w_gate": g(p + "mlp.gate_proj.weight", transpose=True),
                 "w_up": g(p + "mlp.up_proj.weight", transpose=True),

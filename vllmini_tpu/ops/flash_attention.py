@@ -40,6 +40,7 @@ def _flash_kernel(
     sm_scale: float,
     causal: bool,
     mask_value: float,
+    sliding_window: int | None = None,
 ):
     i = pl.program_id(1)   # q block
     j = pl.program_id(2)   # kv block
@@ -54,10 +55,13 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    # Whole-block causal skip: block strictly above the diagonal.
+    # Whole-block causal skip: block strictly above the diagonal; with a
+    # sliding window, also blocks entirely below every query's window.
     run = True
     if causal:
         run = (j * block_kv) <= ((i + 1) * block_q - 1)
+    if sliding_window is not None:
+        run &= ((j + 1) * block_kv - 1) > (i * block_q - sliding_window)
 
     @pl.when(run)
     def _():
@@ -73,6 +77,8 @@ def _flash_kernel(
         mask = col < seq_len
         if causal:
             mask = jnp.logical_and(mask, col <= row)
+        if sliding_window is not None:
+            mask = jnp.logical_and(mask, col > row - sliding_window)
         s = jnp.where(mask, s, mask_value)
 
         m_prev, l_prev = m_scratch[...], l_scratch[...]
@@ -96,7 +102,8 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[...] / l).astype(o_ref.dtype)
 
 
-def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value):
+def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
+                     sliding_window=None):
     """Dense fallback/oracle: [h, L, d] x [kvh, L, d] -> [h, L, d]."""
     num_q_heads, L, head_dim = q.shape
     num_kv_heads = k.shape[0]
@@ -110,6 +117,8 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value):
     mask = col < seq_len
     if causal:
         mask = jnp.logical_and(mask, col <= row)
+    if sliding_window is not None:
+        mask = jnp.logical_and(mask, col > row - sliding_window)
     s = jnp.where(mask[None, None], s, mask_value)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("hgqk,hkd->hgqd", p, vf)
@@ -118,7 +127,8 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "causal", "block_q", "block_kv", "interpret"),
+    static_argnames=("sm_scale", "causal", "block_q", "block_kv", "interpret",
+                     "sliding_window"),
 )
 def flash_attention_prefill(
     q: jax.Array,   # [num_q_heads, L, head_dim]
@@ -128,6 +138,7 @@ def flash_attention_prefill(
     *,
     sm_scale: float | None = None,
     causal: bool = True,
+    sliding_window: int | None = None,
     block_q: int = 128,
     block_kv: int = 128,
     interpret: bool = False,
@@ -144,12 +155,13 @@ def flash_attention_prefill(
 
     if L % block_q != 0 or L % block_kv != 0 or L < max(block_q, block_kv):
         return _dense_reference(q, k, v, seq_len[0], sm_scale, causal,
-                                DEFAULT_MASK_VALUE)
+                                DEFAULT_MASK_VALUE,
+                                sliding_window=sliding_window)
 
     grid = (num_q_heads, L // block_q, L // block_kv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, causal=causal,
-        mask_value=DEFAULT_MASK_VALUE,
+        mask_value=DEFAULT_MASK_VALUE, sliding_window=sliding_window,
     )
     return pl.pallas_call(
         kernel,

@@ -100,6 +100,7 @@ def _paged_attention_kernel(
     page_size: int,
     sm_scale: float,
     mask_value: float,
+    sliding_window: int | None = None,
 ):
     b = pl.program_id(0)
     seq_len = seq_lens_ref[b]
@@ -145,7 +146,14 @@ def _paged_attention_kernel(
 
     @pl.when(seq_len > 0)
     def _():
-        start_block(0, 0)
+        # Whole blocks strictly below the sliding window carry no attended
+        # tokens: skip their DMAs entirely.
+        if sliding_window is None:
+            first_block = 0
+        else:
+            first_block = (jnp.maximum(seq_len - sliding_window, 0)
+                           // block_tokens)
+        start_block(first_block, jax.lax.rem(first_block, 2))
 
         # [H, group, head_dim] fp32
         q = q_ref[0].astype(jnp.float32) * sm_scale
@@ -204,7 +212,12 @@ def _paged_attention_kernel(
                 i * block_tokens
                 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             )
-            s = jnp.where(token_pos < seq_len, s, mask_value)
+            valid = token_pos < seq_len
+            if sliding_window is not None:
+                # Mistral-style window: the current token (pos seq_len-1)
+                # attends to positions (seq_len-1-window, seq_len-1].
+                valid &= token_pos >= seq_len - sliding_window
+            s = jnp.where(valid, s, mask_value)
 
             m_cur = jnp.max(s, axis=-1, keepdims=True)          # [H, g, 1]
             m_next = jnp.maximum(m_prev, m_cur)
@@ -229,7 +242,8 @@ def _paged_attention_kernel(
         m0 = jnp.full((num_kv_heads, group, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((num_kv_heads, group, 1), jnp.float32)
         acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
-        _, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+        _, l, acc = jax.lax.fori_loop(first_block, num_blocks, body,
+                                      (m0, l0, acc0))
 
         if fused_write:
             # The current page is always in the LAST block (the current token
@@ -253,6 +267,7 @@ def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
     jax.jit,
     static_argnames=(
         "sm_scale", "pages_per_compute_block", "mask_value", "interpret",
+        "sliding_window",
     ),
 )
 def paged_attention(
@@ -268,6 +283,7 @@ def paged_attention(
     v_scales: jax.Array | None = None,
     k_new: jax.Array | None = None,  # [batch, num_kv_heads, head_dim_q]:
     v_new: jax.Array | None = None,  # fuse the current token's KV write
+    sliding_window: int | None = None,
     mask_value: float = DEFAULT_MASK_VALUE,
     interpret: bool = False,
 ):
@@ -321,6 +337,7 @@ def paged_attention(
         page_size=page_size,
         sm_scale=sm_scale,
         mask_value=mask_value,
+        sliding_window=sliding_window,
     )
 
     def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref, *rest):
@@ -443,7 +460,7 @@ def paged_attention(
 
 def paged_attention_reference(
     q, k_pages, v_pages, seq_lens, page_tables, *, sm_scale=None,
-    k_scales=None, v_scales=None,
+    k_scales=None, v_scales=None, sliding_window=None,
 ):
     """Naive jnp oracle for tests (gather pages, full softmax). O(batch*ctx)."""
     batch, num_q_heads, head_dim_q = q.shape
@@ -473,6 +490,8 @@ def paged_attention_reference(
     s = jnp.einsum("bhgd,bhtd->bhgt", qf, k) * sm_scale
     pos = jnp.arange(max_ctx)[None, None, None, :]
     mask = pos < seq_lens[:, None, None, None]
+    if sliding_window is not None:
+        mask &= pos >= (seq_lens[:, None, None, None] - sliding_window)
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(seq_lens[:, None, None, None] > 0, p, 0.0)

@@ -163,16 +163,21 @@ def shard_params_llama(params: Dict[str, Any], config: ModelConfig,
         "lm_head": put(params.get("lm_head"), rep),
         "blocks": [],
     }
+    colb = NamedSharding(mesh, P(MODEL_AXIS))  # column-parallel bias
     for blk in params["blocks"]:
+        attn = {
+            "wq": put(blk["attn"]["wq"], col),
+            "wk": put(blk["attn"]["wk"], col),
+            "wv": put(blk["attn"]["wv"], col),
+            "wo": put(blk["attn"]["wo"], row),
+        }
+        for b in ("bq", "bk", "bv"):  # Qwen2-style QKV biases
+            if b in blk["attn"]:
+                attn[b] = put(blk["attn"][b], colb)
         out["blocks"].append({
             "input_norm": put(blk["input_norm"], rep),
             "post_attn_norm": put(blk["post_attn_norm"], rep),
-            "attn": {
-                "wq": put(blk["attn"]["wq"], col),
-                "wk": put(blk["attn"]["wk"], col),
-                "wv": put(blk["attn"]["wv"], col),
-                "wo": put(blk["attn"]["wo"], row),
-            },
+            "attn": attn,
             "mlp": {
                 "w_gate": put(blk["mlp"]["w_gate"], col),
                 "w_up": put(blk["mlp"]["w_up"], col),

@@ -25,6 +25,8 @@ def build_engine_config(args) -> EngineConfig:
         "gpt2-xl": ModelConfig.gpt2_xl,
         "llama3-8b": ModelConfig.llama3_8b,
         "llama3-70b": ModelConfig.llama3_70b,
+        "mistral-7b": ModelConfig.mistral_7b,
+        "qwen2-7b": ModelConfig.qwen2_7b,
     }
     if args.model in presets:
         model = presets[args.model](dtype=args.dtype)
