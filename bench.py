@@ -49,13 +49,18 @@ def main():
     import os
 
     on_tpu = jax.default_backend() == "tpu"
-    slots = int(os.environ.get("VLLMINI_BENCH_SLOTS", "8"))
+    slots = int(os.environ.get("VLLMINI_BENCH_SLOTS", "16"))
     chunk = int(os.environ.get("VLLMINI_BENCH_CHUNK", "16"))
     depth = int(os.environ.get("VLLMINI_BENCH_DEPTH", "4"))
+    ps = int(os.environ.get("VLLMINI_BENCH_PS", "32"))
     config = EngineConfig(
         model=ModelConfig.gpt2_124m(dtype="bfloat16" if on_tpu else "float32"),
-        cache=CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=64,
-                          kv_dtype="bfloat16" if on_tpu else "float32"),
+        # page_size >=32 activates the PACKED pool layout for GPT-2's 64-dim
+        # heads (2 tokens per 128-lane row): half the KV bytes vs lane-padding.
+        cache=CacheConfig(
+            num_pages=max(512 * 32 // ps, slots * 1024 // ps), page_size=ps,
+            max_pages_per_seq=1024 // ps,
+            kv_dtype="bfloat16" if on_tpu else "float32"),
         scheduler=SchedulerConfig(max_decode_slots=slots,
                                   decode_chunk_steps=chunk,
                                   pipeline_depth=depth,

@@ -18,9 +18,9 @@ from vllmini_tpu.engine.sampling import sample_tokens
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    B = 8
+    B = int(__import__("os").environ.get("PB", "8"))
     config = ModelConfig.gpt2_124m(dtype="bfloat16" if on_tpu else "float32")
-    cache = CacheConfig(num_pages=1024, page_size=16, max_pages_per_seq=32,
+    cache = CacheConfig(num_pages=int(__import__("os").environ.get("PNP", "1024")), page_size=int(__import__("os").environ.get("PPS", "16")), max_pages_per_seq=int(__import__("os").environ.get("PMP", "32")),
                         kv_dtype=config.dtype)
     family = get_family(config)
     params = family.init_params(config, jax.random.PRNGKey(0))

@@ -207,3 +207,110 @@ def test_sliding_window_matches_oracle():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5,
                                    err_msg=f"window={window}")
+
+
+# ---------------------------------------------------------------- packed
+
+def _pack_pages(pages, packing):
+    H, Pg, ps, d = pages.shape
+    return pages.reshape(H, Pg, ps // packing, packing * d)
+
+
+@pytest.mark.parametrize("packing,head_dim", [(2, 64), (4, 32)])
+def test_packed_layout_matches_oracle(packing, head_dim):
+    """Packed pool rows (P tokens per 128-lane row) == unpacked oracle."""
+    key = jax.random.PRNGKey(40)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=head_dim,
+        num_pages=16, page_size=8, pages_per_seq=4,
+        seq_lens=[17, 1, 32])
+    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    out = paged_attention(q, _pack_pages(kp, packing),
+                          _pack_pages(vp, packing), sl, pt,
+                          packing=packing, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_packed_fused_write_matches_separate():
+    from vllmini_tpu.ops.kv_write import write_kv_decode
+
+    packing, head_dim = 2, 64
+    key = jax.random.PRNGKey(41)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=head_dim,
+        num_pages=16, page_size=8, pages_per_seq=4, seq_lens=[17, 1, 32])
+    k_new = jax.random.normal(jax.random.PRNGKey(42), (3, 4, head_dim))
+    v_new = jax.random.normal(jax.random.PRNGKey(43), (3, 4, head_dim))
+    positions = sl - 1
+    active = sl > 0
+
+    # Oracle in the UNPACKED layout.
+    kp_ref, vp_ref = write_kv_decode(kp, vp, k_new, v_new, positions, pt,
+                                     active, interpret=True)
+    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
+
+    out, kp_out, vp_out = paged_attention(
+        q, _pack_pages(kp, packing), _pack_pages(vp, packing), sl, pt,
+        k_new=k_new, v_new=v_new, packing=packing, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kp_out),
+                                  np.asarray(_pack_pages(kp_ref, packing)))
+    np.testing.assert_array_equal(np.asarray(vp_out),
+                                  np.asarray(_pack_pages(vp_ref, packing)))
+
+    # The packed separate write op agrees too.
+    kp2, vp2 = write_kv_decode(_pack_pages(kp, packing),
+                               _pack_pages(vp, packing), k_new, v_new,
+                               positions, pt, active, interpret=True,
+                               packing=packing)
+    np.testing.assert_array_equal(np.asarray(kp2),
+                                  np.asarray(_pack_pages(kp_ref, packing)))
+
+
+def test_packed_prefill_write_matches_unpacked():
+    from vllmini_tpu.ops.kv_write import write_kv_prefill
+
+    packing, head_dim, ps = 2, 64, 8
+    key = jax.random.PRNGKey(44)
+    H, n_pages = 4, 12
+    L = 19
+    k_new = jax.random.normal(key, (24, H, head_dim))
+    v_new = jax.random.normal(jax.random.PRNGKey(45), (24, H, head_dim))
+    table = jnp.asarray([5, 2, 9, 0], jnp.int32)
+    kp = jnp.zeros((H, n_pages, ps, head_dim))
+    vp = jnp.zeros_like(kp)
+    kp_ref, vp_ref = write_kv_prefill(kp, vp, k_new, v_new, table,
+                                      jnp.int32(L))
+    kp_pk, vp_pk = write_kv_prefill(
+        _pack_pages(kp, packing), _pack_pages(vp, packing), k_new, v_new,
+        table, jnp.int32(L), packing=packing)
+    np.testing.assert_array_equal(np.asarray(kp_pk),
+                                  np.asarray(_pack_pages(kp_ref, packing)))
+    np.testing.assert_array_equal(np.asarray(vp_pk),
+                                  np.asarray(_pack_pages(vp_ref, packing)))
+
+
+def test_packed_quantized_matches_oracle():
+    packing, head_dim = 2, 64
+    key = jax.random.PRNGKey(46)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=head_dim,
+        num_pages=16, page_size=8, pages_per_seq=4, seq_lens=[17, 32])
+
+    def quant(p):  # per-token int8, unpacked layout
+        amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
+        return qv, scale[..., 0]
+
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    out = paged_attention(q, _pack_pages(kq, packing),
+                          _pack_pages(vq, packing), sl, pt,
+                          k_scales=ks, v_scales=vs, packing=packing,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)

@@ -81,3 +81,45 @@ def test_quantized_kv_swap_preemption():
     for sid in ids:
         assert s.get(sid).state == SequenceState.FINISHED
         assert len(s.get(sid).generated_ids()) == 4
+
+
+def test_packed_pool_engine_matches_padded():
+    """Engine with the PACKED pool layout (head_dim<128) generates the same
+    greedy tokens as the lane-padded layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllmini_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                    SamplingParams, SchedulerConfig)
+    from vllmini_tpu.engine.engine import LLMEngine
+    from vllmini_tpu.engine.scheduler import Scheduler
+    from vllmini_tpu.models.registry import get_family
+
+    model = ModelConfig(family="gpt2", vocab_size=97, hidden_size=64,
+                        num_layers=2, num_heads=2,
+                        max_position_embeddings=256, dtype="float32")
+    family = get_family(model)
+    params = family.init_params(model, jax.random.PRNGKey(5))
+
+    outs = {}
+    for mode, pad_to in (("packed", 128), ("padded", 0)):
+        cache = CacheConfig(num_pages=16, page_size=32, max_pages_per_seq=4,
+                            kv_dtype="float32",
+                            head_pad_to=pad_to if pad_to else 1)
+        cfg = EngineConfig(model=model, cache=cache,
+                           scheduler=SchedulerConfig(
+                               max_decode_slots=2, decode_chunk_steps=3,
+                               prefill_buckets=(32,)),
+                           hf_model=None)
+        engine = LLMEngine(cfg, params=jax.tree.map(jnp.copy, params))
+        if mode == "packed":
+            assert engine.pool.packing == 4, engine.pool.packing
+        else:
+            assert engine.pool.packing == 1
+        sched = Scheduler(engine)
+        rid = sched.add_request([3, 1, 4, 1, 5],
+                                SamplingParams(max_new_tokens=9, greedy=True))
+        sched.run_to_completion(max_steps=100)
+        outs[mode] = sched.get(rid).output_ids
+        assert len(outs[mode]) == 9
+    assert outs["packed"] == outs["padded"], outs

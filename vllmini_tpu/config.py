@@ -200,8 +200,27 @@ class CacheConfig:
                 "int8": 32, "fp8_e4m3": 32, "fp8_e5m2": 32}[self.kv_dtype]
 
     def padded_head_dim(self, head_size: int) -> int:
+        if self.packing_for(head_size) > 1:
+            return head_size  # packed layout wastes no lanes
         m = max(1, self.head_pad_to)
         return -(-head_size // m) * m
+
+    def packing_for(self, head_size: int) -> int:
+        """Tokens per 128-lane pool row (packed layout for head_size < 128).
+
+        Packing requires 128 % head_size == 0 and enough page rows to stay
+        DMA-tile-aligned (page_size/P a multiple of the dtype sublane tile);
+        otherwise 1 (lane-padded layout)."""
+        if self.head_pad_to <= 1:  # explicit unpadded/test mode
+            return 1
+        if head_size >= 128 or 128 % head_size != 0:
+            return 1
+        p = 128 // head_size
+        if self.page_size % p != 0:
+            return 1
+        if (self.page_size // p) % self.sublane_tile != 0:
+            return 1
+        return p
 
     def __post_init__(self):
         if self.page_size < 1:

@@ -127,11 +127,16 @@ class LLMEngine:
         if not self.interpret:
             # Native Mosaic DMA constraints (see ops/paged_attention.py).
             tile = config.cache.sublane_tile
-            if config.cache.page_size % tile != 0:
+            packing = config.cache.packing_for(config.model.head_size)
+            pool_rows = config.cache.page_size // packing
+            if pool_rows % tile != 0:
                 raise ValueError(
-                    f"page_size={config.cache.page_size} must be a multiple "
-                    f"of {tile} for kv_dtype={config.cache.kv_dtype} on TPU")
-            if config.cache.padded_head_dim(config.model.head_size) % 128:
+                    f"page_size={config.cache.page_size} (packing {packing}) "
+                    f"must give page rows divisible by {tile} for "
+                    f"kv_dtype={config.cache.kv_dtype} on TPU")
+            if (packing == 1 and
+                    config.cache.padded_head_dim(config.model.head_size)
+                    % 128):
                 raise ValueError("pool head_dim must be 128-aligned on TPU; "
                                  "set CacheConfig.head_pad_to=128")
 
@@ -207,7 +212,8 @@ class LLMEngine:
 
             pspecs = param_specs(self.params)
             poolspecs = pool_pspec(config.model.num_layers,
-                                   self.pool.quantized)
+                                   self.pool.quantized,
+                                   packing=self.pool.packing)
             stspecs = jax.tree.map(lambda _: P(), self.state)
 
             def chunk_sharded(params, pool, state, tables, budget, rng, *,

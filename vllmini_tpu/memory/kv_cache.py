@@ -38,13 +38,23 @@ class KVPool:
     """All KV state for one model, all layers, all sequences.
 
     Each list holds `num_layers` arrays of shape
-    [num_kv_heads, num_pages, page_size, head_dim] (scales: [..., page_size]).
+    [num_kv_heads, num_pages, page_size/packing, packing*head_dim]
+    (scales: [num_kv_heads, num_pages, page_size]).
+
+    `packing` > 1 is the PACKED layout for head_dim < 128: `packing` adjacent
+    tokens share one 128-lane row (token t of a page lives in row t//packing,
+    lanes (t%packing)*head_dim ...). Byte-identical to the unpadded contiguous
+    [page_size, head_dim] data, so it reads/writes at full DMA width with NO
+    lane-padding waste — for GPT-2's 64-dim heads this halves KV bytes vs the
+    pad-to-128 layout. packing == 1 is the plain (possibly lane-padded)
+    layout.
     """
 
     k_pages: List[jax.Array]
     v_pages: List[jax.Array]
     k_scales: Optional[List[jax.Array]]
     v_scales: Optional[List[jax.Array]]
+    packing: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
     def num_layers(self) -> int:
@@ -60,11 +70,12 @@ class KVPool:
 
     @property
     def page_size(self) -> int:
-        return self.k_pages[0].shape[2]
+        return self.k_pages[0].shape[2] * self.packing
 
     @property
     def head_dim(self) -> int:
-        return self.k_pages[0].shape[3]
+        """Logical per-token head dim (lane width / packing)."""
+        return self.k_pages[0].shape[3] // self.packing
 
     @property
     def quantized(self) -> bool:
@@ -87,7 +98,8 @@ class KVPool:
             ks_list = list(self.k_scales)
             vs_list = list(self.v_scales)
             ks_list[i], vs_list[i] = k_scales, v_scales
-        return KVPool(k_list, v_list, ks_list, vs_list)
+        return KVPool(k_list, v_list, ks_list, vs_list,
+                      packing=self.packing)
 
     def bytes(self) -> int:
         total = sum(x.nbytes for x in self.k_pages)
@@ -115,8 +127,22 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
     target = _jnp.dtype(target_dtype)
     quant_targets = (_jnp.int8, _jnp.dtype("float8_e4m3fn"),
                      _jnp.dtype("float8_e5m2"))
+    P = pool.packing
 
-    def quantize(x):  # [H, P, ps, d] float -> (q, scale [H, P, ps])
+    def unpack(x):  # packed rows -> per-token rows [H, Pg, ps, d]
+        if P == 1:
+            return x
+        H, Pg, rows, lanes = x.shape
+        return x.reshape(H, Pg, rows * P, lanes // P)
+
+    def repack(x):
+        if P == 1:
+            return x
+        H, Pg, ps, d = x.shape
+        return x.reshape(H, Pg, ps // P, d * P)
+
+    def quantize(x):  # [H, Pg, ps, d] float -> (q, scale [H, Pg, ps])
+        x = unpack(x)
         amax = _jnp.max(_jnp.abs(x.astype(_jnp.float32)), axis=-1)
         qmax = 127.0 if target == _jnp.int8 else float(
             _jnp.finfo(target).max)
@@ -124,10 +150,11 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
         q = x.astype(_jnp.float32) / scale[..., None]
         if target == _jnp.int8:
             q = _jnp.clip(_jnp.round(q), -qmax, qmax)
-        return q.astype(target), scale.astype(_jnp.float32)
+        return repack(q.astype(target)), scale.astype(_jnp.float32)
 
     def dequantize(x, s):
-        return (x.astype(_jnp.float32) * s[..., None]).astype(target)
+        y = unpack(x).astype(_jnp.float32) * s[..., None]
+        return repack(y.astype(target))
 
     if target in quant_targets:
         if pool.quantized:  # re-quantize via fp32
@@ -135,17 +162,18 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
         kq = [quantize(x) for x in pool.k_pages]
         vq = [quantize(x) for x in pool.v_pages]
         return KVPool(k_pages=[q for q, _ in kq], v_pages=[q for q, _ in vq],
-                      k_scales=[s for _, s in kq], v_scales=[s for _, s in vq])
+                      k_scales=[s for _, s in kq],
+                      v_scales=[s for _, s in vq], packing=P)
     if pool.quantized:
         return KVPool(
             k_pages=[dequantize(x, s) for x, s in zip(pool.k_pages,
                                                       pool.k_scales)],
             v_pages=[dequantize(x, s) for x, s in zip(pool.v_pages,
                                                       pool.v_scales)],
-            k_scales=None, v_scales=None)
+            k_scales=None, v_scales=None, packing=P)
     return KVPool(k_pages=[x.astype(target) for x in pool.k_pages],
                   v_pages=[x.astype(target) for x in pool.v_pages],
-                  k_scales=None, v_scales=None)
+                  k_scales=None, v_scales=None, packing=P)
 
 
 def create_kv_pool(model: ModelConfig, cache: CacheConfig,
@@ -158,9 +186,19 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     page: padding/inactive writes land there unconditionally, which lets the
     KV-write ops avoid `lax.cond` (a cond around a pool update forces XLA to
     copy the whole pool). The allocator never hands it out; its index equals
-    the page-table padding sentinel (`cache.num_pages`)."""
-    shape = (model.kv_heads, cache.num_pages + 1, cache.page_size,
-             cache.padded_head_dim(model.head_size))
+    the page-table padding sentinel (`cache.num_pages`).
+
+    head_size < 128 with a compatible page_size selects the PACKED layout
+    (see KVPool.packing): no lane padding, half the KV bytes for 64-dim
+    heads."""
+    packing = cache.packing_for(model.head_size)
+    if packing > 1:
+        shape = (model.kv_heads, cache.num_pages + 1,
+                 cache.page_size // packing, packing * model.head_size)
+    else:
+        shape = (model.kv_heads, cache.num_pages + 1, cache.page_size,
+                 cache.padded_head_dim(model.head_size))
+    scale_shape = (model.kv_heads, cache.num_pages + 1, cache.page_size)
     dtype = cache.jnp_kv_dtype
     L = model.num_layers
 
@@ -174,6 +212,6 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     v_pages = [_zeros(shape, dtype) for _ in range(L)]
     k_scales = v_scales = None
     if cache.quantized:
-        k_scales = [_zeros(shape[:-1], jnp.float32) for _ in range(L)]
-        v_scales = [_zeros(shape[:-1], jnp.float32) for _ in range(L)]
-    return KVPool(k_pages, v_pages, k_scales, v_scales)
+        k_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
+        v_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
+    return KVPool(k_pages, v_pages, k_scales, v_scales, packing=packing)

@@ -115,7 +115,7 @@ def prefill_forward(
             kp, vp, ks, vs = pool.layer(i)
             out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
                                    start_pos=start_pos, k_scales=ks,
-                                   v_scales=vs)
+                                   v_scales=vs, packing=pool.packing)
             if pool.quantized:
                 kp, vp, ks, vs = out
             else:
@@ -176,6 +176,7 @@ def decode_forward(
                                        k_scales=ks, v_scales=vs,
                                        k_new=k_src, v_new=v_src,
                                        sliding_window=config.sliding_window,
+                                       packing=pool.packing,
                                        interpret=interpret)
         pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
         x = x + maybe_psum(

@@ -57,13 +57,13 @@ def _quantize_tokens(x: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
 
 
 def _decode_write_kernel(
-    page_idx_ref, offset_ref,       # scalar prefetch [B] i32
-    k_new_ref, v_new_ref,           # VMEM [B, H, head_dim]
+    page_idx_ref, offset_ref,       # scalar prefetch [B] i32 (token offset)
+    k_new_ref, v_new_ref,           # VMEM [B, H, lane_w] (lanes pre-placed)
     k_pages_any, v_pages_any,       # ANY (aliased with the outputs)
     k_out, v_out,                   # ANY outputs (same memory)
-    k_buf, v_buf,                   # VMEM [B, H, page_size, head_dim]
+    k_buf, v_buf,                   # VMEM [B, H, page_rows, lane_w]
     sem,
-    *, batch: int,
+    *, batch: int, packing: int = 1,
 ):
     """Read-modify-write each slot's current page in one kernel launch.
 
@@ -94,10 +94,16 @@ def _decode_write_kernel(
     for c in copies(True):
         c.wait()
 
-    page_size = k_buf.shape[2]
+    page_rows, lane_w = k_buf.shape[2], k_buf.shape[3]
+    d = lane_w // packing
     for b in range(batch):
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, page_size, 1), 1)
-        hit = row == offset_ref[b]
+        off = offset_ref[b]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, page_rows, lane_w), 1)
+        hit = row == (off // packing)
+        if packing > 1:
+            lane_block = jax.lax.broadcasted_iota(
+                jnp.int32, (1, page_rows, lane_w), 2) // d
+            hit = hit & (lane_block == jax.lax.rem(off, packing))
         k_buf[b] = jnp.where(hit, k_new_ref[b][:, None, :], k_buf[b])
         v_buf[b] = jnp.where(hit, v_new_ref[b][:, None, :], v_buf[b])
 
@@ -107,11 +113,12 @@ def _decode_write_kernel(
         c.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "packing"))
 def _write_kv_decode_fused(k_pages, v_pages, k_new, v_new, page_idx, offset,
-                           *, interpret: bool = False):
+                           *, interpret: bool = False, packing: int = 1):
     batch = k_new.shape[0]
-    kernel = functools.partial(_decode_write_kernel, batch=batch)
+    kernel = functools.partial(_decode_write_kernel, batch=batch,
+                               packing=packing)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -175,9 +182,21 @@ def quantize_decode_tokens(
     return k_q, v_q, k_scales, v_scales
 
 
+def _place_lanes(x: jax.Array, positions: jax.Array, packing: int,
+                 lane_w: int) -> jax.Array:
+    """[B, H, d] -> [B, H, lane_w] with each token's values in its lane block
+    (position mod packing); identity reshape for packing == 1."""
+    B, H, d = x.shape
+    if packing == 1:
+        return x
+    lb = positions.astype(jnp.int32) % packing
+    onehot = jax.nn.one_hot(lb, packing, dtype=x.dtype)  # [B, P]
+    return jnp.einsum("bp,bhd->bhpd", onehot, x).reshape(B, H, lane_w)
+
+
 def write_kv_decode(
-    k_pages: jax.Array,        # [num_kv_heads, num_pages, page_size, head_dim]
-    v_pages: jax.Array,
+    k_pages: jax.Array,  # [num_kv_heads, num_pages, page_size/packing,
+    v_pages: jax.Array,  #   packing*head_dim]
     k_new: jax.Array,          # [batch, num_kv_heads, head_dim] (one token/seq)
     v_new: jax.Array,
     positions: jax.Array,      # [batch] int32 — token position (0-based)
@@ -186,14 +205,18 @@ def write_kv_decode(
     k_scales: Optional[jax.Array] = None,  # [num_kv_heads, num_pages, page_size]
     v_scales: Optional[jax.Array] = None,
     interpret: bool = False,
+    packing: int = 1,
 ):
     """Scatter one new token per sequence into the paged KV pool.
 
     Returns (k_pages, v_pages) or (k_pages, v_pages, k_scales, v_scales).
     """
     batch = k_new.shape[0]
-    num_pages, page_size = k_pages.shape[1], k_pages.shape[2]
-    k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
+    num_pages = k_pages.shape[1]
+    page_size = k_pages.shape[2] * packing  # logical tokens per page
+    lane_w = k_pages.shape[3]
+    if packing == 1:
+        k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
 
     logical_page = positions // page_size
     offset = positions % page_size
@@ -209,6 +232,8 @@ def write_kv_decode(
         k_src, v_src = k_q, v_q
     else:
         k_src, v_src = k_new.astype(kv_dtype), v_new.astype(kv_dtype)
+    k_src = _place_lanes(k_src, positions, packing, lane_w)
+    v_src = _place_lanes(v_src, positions, packing, lane_w)
 
     # Inactive slots write to the pool's dedicated TRASH page (the last
     # physical page, see memory/kv_cache.py): every write becomes
@@ -220,7 +245,7 @@ def write_kv_decode(
     # Payload goes through the fused one-launch RMW kernel.
     k_pages, v_pages = _write_kv_decode_fused(
         k_pages, v_pages, k_src, v_src, page_idx.astype(jnp.int32),
-        offset.astype(jnp.int32), interpret=interpret)
+        offset.astype(jnp.int32), interpret=interpret, packing=packing)
 
     if k_scales is not None:
         # Scale pools are below Mosaic's DMA tiling granularity; update them
@@ -233,8 +258,8 @@ def write_kv_decode(
 
 
 def write_kv_prefill(
-    k_pages: jax.Array,       # [num_kv_heads, num_pages, page_size, head_dim]
-    v_pages: jax.Array,
+    k_pages: jax.Array,  # [num_kv_heads, num_pages, page_size/packing,
+    v_pages: jax.Array,  #   packing*head_dim]
     k_new: jax.Array,         # [seq_len_padded, num_kv_heads, head_dim]
     v_new: jax.Array,
     page_table: jax.Array,    # [pages_per_seq_max] int32 (one sequence)
@@ -242,6 +267,7 @@ def write_kv_prefill(
     start_pos: jax.Array | int = 0,  # first token's absolute position
     k_scales: Optional[jax.Array] = None,
     v_scales: Optional[jax.Array] = None,
+    packing: int = 1,
 ):
     """Scatter a whole (padded) prompt's K/V into the pool for one sequence.
 
@@ -251,8 +277,11 @@ def write_kv_prefill(
     max_pages_per_seq * page_size lands in its own pages.
     """
     L = k_new.shape[0]
-    num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
-    k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
+    num_kv_heads, num_pages = k_pages.shape[0], k_pages.shape[1]
+    page_size = k_pages.shape[2] * packing  # logical tokens per page
+    head_dim = k_pages.shape[3] // packing
+    if packing == 1:
+        k_new, v_new = _pad_head(k_new, k_pages), _pad_head(v_new, v_pages)
 
     kv_dtype = k_pages.dtype
     if k_scales is not None:
@@ -282,6 +311,13 @@ def write_kv_prefill(
                                      head_dim).transpose(0, 2, 1, 3)
     v_pg = pad_tokens(v_src).reshape(-1, page_size, num_kv_heads,
                                      head_dim).transpose(0, 2, 1, 3)
+    if packing > 1:
+        # Contiguous (page_size, d) -> (page_size/packing, packing*d): the
+        # packed row layout is byte-identical, so this is a pure reshape.
+        k_pg = k_pg.reshape(k_pg.shape[0], num_kv_heads,
+                            page_size // packing, packing * head_dim)
+        v_pg = v_pg.reshape(v_pg.shape[0], num_kv_heads,
+                            page_size // packing, packing * head_dim)
     if k_s is not None:
         ks_pg = pad_tokens(k_s).reshape(-1, page_size,
                                         num_kv_heads).transpose(0, 2, 1)

@@ -48,26 +48,32 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 class _PageGatherCopy:
-    """Async-gather of a compute block's non-contiguous KV pages into one VMEM
-    slot, ALL HEADS per page in a single strided DMA.
+    """Async-gather of a compute block's non-contiguous KV pages — for ALL
+    the program's sequences at once — into one VMEM slot, ALL HEADS per page
+    in a single strided DMA.
 
     `pages_hbm_ref.at[:, page]` is a strided slice (head stride = pool
     pages*page_size*head_dim); the DMA engine walks it natively, so one
-    descriptor moves `num_kv_heads x page_size x head_dim` bytes.
+    descriptor moves `num_kv_heads x page_size x head_dim` bytes. All
+    `seqs_per_program * pages_per_block` descriptors go in flight together —
+    batching sequences per program amortizes the wait latency that dominates
+    a one-sequence-per-program grid.
     """
 
-    def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref, seq_idx,
-                 block_idx, slot, pages_per_block):
+    def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref,
+                 seq0, seqs_per_program, block_idx, slot, pages_per_block):
         self._copies = []
-        for j in range(pages_per_block):
-            page_idx = page_tables_ref[seq_idx, block_idx * pages_per_block + j]
-            self._copies.append(
-                pltpu.make_async_copy(
-                    pages_hbm_ref.at[:, page_idx],  # [H, page_size, head_dim]
-                    vmem_buf.at[slot, j],
-                    sem,
+        for s in range(seqs_per_program):
+            for j in range(pages_per_block):
+                page_idx = page_tables_ref[
+                    seq0 + s, block_idx * pages_per_block + j]
+                self._copies.append(
+                    pltpu.make_async_copy(
+                        pages_hbm_ref.at[:, page_idx],  # [H, rows, lane_w]
+                        vmem_buf.at[slot, s, j],
+                        sem,
+                    )
                 )
-            )
 
     def start(self):
         for c in self._copies:
@@ -83,88 +89,126 @@ def _paged_attention_kernel(
     seq_lens_ref,      # [batch] int32 (length INCLUDES the current token)
     page_tables_ref,   # [batch, pages_per_seq_max] int32 (clamped in range)
     # inputs
-    q_ref,             # [1, num_kv_heads, group, head_dim] VMEM
-    k_new_ref,         # [1, num_kv_heads, head_dim] VMEM or None (fused write)
-    v_new_ref,
-    k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size, head_dim] HBM/ANY
-    v_pages_hbm_ref,
-    k_scale_rows_ref,  # [1, num_kv_heads, ctx_pad] f32 VMEM or None
+    q_ref,             # [S, num_kv_heads, group, head_dim] VMEM (LOGICAL d)
+    k_new_ref,         # [S, num_kv_heads, packing*head_dim] VMEM or None;
+    v_new_ref,         #   packed layouts pre-place the token's lanes
+    k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size/packing,
+    v_pages_hbm_ref,   #   packing*head_dim] HBM/ANY
+    k_scale_rows_ref,  # [S, num_kv_heads, packing, ctx_pad/packing] f32|None
     v_scale_rows_ref,
     # outputs
-    o_ref,             # [1, num_kv_heads, group, head_dim] VMEM
+    o_ref,             # [S, num_kv_heads, group, head_dim] VMEM
     # scratch
-    k_buf, v_buf,      # [2, pages_per_block, num_kv_heads, page_size, head_dim]
+    k_buf, v_buf,      # [2, S, ppb, num_kv_heads, rows, packing*d]
+    k_wb, v_wb,        # [S, num_kv_heads, rows, packing*d] writeback staging
     k_sem, v_sem, wb_sem,
     *,
     pages_per_block: int,
-    page_size: int,
+    page_size: int,          # LOGICAL tokens per page
     sm_scale: float,
     mask_value: float,
     sliding_window: int | None = None,
+    packing: int = 1,
+    seqs_per_program: int = 1,
 ):
-    b = pl.program_id(0)
-    seq_len = seq_lens_ref[b]
+    """One grid program handles `seqs_per_program` (S) sequences: their page
+    gathers go in flight together and all math is batched over the extra S
+    dim, amortizing the DMA-wait latency that dominates one-seq programs.
+
+    packing > 1: `packing` adjacent tokens share one 128-lane pool row
+    (lane block l holds token row*packing+l). Scores become `packing` batched
+    dots of q placed in lane block l against the packed rows — same MXU MACs
+    as the lane-padded layout, HALF (for packing=2) the HBM traffic."""
+    g_id = pl.program_id(0)
+    S = seqs_per_program
+    seq0 = g_id * S
     num_kv_heads, group, head_dim = (
         q_ref.shape[1], q_ref.shape[2], q_ref.shape[3])
+    P = packing
     block_tokens = pages_per_block * page_size
+    block_rows = block_tokens // P
+    page_rows = page_size // P
+    lane_w = P * head_dim
     quantized = k_scale_rows_ref is not None
     fused_write = k_new_ref is not None
 
-    num_blocks = pl.cdiv(seq_len, block_tokens)
-    # Location of the CURRENT token (position seq_len-1) for the fused write.
-    cur_logical = jnp.maximum(seq_len - 1, 0) // page_size
-    cur_block = cur_logical // pages_per_block
-    cur_j = jax.lax.rem(cur_logical, pages_per_block)  # page within block buf
-    cur_off = jax.lax.rem(jnp.maximum(seq_len - 1, 0), page_size)
-    cur_page = page_tables_ref[b, cur_logical]
+    sl_vec = jnp.stack([seq_lens_ref[seq0 + s] for s in range(S)])  # [S]
+    max_len = jnp.max(sl_vec)
+    num_blocks = pl.cdiv(max_len, block_tokens)
+    # Location of each member's CURRENT token (position sl-1), fused write.
+    pos_vec = jnp.maximum(sl_vec - 1, 0)
+    cur_logical = pos_vec // page_size
+    cur_block_vec = cur_logical // pages_per_block
+    cur_j_vec = jax.lax.rem(cur_logical, pages_per_block)
+    cur_off = jax.lax.rem(pos_vec, page_size)
+    cur_row_vec = cur_off // P
+    cur_lb_vec = jax.lax.rem(cur_off, P)
+    cur_pages = [page_tables_ref[seq0 + s, cur_logical[s]] for s in range(S)]
 
-    def writeback_copies(slot):
-        """Push the patched current page (k and v) back to HBM."""
+    def member_writeback(s):
+        """The member's patched current page (staged in k_wb/v_wb, so later
+        gathers reusing the double buffers cannot clobber it) -> HBM."""
         return [
-            pltpu.make_async_copy(k_buf.at[slot, cur_j],
-                                  k_pages_hbm_ref.at[:, cur_page], wb_sem),
-            pltpu.make_async_copy(v_buf.at[slot, cur_j],
-                                  v_pages_hbm_ref.at[:, cur_page], wb_sem),
+            pltpu.make_async_copy(
+                k_wb.at[s], k_pages_hbm_ref.at[:, cur_pages[s]], wb_sem),
+            pltpu.make_async_copy(
+                v_wb.at[s], v_pages_hbm_ref.at[:, cur_pages[s]], wb_sem),
         ]
 
     def start_block(block_idx, slot):
         _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
-                        b, block_idx, slot, pages_per_block).start()
+                        seq0, S, block_idx, slot, pages_per_block).start()
         _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
-                        b, block_idx, slot, pages_per_block).start()
+                        seq0, S, block_idx, slot, pages_per_block).start()
 
     def wait_block(block_idx, slot):
         _PageGatherCopy(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
-                        b, block_idx, slot, pages_per_block).wait()
+                        seq0, S, block_idx, slot, pages_per_block).wait()
         _PageGatherCopy(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
-                        b, block_idx, slot, pages_per_block).wait()
+                        seq0, S, block_idx, slot, pages_per_block).wait()
 
-    @pl.when(seq_len == 0)
+    @pl.when(max_len == 0)
     def _():
-        # Inactive batch slot: emit zeros, no DMA, no write.
+        # All member slots inactive: emit zeros, no DMA, no write.
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    @pl.when(seq_len > 0)
+    @pl.when(max_len > 0)
     def _():
-        # Whole blocks strictly below the sliding window carry no attended
-        # tokens: skip their DMAs entirely.
+        # Whole blocks strictly below every member's sliding window carry no
+        # attended tokens: skip their DMAs entirely.
         if sliding_window is None:
             first_block = 0
         else:
-            first_block = (jnp.maximum(seq_len - sliding_window, 0)
-                           // block_tokens)
+            first_block = jnp.min(
+                jnp.maximum(sl_vec - sliding_window, 0)) // block_tokens
         start_block(first_block, jax.lax.rem(first_block, 2))
 
-        # [H, group, head_dim] fp32
-        q = q_ref[0].astype(jnp.float32) * sm_scale
+        SH = S * num_kv_heads
+        # Mosaic matmul supports ONE batch dim: merge (S, H) -> SH.
+        # [SH, group, head_dim] fp32 (logical d)
+        q = q_ref[...].astype(jnp.float32).reshape(
+            SH, group, head_dim) * sm_scale
+        # q placed in each lane block (static pads; P copies).
+        q_lanes = [
+            jnp.pad(q, ((0, 0), (0, 0),
+                        (l * head_dim, (P - 1 - l) * head_dim)))
+            for l in range(P)
+        ]
+        def per_member_mask(fn):
+            """[SH, group, block_rows] bool from a scalar-threshold predicate
+            per member (concat of broadcasts; no reshapes — Mosaic rejects
+            sublane-merging shape casts on small int vectors)."""
+            return jnp.concatenate(
+                [jnp.broadcast_to(fn(sl_vec[s]),
+                                  (num_kv_heads,) + fn(sl_vec[s]).shape[1:])
+                 for s in range(S)], axis=0)
 
         def load_kv(buf, slot):
-            # [ppb, H, ps, d] -> [H, ppb*ps, d] (leading-dim shuffle only; no
-            # lane/sublane relayout).
+            # [S, ppb, H, rows, P*d] -> [SH, ppb*rows, P*d] (leading-dim
+            # shuffle only; no lane/sublane relayout).
             x = buf[slot]
-            x = jnp.transpose(x, (1, 0, 2, 3))
-            return x.reshape(num_kv_heads, block_tokens, head_dim).astype(
-                jnp.float32)
+            x = jnp.transpose(x, (0, 2, 1, 3, 4))
+            return x.reshape(SH, block_rows, lane_w).astype(jnp.float32)
 
         def body(i, carry):
             m_prev, l_prev, acc_prev = carry
@@ -177,97 +221,148 @@ def _paged_attention_kernel(
             wait_block(i, slot)
 
             if fused_write:
-                # Patch the current token's K/V row into the freshly gathered
-                # page IN VMEM, then push just that page back to HBM while
-                # attention computes on it. This replaces a whole separate
-                # read-modify-write kernel per layer (TPU analog of
-                # `reshape_and_cache`, `cache_kernels.cu:153-207`, fused into
-                # the attention launch).
-                @pl.when(i == cur_block)
-                def _():
-                    row = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, page_size, 1), 1)
-                    hit = row == cur_off
-                    k_buf[slot, cur_j] = jnp.where(
-                        hit, k_new_ref[0][:, None, :], k_buf[slot, cur_j])
-                    v_buf[slot, cur_j] = jnp.where(
-                        hit, v_new_ref[0][:, None, :], v_buf[slot, cur_j])
-                    for c in writeback_copies(slot):
-                        c.start()
+                # Patch each member's current-token K/V lanes into its freshly
+                # gathered page IN VMEM (so this block's attention sees it),
+                # stage the patched page in k_wb/v_wb, and push it back to HBM
+                # while attention computes. Replaces a separate RMW kernel per
+                # layer (TPU analog of `reshape_and_cache`,
+                # `cache_kernels.cu:153-207`). k_new_ref is pre-placed at each
+                # member's lane block.
+                for s in range(S):
+                    @pl.when((i == cur_block_vec[s]) & (sl_vec[s] > 0))
+                    def _(s=s):
+                        row = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, page_rows, lane_w), 1)
+                        hit = row == cur_row_vec[s]
+                        if P > 1:
+                            lane_block = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, page_rows, lane_w),
+                                2) // head_dim
+                            hit = hit & (lane_block == cur_lb_vec[s])
+                        jm = cur_j_vec[s]
+                        pk = jnp.where(hit, k_new_ref[s][:, None, :],
+                                       k_buf[slot, s, jm])
+                        pv = jnp.where(hit, v_new_ref[s][:, None, :],
+                                       v_buf[slot, s, jm])
+                        k_buf[slot, s, jm] = pk  # this block attends to it
+                        v_buf[slot, s, jm] = pv
+                        k_wb[s] = pk             # staged for write-back
+                        v_wb[s] = pv
 
-            tok0 = pl.multiple_of(i * block_tokens, block_tokens)
-            k = load_kv(k_buf, slot)  # [H, bt, d]
-            if quantized:
-                ks = k_scale_rows_ref[0, :, pl.ds(tok0, block_tokens)]
-                k = k * ks[:, :, None]
+            row0 = pl.multiple_of(i * block_rows, block_rows)
+            k = load_kv(k_buf, slot)  # [SH, bR, P*d]
 
-            # Batched over heads on the MXU: [H, g, d] x [H, bt, d] -> [H, g, bt]
-            s = jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+            # Scores per lane block: s_l[sh, g, R] = q . token(R*P + l).
+            s_list = []
+            for l in range(P):
+                s = jax.lax.dot_general(
+                    q_lanes[l], k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [SH, g, bR]
+                if quantized:
+                    ks = k_scale_rows_ref[
+                        :, :, l, pl.ds(row0, block_rows)].reshape(
+                            SH, block_rows)
+                    s = s * ks[:, None, :]
+                token_pos = (
+                    i * block_tokens + l
+                    + P * jax.lax.broadcasted_iota(
+                        jnp.int32, (1, group, block_rows), 2)
+                )  # [1, g, bR], same for every (seq, head) row
 
-            token_pos = (
-                i * block_tokens
-                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-            )
-            valid = token_pos < seq_len
-            if sliding_window is not None:
-                # Mistral-style window: the current token (pos seq_len-1)
-                # attends to positions (seq_len-1-window, seq_len-1].
-                valid &= token_pos >= seq_len - sliding_window
-            s = jnp.where(valid, s, mask_value)
+                def _valid(sl, token_pos=token_pos):
+                    v = token_pos < sl
+                    if sliding_window is not None:
+                        # Mistral-style window: the current token (pos sl-1)
+                        # attends to positions (sl-1-window, sl-1].
+                        v &= token_pos >= sl - sliding_window
+                    return v
+                valid = per_member_mask(_valid)       # [SH, g, bR]
+                s_list.append(jnp.where(valid, s, mask_value))
 
-            m_cur = jnp.max(s, axis=-1, keepdims=True)          # [H, g, 1]
+            m_cur = s_list[0].max(axis=-1, keepdims=True)
+            for s in s_list[1:]:
+                m_cur = jnp.maximum(m_cur, s.max(axis=-1, keepdims=True))
             m_next = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)                             # [H, g, bt]
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-            v = load_kv(v_buf, slot)  # [H, bt, d]
-            if quantized:
-                vs = v_scale_rows_ref[0, :, pl.ds(tok0, block_tokens)]
-                v = v * vs[:, :, None]
+            v = load_kv(v_buf, slot)  # [SH, bR, P*d]
+            l_add = jnp.zeros_like(l_prev)
+            o_cur = jnp.zeros_like(acc_prev)
+            for l in range(P):
+                p = jnp.exp(s_list[l] - m_next)                # [SH, g, bR]
+                l_add += jnp.sum(p, axis=-1, keepdims=True)
+                if quantized:
+                    vs = v_scale_rows_ref[
+                        :, :, l, pl.ds(row0, block_rows)].reshape(
+                            SH, block_rows)
+                    p = p * vs[:, None, :]
+                # [SH, g, bR] x [SH, bR, P*d] -> [SH, g, P*d]; only lane
+                # block l carries sum(p_l * v_token(R*P+l)).
+                full = jax.lax.dot_general(
+                    p, v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                o_cur += full[..., l * head_dim:(l + 1) * head_dim]
 
-            # [H, g, bt] x [H, bt, d] -> [H, g, d]
-            o_cur = jax.lax.dot_general(
-                p, v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+            l_next = alpha * l_prev + l_add
             acc_next = alpha * acc_prev + o_cur
             return m_next, l_next, acc_next
 
-        m0 = jnp.full((num_kv_heads, group, 1), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((num_kv_heads, group, 1), jnp.float32)
-        acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
+        SH_ = S * num_kv_heads
+        m0 = jnp.full((SH_, group, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((SH_, group, 1), jnp.float32)
+        acc0 = jnp.zeros((SH_, group, head_dim), jnp.float32)
         _, l, acc = jax.lax.fori_loop(first_block, num_blocks, body,
                                       (m0, l0, acc0))
 
         if fused_write:
-            # The current page is always in the LAST block (the current token
-            # is position seq_len-1), so its buffer slot is never reused by a
-            # later gather; just await the write-back before the program ends.
-            for c in writeback_copies(jax.lax.rem(num_blocks - 1, 2)):
-                c.wait()
+            # All members' current pages are staged in the wb buffers by the
+            # end of the loop; one batch of write-backs, awaited before the
+            # program ends (next program's gathers reuse the double buffers,
+            # but never the staging buffers). Inactive members (seq_len 0)
+            # write NOTHING — the kernel contract the engine's slot lifecycle
+            # relies on.
+            for s in range(S):
+                @pl.when(sl_vec[s] > 0)
+                def _(s=s):
+                    for c in member_writeback(s):
+                        c.start()
+            for s in range(S):
+                @pl.when(sl_vec[s] > 0)
+                def _(s=s):
+                    for c in member_writeback(s):
+                        c.wait()
 
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        out = acc / l
+        # Members with seq_len == 0 saw only masked (finite mask_value)
+        # scores — their softmax is garbage, not zero. Zero them explicitly.
+        zeros1 = jnp.zeros((1, group, head_dim), jnp.int32)
+        active_mask = per_member_mask(lambda sl: zeros1 < sl)  # [SH, g, d]
+        out = jnp.where(active_mask, out, 0.0)
+        o_ref[...] = out.reshape(S, num_kv_heads, group,
+                                 head_dim).astype(o_ref.dtype)
+
+
+import os
 
 
 def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
-    """Aim for 128-token compute blocks (one lane-width of scores)."""
-    if page_size >= 128:
+    """Aim for 256-token compute blocks (two lane-widths of scores)."""
+    target = int(os.environ.get("VLLMINI_BLOCK_TOKENS", "128"))
+    if page_size >= target:
         return 1
-    return max(1, min(pages_per_seq, 128 // page_size))
+    return max(1, min(pages_per_seq, target // page_size))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "pages_per_compute_block", "mask_value", "interpret",
-        "sliding_window",
+        "sliding_window", "packing", "seqs_per_program",
     ),
 )
 def paged_attention(
@@ -284,6 +379,8 @@ def paged_attention(
     k_new: jax.Array | None = None,  # [batch, num_kv_heads, head_dim_q]:
     v_new: jax.Array | None = None,  # fuse the current token's KV write
     sliding_window: int | None = None,
+    packing: int = 1,
+    seqs_per_program: int | None = None,
     mask_value: float = DEFAULT_MASK_VALUE,
     interpret: bool = False,
 ):
@@ -302,7 +399,9 @@ def paged_attention(
     with their scales already scattered into the scale pools).
     """
     batch, num_q_heads, head_dim_q = q.shape
-    num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
+    num_kv_heads, num_pages, pool_rows, lane_w = k_pages.shape
+    page_size = pool_rows * packing       # logical tokens per page
+    head_dim = lane_w // packing          # pool's per-token lane width
     assert head_dim_q <= head_dim
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
@@ -330,7 +429,17 @@ def paged_attention(
     if quantized:
         assert v_scales is not None
 
-    grid = (batch,)
+    # Sequences per grid program: batch the page gathers of several sequences
+    # into one DMA wait (the wait latency, not bandwidth, dominates a
+    # one-seq-per-program grid at serving batch sizes).
+    if seqs_per_program is None:
+        want = int(os.environ.get("VLLMINI_SPP", "8"))
+        seqs_per_program = next(s for s in (want, 8, 4, 2, 1)
+                                if s >= 1 and batch % s == 0)
+    assert batch % seqs_per_program == 0
+    spp = seqs_per_program
+
+    grid = (batch // spp,)
     kernel = functools.partial(
         _paged_attention_kernel,
         pages_per_block=pages_per_compute_block,
@@ -338,6 +447,8 @@ def paged_attention(
         sm_scale=sm_scale,
         mask_value=mask_value,
         sliding_window=sliding_window,
+        packing=packing,
+        seqs_per_program=spp,
     )
 
     def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref, *rest):
@@ -355,61 +466,72 @@ def paged_attention(
             k_hbm, v_hbm = rest.pop(0), rest.pop(0)
         else:
             k_hbm, v_hbm = k_in, v_in
-        kb, vb, ks, vs, wbs = rest
+        kb, vb, kw, vw, ks, vs, wbs = rest
         kernel(seq_lens_ref, page_tables_ref, q_ref, knr, vnr, k_hbm, v_hbm,
-               ksr, vsr, o_ref, kb, vb, ks, vs, wbs)
+               ksr, vsr, o_ref, kb, vb, kw, vw, ks, vs, wbs)
 
     in_specs = [
-        pl.BlockSpec((1, num_kv_heads, group, head_dim),
+        pl.BlockSpec((spp, num_kv_heads, group, head_dim),
                      lambda b, *_: (b, 0, 0, 0)),
     ]
     inputs = [q.reshape(batch, num_kv_heads, group, head_dim)]
     if fused_write:
-        def pad_new(x):
+        def pack_new(x):
             x = x.astype(k_pages.dtype)
             if x.shape[-1] < head_dim:
                 x = jnp.pad(x, ((0, 0), (0, 0),
                                 (0, head_dim - x.shape[-1])))
-            return x.reshape(batch, num_kv_heads, head_dim)
+            if packing == 1:
+                return x.reshape(batch, num_kv_heads, lane_w)
+            # Place the token's d values in its lane block (token position
+            # mod packing) so the kernel's patch is a plain masked select.
+            lb = jnp.maximum(seq_lens.astype(jnp.int32) - 1, 0) % packing
+            onehot = jax.nn.one_hot(lb, packing, dtype=x.dtype)  # [B, P]
+            placed = jnp.einsum("bp,bhd->bhpd", onehot, x)
+            return placed.reshape(batch, num_kv_heads, lane_w)
         in_specs += [
-            pl.BlockSpec((1, num_kv_heads, head_dim),
+            pl.BlockSpec((spp, num_kv_heads, lane_w),
                          lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, head_dim),
+            pl.BlockSpec((spp, num_kv_heads, lane_w),
                          lambda b, *_: (b, 0, 0)),
         ]
-        inputs += [pad_new(k_new), pad_new(v_new)]
+        inputs += [pack_new(k_new), pack_new(v_new)]
     in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),  # k_pages stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # v_pages
     ]
     inputs += [k_pages, v_pages]
     if quantized:
-        # Pre-gather per-sequence dense scale rows [batch, kv_heads, ctx_pad]:
-        # a handful of KB, and it sidesteps Mosaic's inability to DMA-slice
-        # sub-lane-width scale pages.
+        # Pre-gather per-sequence dense scale rows, de-interleaved by lane
+        # block: [batch, kv_heads, packing, ctx_pad/packing]. A handful of
+        # KB, and it sidesteps Mosaic's inability to DMA-slice sub-lane-width
+        # scale pages.
         def rows(scales):
             g = scales[:, page_tables]                 # [Hkv, B, pages, ps]
-            return g.transpose(1, 0, 2, 3).reshape(
-                batch, num_kv_heads, pages_per_seq * page_size
-            ).astype(jnp.float32)
-        ctx_pad = pages_per_seq * page_size
-        in_specs += [
-            pl.BlockSpec((1, num_kv_heads, ctx_pad), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, ctx_pad), lambda b, *_: (b, 0, 0)),
-        ]
+            r = g.transpose(1, 0, 2, 3).reshape(
+                batch, num_kv_heads, pages_per_seq * page_size)
+            r = r.reshape(batch, num_kv_heads, -1,
+                          packing).transpose(0, 1, 3, 2)
+            return r.astype(jnp.float32)
+        ctx_rows = pages_per_seq * page_size // packing
+        scale_spec = pl.BlockSpec((spp, num_kv_heads, packing, ctx_rows),
+                                  lambda b, *_: (b, 0, 0, 0))
+        in_specs += [scale_spec, scale_spec]
         inputs += [rows(k_scales), rows(v_scales)]
 
     scratch_shapes = [
-        pltpu.VMEM((2, pages_per_compute_block, num_kv_heads, page_size,
-                    head_dim), k_pages.dtype),
-        pltpu.VMEM((2, pages_per_compute_block, num_kv_heads, page_size,
-                    head_dim), v_pages.dtype),
+        pltpu.VMEM((2, spp, pages_per_compute_block, num_kv_heads, pool_rows,
+                    lane_w), k_pages.dtype),
+        pltpu.VMEM((2, spp, pages_per_compute_block, num_kv_heads, pool_rows,
+                    lane_w), v_pages.dtype),
+        pltpu.VMEM((spp, num_kv_heads, pool_rows, lane_w), k_pages.dtype),
+        pltpu.VMEM((spp, num_kv_heads, pool_rows, lane_w), v_pages.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
 
-    o_spec = pl.BlockSpec((1, num_kv_heads, group, head_dim),
+    o_spec = pl.BlockSpec((spp, num_kv_heads, group, head_dim),
                           lambda b, *_: (b, 0, 0, 0))
     o_shape = jax.ShapeDtypeStruct(
         (batch, num_kv_heads, group, head_dim), q.dtype)
@@ -458,11 +580,21 @@ def paged_attention(
     return out
 
 
+def unpack_pages(pages: jax.Array, packing: int) -> jax.Array:
+    """Packed [H, P, rows, packing*d] -> per-token [H, P, rows*packing, d]."""
+    if packing == 1:
+        return pages
+    H, Pg, rows, lanes = pages.shape
+    return pages.reshape(H, Pg, rows * packing, lanes // packing)
+
+
 def paged_attention_reference(
     q, k_pages, v_pages, seq_lens, page_tables, *, sm_scale=None,
-    k_scales=None, v_scales=None, sliding_window=None,
+    k_scales=None, v_scales=None, sliding_window=None, packing=1,
 ):
     """Naive jnp oracle for tests (gather pages, full softmax). O(batch*ctx)."""
+    k_pages = unpack_pages(k_pages, packing)
+    v_pages = unpack_pages(v_pages, packing)
     batch, num_q_heads, head_dim_q = q.shape
     num_kv_heads, num_pages, page_size, head_dim = k_pages.shape
     group = num_q_heads // num_kv_heads

@@ -209,14 +209,16 @@ def param_specs(params) -> Any:
                                   is_leaf=lambda x: x is None)
 
 
-def pool_pspec(num_layers: int, quantized: bool) -> KVPool:
+def pool_pspec(num_layers: int, quantized: bool,
+               packing: int = 1) -> KVPool:
     """Per-layer pool arrays [kv_heads, pages, page_size, head_dim]: kv_heads
-    on MODEL (head-sharded KV), pages on DATA (per-replica pools)."""
+    on MODEL (head-sharded KV), pages on DATA (per-replica pools). `packing`
+    must match the value pool's (static pytree fields must agree)."""
     arr = [P(MODEL_AXIS, DATA_AXIS, None, None)] * num_layers
     sc = ([P(MODEL_AXIS, DATA_AXIS, None)] * num_layers if quantized
           else None)
     return KVPool(k_pages=arr, v_pages=list(arr), k_scales=sc,
-                  v_scales=list(sc) if sc else None)
+                  v_scales=list(sc) if sc else None, packing=packing)
 
 
 def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
@@ -229,6 +231,7 @@ def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
                   if pool.k_scales is not None else None),
         v_scales=([jax.device_put(x, ss) for x in pool.v_scales]
                   if pool.v_scales is not None else None),
+        packing=pool.packing,
     )
 
 
