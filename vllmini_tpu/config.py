@@ -58,6 +58,9 @@ class ModelConfig:
     # Sliding-window attention (Mistral-style): each token attends to at most
     # the last `sliding_window` positions. None = full causal.
     sliding_window: Optional[int] = None
+    # Mixture-of-Experts (mixtral family): expert count and router top-k.
+    num_experts: int = 8
+    num_experts_per_tok: int = 2
     dtype: str = "bfloat16"
 
     @property
@@ -125,6 +128,24 @@ class ModelConfig:
             rope_theta=10000.0,
             tie_word_embeddings=False,
             sliding_window=4096,
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def mixtral_8x7b(dtype: str = "bfloat16") -> "ModelConfig":
+        return ModelConfig(
+            family="mixtral",
+            vocab_size=32000,
+            hidden_size=4096,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            intermediate_size=14336,
+            max_position_embeddings=32768,
+            rope_theta=1000000.0,
+            tie_word_embeddings=False,
+            num_experts=8,
+            num_experts_per_tok=2,
             dtype=dtype,
         )
 

@@ -69,6 +69,24 @@ def config_from_hf(hf_config) -> ModelConfig:
                             or getattr(hf_config, "attention_bias", False)),
             sliding_window=window,
         )
+    if mt == "mixtral":
+        return ModelConfig(
+            family="mixtral",
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            intermediate_size=hf_config.intermediate_size,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            layer_norm_eps=hf_config.rms_norm_eps,
+            rope_theta=getattr(hf_config, "rope_theta", 1e6),
+            tie_word_embeddings=getattr(hf_config, "tie_word_embeddings",
+                                        False),
+            sliding_window=getattr(hf_config, "sliding_window", None),
+            num_experts=hf_config.num_local_experts,
+            num_experts_per_tok=hf_config.num_experts_per_tok,
+        )
     raise ValueError(f"unsupported HF model_type {mt!r}")
 
 
@@ -154,6 +172,55 @@ def llama_params_from_state_dict(sd: Dict[str, Any], config: ModelConfig,
     return params
 
 
+def mixtral_params_from_state_dict(sd: Dict[str, Any], config: ModelConfig,
+                                   dtype=None) -> Dict[str, Any]:
+    dt = dtype or config.jnp_dtype
+
+    def g(name, transpose=False):
+        key = name if name in sd else "model." + name
+        arr = _to_np(sd[key])
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr, dt)
+
+    params = {
+        "embed": g("embed_tokens.weight"),
+        "norm_f": g("norm.weight"),
+        "lm_head": (None if config.tie_word_embeddings
+                    else g("lm_head.weight", transpose=True)),
+        "blocks": [],
+    }
+    E = config.num_experts
+    for i in range(config.num_layers):
+        p = f"layers.{i}."
+        mp = p + "block_sparse_moe."
+        # HF stores per-expert Linears w1 (gate), w3 (up), w2 (down); stack
+        # them into [E, in, out] so local experts run as one batched einsum.
+        w_gate = jnp.stack([g(f"{mp}experts.{e}.w1.weight", transpose=True)
+                            for e in range(E)])
+        w_up = jnp.stack([g(f"{mp}experts.{e}.w3.weight", transpose=True)
+                          for e in range(E)])
+        w_down = jnp.stack([g(f"{mp}experts.{e}.w2.weight", transpose=True)
+                            for e in range(E)])
+        params["blocks"].append({
+            "input_norm": g(p + "input_layernorm.weight"),
+            "post_attn_norm": g(p + "post_attention_layernorm.weight"),
+            "attn": {
+                "wq": g(p + "self_attn.q_proj.weight", transpose=True),
+                "wk": g(p + "self_attn.k_proj.weight", transpose=True),
+                "wv": g(p + "self_attn.v_proj.weight", transpose=True),
+                "wo": g(p + "self_attn.o_proj.weight", transpose=True),
+            },
+            "moe": {
+                "router": g(mp + "gate.weight", transpose=True),
+                "w_gate": w_gate,
+                "w_up": w_up,
+                "w_down": w_down,
+            },
+        })
+    return params
+
+
 def params_from_hf_model(hf_model, config: ModelConfig | None = None,
                          dtype=None):
     """Convert an in-memory transformers model. Returns (config, params)."""
@@ -164,6 +231,8 @@ def params_from_hf_model(hf_model, config: ModelConfig | None = None,
         return config, gpt2_params_from_state_dict(sd, config, dtype)
     if config.family == "llama":
         return config, llama_params_from_state_dict(sd, config, dtype)
+    if config.family == "mixtral":
+        return config, mixtral_params_from_state_dict(sd, config, dtype)
     raise ValueError(config.family)
 
 

@@ -1,0 +1,234 @@
+"""Mixtral-family model: Llama attention + sparse Mixture-of-Experts MLP.
+
+Capability extension beyond the reference (GPT-2 only, `vllmini/server.py:34`).
+The attention path (RoPE, GQA, paged KV, fused decode write) is shared with
+`llama.py`; the MLP is a top-k-routed MoE, expressed TPU-first:
+
+- the router picks top-k experts per token (softmax over the selected
+  logits, Mixtral convention);
+- dispatch/combine are dense one-hot einsums with capacity = T (every token
+  always served — inference must not drop tokens; the dispatch einsum is a
+  few percent of the expert FLOPs);
+- expert weights are STACKED arrays [E, h, m] so all local experts run as
+  one batched einsum on the MXU, not a Python loop;
+- EXPERT PARALLELISM rides the same mesh axis as tensor parallelism: expert
+  arrays are sharded on their E axis, each shard computes only its local
+  experts' partial sums, and the block's existing down-proj `psum` combines
+  them — EP needs zero extra collectives (`jax.lax.axis_index` supplies the
+  shard's expert offset inside shard_map).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..memory.kv_cache import KVPool
+from ..ops.flash_attention import flash_attention_prefill
+from ..ops.kv_write import quantize_decode_tokens, write_kv_prefill
+from ..ops.paged_attention import paged_attention
+from .common import apply_rope, linear, maybe_psum, rms_norm, rope_table
+from .gpt2 import _update_pool_layer
+
+Params = Dict[str, Any]
+
+
+def init_params(config: ModelConfig, key: jax.Array) -> Params:
+    dt = config.jnp_dtype
+    h, L, m = config.hidden_size, config.num_layers, config.mlp_size
+    d, H, Hkv = config.head_size, config.num_heads, config.kv_heads
+    E = config.num_experts
+    keys = jax.random.split(key, 2 + 9 * L)
+    std = 0.02
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dt)
+
+    params: Params = {
+        "embed": norm(keys[0], (config.vocab_size, h)),
+        "norm_f": jnp.ones(h, dt),
+        "lm_head": (None if config.tie_word_embeddings
+                    else norm(keys[1], (h, config.vocab_size))),
+        "blocks": [],
+    }
+    for i in range(L):
+        ks = keys[2 + 9 * i: 11 + 9 * i]
+        params["blocks"].append({
+            "input_norm": jnp.ones(h, dt),
+            "post_attn_norm": jnp.ones(h, dt),
+            "attn": {
+                "wq": norm(ks[0], (h, H * d)),
+                "wk": norm(ks[1], (h, Hkv * d)),
+                "wv": norm(ks[2], (h, Hkv * d)),
+                "wo": norm(ks[3], (H * d, h)),
+            },
+            "moe": {
+                "router": norm(ks[4], (h, E)),
+                "w_gate": norm(ks[5], (E, h, m)),
+                "w_up": norm(ks[6], (E, h, m)),
+                "w_down": norm(ks[7], (E, m, h)),
+            },
+        })
+    return params
+
+
+def _moe(block: Params, x: jax.Array, config: ModelConfig,
+         tp_axis: str | None) -> jax.Array:
+    """Top-k routed MoE over stacked local experts. x: [T, h] -> [T, h]
+    (PARTIAL sum under EP — the caller's psum completes it)."""
+    T, h = x.shape
+    moe = block["moe"]
+    E_local = moe["w_gate"].shape[0]  # experts on THIS shard
+    k = config.num_experts_per_tok
+
+    # Routing is computed on the GLOBAL expert space (router is replicated).
+    logits = jnp.dot(x, moe["router"],
+                     preferred_element_type=jnp.float32)       # [T, E]
+    top_vals, top_idx = jax.lax.top_k(logits, k)               # [T, k]
+    top_w = jax.nn.softmax(top_vals, axis=-1)                  # Mixtral norm
+
+    # This shard's expert-id window under EP.
+    if tp_axis is not None:
+        offset = jax.lax.axis_index(tp_axis) * E_local
+    else:
+        offset = 0
+    local_idx = top_idx - offset                               # [T, k]
+
+    # Dense dispatch: combine weight of token t for LOCAL expert e.
+    onehot = jax.nn.one_hot(local_idx, E_local,
+                            dtype=jnp.float32)                 # [T, k, El]
+    combine = jnp.einsum("tk,tke->te", top_w, onehot)          # [T, El]
+
+    # Gather every token into every local expert (capacity = T: no drops),
+    # run the experts batched, combine with routing weights. Tokens not
+    # routed to a local expert contribute zero via `combine`.
+    xf = x.astype(jnp.float32)
+    gate = jnp.einsum("th,ehm->etm", xf,
+                      moe["w_gate"].astype(jnp.float32))
+    up = jnp.einsum("th,ehm->etm", xf, moe["w_up"].astype(jnp.float32))
+    act = jax.nn.silu(gate) * up                               # [El, T, m]
+    out = jnp.einsum("etm,emh->eth", act,
+                     moe["w_down"].astype(jnp.float32))        # [El, T, h]
+    y = jnp.einsum("te,eth->th", combine, out)                 # [T, h]
+    return y.astype(x.dtype)
+
+
+def prefill_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,
+    seq_len: jax.Array,
+    page_table: jax.Array,
+    start_pos: int | jax.Array = 0,
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+    return_all_logits: bool = False,
+):
+    L_pad = token_ids.shape[0]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    positions = start_pos + jnp.arange(L_pad, dtype=jnp.int32)
+    cos, sin = rope_table(positions, d, config.rope_theta)
+    x = params["embed"][token_ids]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        a = block["attn"]
+        q = linear(h1, a["wq"]).reshape(L_pad, H, d)
+        k = linear(h1, a["wk"]).reshape(L_pad, Hkv, d)
+        v = linear(h1, a["wv"]).reshape(L_pad, Hkv, d)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+
+        if pool is not None:
+            kp, vp, ks, vs = pool.layer(i)
+            out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
+                                   start_pos=start_pos, k_scales=ks,
+                                   v_scales=vs, packing=pool.packing)
+            if pool.quantized:
+                kp, vp, ks, vs = out
+            else:
+                kp, vp = out
+            pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+
+        attn = flash_attention_prefill(
+            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+            seq_len, causal=True, sliding_window=config.sliding_window,
+            interpret=interpret,
+        ).transpose(1, 0, 2).reshape(L_pad, H * d)
+        x = x + maybe_psum(linear(attn, block["attn"]["wo"]), tp_axis)
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        x = x + maybe_psum(_moe(block, h2, config, tp_axis), tp_axis)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+
+    def logits_of(y):
+        if params.get("lm_head") is not None:
+            return jnp.dot(y, params["lm_head"],
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(y, params["embed"].T,
+                       preferred_element_type=jnp.float32)
+
+    if return_all_logits:
+        return logits_of(x), pool
+    return logits_of(x[seq_len - 1]), pool
+
+
+def decode_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    seq_lens: jax.Array,
+    page_tables: jax.Array,
+    active: jax.Array,
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+):
+    B = token_ids.shape[0]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    cos, sin = rope_table(positions, d, config.rope_theta)
+    x = params["embed"][token_ids]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        a = block["attn"]
+        q = linear(h1, a["wq"]).reshape(B, H, d)
+        k = linear(h1, a["wk"]).reshape(B, Hkv, d)
+        v = linear(h1, a["wv"]).reshape(B, Hkv, d)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+
+        kp, vp, ks, vs = pool.layer(i)
+        if pool.quantized:
+            k_src, v_src, ks, vs = quantize_decode_tokens(
+                k, v, positions, page_tables, active, ks, vs, kp.dtype)
+        else:
+            k_src, v_src = k, v
+        masked_lens = jnp.where(active, seq_lens, 0)
+        attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
+                                       k_scales=ks, v_scales=vs,
+                                       k_new=k_src, v_new=v_src,
+                                       sliding_window=config.sliding_window,
+                                       packing=pool.packing,
+                                       interpret=interpret)
+        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+        x = x + maybe_psum(
+            linear(attn.reshape(B, H * d), block["attn"]["wo"]), tp_axis)
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        x = x + maybe_psum(_moe(block, h2, config, tp_axis), tp_axis)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    if params.get("lm_head") is not None:
+        logits = jnp.dot(x, params["lm_head"],
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(x, params["embed"].T,
+                         preferred_element_type=jnp.float32)
+    return logits, pool

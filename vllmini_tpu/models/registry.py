@@ -6,10 +6,11 @@ import dataclasses
 from typing import Any, Callable
 
 from ..config import ModelConfig
-from . import gpt2, llama
+from . import gpt2, llama, mixtral
 from .loader import (
     gpt2_params_from_state_dict,
     llama_params_from_state_dict,
+    mixtral_params_from_state_dict,
 )
 
 
@@ -30,6 +31,10 @@ _FAMILIES = {
     "llama": ModelFamily(
         "llama", llama.init_params, llama.prefill_forward,
         llama.decode_forward, llama_params_from_state_dict,
+    ),
+    "mixtral": ModelFamily(
+        "mixtral", mixtral.init_params, mixtral.prefill_forward,
+        mixtral.decode_forward, mixtral_params_from_state_dict,
     ),
 }
 

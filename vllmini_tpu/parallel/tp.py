@@ -37,21 +37,33 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 def local_model_config(config: ModelConfig, tp: int) -> ModelConfig:
-    """Per-chip view of the architecture under `tp`-way head sharding."""
+    """Per-chip view of the architecture under `tp`-way head sharding.
+
+    Dense families shard the MLP's intermediate dim; the mixtral family
+    shards whole EXPERTS instead (expert parallelism over the same axis), so
+    its intermediate size stays whole per chip."""
     if tp == 1:
         return config
     if config.num_heads % tp or config.kv_heads % tp:
         raise ValueError(
             f"num_heads={config.num_heads}/num_kv_heads={config.kv_heads} "
             f"not divisible by tensor_parallel={tp}")
-    if config.mlp_size % tp:
-        raise ValueError("intermediate_size not divisible by tensor_parallel")
+    intermediate = config.mlp_size
+    if config.family != "mixtral":
+        if config.mlp_size % tp:
+            raise ValueError(
+                "intermediate_size not divisible by tensor_parallel")
+        intermediate = config.mlp_size // tp
+    elif config.num_experts % tp:
+        raise ValueError(
+            f"num_experts={config.num_experts} not divisible by "
+            f"tensor_parallel={tp} (expert parallelism)")
     return dataclasses.replace(
         config,
         num_heads=config.num_heads // tp,
         num_kv_heads=config.kv_heads // tp,
         head_dim=config.head_size,
-        intermediate_size=config.mlp_size // tp,
+        intermediate_size=intermediate,
     )
 
 
@@ -187,11 +199,49 @@ def shard_params_llama(params: Dict[str, Any], config: ModelConfig,
     return out
 
 
+def shard_params_mixtral(params: Dict[str, Any], config: ModelConfig,
+                         mesh: Mesh) -> Dict[str, Any]:
+    """Attention sharded like Llama; MoE experts sharded on their E axis
+    (expert parallelism over the MODEL axis); router replicated."""
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, MODEL_AXIS))
+    row = NamedSharding(mesh, P(MODEL_AXIS, None))
+    ep = NamedSharding(mesh, P(MODEL_AXIS, None, None))
+    put = _put_weight
+
+    out = {
+        "embed": put(params["embed"], rep),
+        "norm_f": put(params["norm_f"], rep),
+        "lm_head": put(params.get("lm_head"), rep),
+        "blocks": [],
+    }
+    for blk in params["blocks"]:
+        out["blocks"].append({
+            "input_norm": put(blk["input_norm"], rep),
+            "post_attn_norm": put(blk["post_attn_norm"], rep),
+            "attn": {
+                "wq": put(blk["attn"]["wq"], col),
+                "wk": put(blk["attn"]["wk"], col),
+                "wv": put(blk["attn"]["wv"], col),
+                "wo": put(blk["attn"]["wo"], row),
+            },
+            "moe": {
+                "router": put(blk["moe"]["router"], rep),
+                "w_gate": put(blk["moe"]["w_gate"], ep),
+                "w_up": put(blk["moe"]["w_up"], ep),
+                "w_down": put(blk["moe"]["w_down"], ep),
+            },
+        })
+    return out
+
+
 def shard_params(params, config: ModelConfig, mesh: Mesh):
     if config.family == "gpt2":
         return shard_params_gpt2(params, config, mesh)
     if config.family == "llama":
         return shard_params_llama(params, config, mesh)
+    if config.family == "mixtral":
+        return shard_params_mixtral(params, config, mesh)
     raise ValueError(config.family)
 
 

@@ -27,6 +27,7 @@ def build_engine_config(args) -> EngineConfig:
         "llama3-70b": ModelConfig.llama3_70b,
         "mistral-7b": ModelConfig.mistral_7b,
         "qwen2-7b": ModelConfig.qwen2_7b,
+        "mixtral-8x7b": ModelConfig.mixtral_8x7b,
     }
     if args.model in presets:
         model = presets[args.model](dtype=args.dtype)
