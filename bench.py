@@ -35,11 +35,38 @@ def count_param_bytes(params) -> int:
     return sum(x.nbytes for x in leaves if hasattr(x, "nbytes"))
 
 
+def build_quantized_llama(config, quant, seed=0):
+    """Random-init Llama weights quantized LAYER BY LAYER so the full bf16
+    model (16 GB for 8B) never materializes on the 16 GB chip: peak HBM is
+    the quantized prefix + one bf16 block."""
+    import dataclasses
+
+    import jax
+
+    from vllmini_tpu.models import llama
+    from vllmini_tpu.ops.quant_matmul import quantize_params
+
+    one = dataclasses.replace(config, num_layers=1)
+    key = jax.random.PRNGKey(seed)
+    blocks = []
+    head = None
+    for i in range(config.num_layers):
+        part = llama.init_params(one, jax.random.fold_in(key, i))
+        if head is None:
+            head = {k: v for k, v in part.items() if k != "blocks"}
+        qb = quantize_params({"blocks": part["blocks"]}, quant)
+        jax.block_until_ready(qb["blocks"][0])
+        blocks.append(qb["blocks"][0])
+        del part
+    return {**head, "blocks": blocks}
+
+
 def main():
     from vllmini_tpu.config import (
         CacheConfig,
         EngineConfig,
         ModelConfig,
+        QuantConfig,
         SamplingParams,
         SchedulerConfig,
     )
@@ -49,25 +76,45 @@ def main():
     import os
 
     on_tpu = jax.default_backend() == "tpu"
+    model_name = os.environ.get("VLLMINI_BENCH_MODEL", "gpt2")
     slots = int(os.environ.get("VLLMINI_BENCH_SLOTS", "16"))
     chunk = int(os.environ.get("VLLMINI_BENCH_CHUNK", "16"))
     depth = int(os.environ.get("VLLMINI_BENCH_DEPTH", "4"))
     ps = int(os.environ.get("VLLMINI_BENCH_PS", "32"))
-    config = EngineConfig(
-        model=ModelConfig.gpt2_124m(dtype="bfloat16" if on_tpu else "float32"),
+    params = None
+    if model_name == "llama3-8b":
+        # BASELINE config 3 on one chip: INT4 weight-only + INT8 paged KV
+        # (8B bf16 would not fit 16 GB HBM; int4 payload+scales ~5 GB).
+        model = ModelConfig.llama3_8b(dtype="bfloat16")
+        quant = QuantConfig(weight_dtype=os.environ.get(
+            "VLLMINI_BENCH_WQ", "int4"))
+        kv_dtype = "int8"
+        ps = max(ps, 32)  # int8 sublane tile
+        cache = CacheConfig(num_pages=max(256, slots * 1024 // ps),
+                            page_size=ps, max_pages_per_seq=1024 // ps,
+                            kv_dtype=kv_dtype)
+        params = build_quantized_llama(model, quant)
+        desc = f"llama3-8b {quant.weight_dtype} weights, paged KV int8"
+    else:
+        model = ModelConfig.gpt2_124m(
+            dtype="bfloat16" if on_tpu else "float32")
         # page_size >=32 activates the PACKED pool layout for GPT-2's 64-dim
-        # heads (2 tokens per 128-lane row): half the KV bytes vs lane-padding.
-        cache=CacheConfig(
+        # heads (2 tokens per 128-lane row): half KV bytes vs lane-padding.
+        cache = CacheConfig(
             num_pages=max(512 * 32 // ps, slots * 1024 // ps), page_size=ps,
             max_pages_per_seq=1024 // ps,
-            kv_dtype="bfloat16" if on_tpu else "float32"),
+            kv_dtype="bfloat16" if on_tpu else "float32")
+        desc = "gpt2-124m bf16, paged KV bf16"
+    config = EngineConfig(
+        model=model,
+        cache=cache,
         scheduler=SchedulerConfig(max_decode_slots=slots,
                                   decode_chunk_steps=chunk,
                                   pipeline_depth=depth,
                                   prefill_buckets=(64, 128, 256)),
         hf_model=None,
     )
-    engine = LLMEngine(config)
+    engine = LLMEngine(config, params=params)
     sched = Scheduler(engine)
 
     rng = np.random.default_rng(0)
@@ -139,7 +186,7 @@ def main():
         "value": round(tok_s_med, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s_med / roofline_tok_s, 4),
-        "config": (f"gpt2-124m bf16, paged KV bf16, batch={slots}, "
+        "config": (f"{desc}, batch={slots}, "
                    f"ctx~{ctx}, chunk={chunk}, depth={depth}"),
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,

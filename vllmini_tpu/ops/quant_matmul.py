@@ -106,29 +106,40 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64):
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
                 group_size: int, k_tiles: int):
+    """Each K-tile covers SEVERAL quantization groups, looped in-kernel: one
+    grid program per large [bk, bn] weight block instead of one per group —
+    grid-program fixed overhead, not dequant math, dominated the old
+    per-group grid (a 32-layer 8B model was ~100k programs per step)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]  # [M, bk]
-    if bits == 8:
-        w = q_ref[...].astype(jnp.float32)  # [bk, bn]
-    else:
-        # Nibble unpack WITHOUT int8 shifts (Mosaic cannot legalize
-        # arith.shli on i8 vectors): widen to i32, mask, and sign-extend via
-        # the (v ^ 8) - 8 trick.
-        p32 = q_ref[...].astype(jnp.int32)  # [bk//2, bn]
-        low = ((p32 & 15) ^ 8) - 8
-        high = (((p32 >> 4) & 15) ^ 8) - 8
-        w = jnp.concatenate([low, high], axis=0).astype(jnp.float32)
-    # One K-tile == one quantization group: a single scale row applies.
-    # (s_ref holds the whole [k_tiles, bn] scale block: a (1, bn) block spec
-    # would violate Mosaic's tile-divisibility rule for sub-8 sublanes.)
-    w = w * s_ref[pl.ds(k, 1), :]  # [1, bn] broadcasts over bk
-    acc_ref[...] += jax.lax.dot(
-        x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    x = x_ref[...]  # [M, bk] — the dot runs in x's dtype (bf16 when serving)
+    G = group_size
+    qrows_per_group = G // 2 if bits == 4 else G
+    groups = q_ref.shape[0] // qrows_per_group
+    acc = acc_ref[...]
+    for g in range(groups):
+        if bits == 8:
+            # |q| <= 127 converts exactly to bf16/f32.
+            w = q_ref[pl.ds(g * G, G), :].astype(x.dtype)
+        else:
+            # Nibble unpack WITHOUT int8 shifts (Mosaic cannot legalize
+            # arith.shli on i8 vectors): widen to i32, mask, sign-extend via
+            # the (v ^ 8) - 8 trick.
+            p32 = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(jnp.int32)
+            low = ((p32 & 15) ^ 8) - 8
+            high = (((p32 >> 4) & 15) ^ 8) - 8
+            w = jnp.concatenate([low, high], axis=0).astype(x.dtype)
+        # The group scale factors out of the group's dot: apply it to the
+        # [M, bn] product instead of the [G, bn] weight tile (G/M fewer
+        # multiplies, exact).
+        prod = jax.lax.dot(x[:, g * G:(g + 1) * G], w,
+                           preferred_element_type=jnp.float32)
+        acc += prod * s_ref[pl.ds(k * groups + g, 1), :]
+    acc_ref[...] = acc
 
     @pl.when(k == k_tiles - 1)
     def _():
@@ -137,27 +148,32 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "block_n", "interpret"))
+    static_argnames=("bits", "group_size", "block_n", "block_k", "interpret"))
 def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
-            bits: int, group_size: int, block_n: int = 256,
-            interpret: bool = False) -> jax.Array:
-    """x [M, K] @ dequant(q) [K, N] -> [M, N]. K-tile = group_size."""
+            bits: int, group_size: int, block_n: int = 2048,
+            block_k: int = 1024, interpret: bool = False) -> jax.Array:
+    """x [M, K] @ dequant(q) [K, N] -> [M, N]."""
     M, K = x.shape
     N = qvalues.shape[1]
     G = group_size
     bn = min(block_n, N)
-    assert N % bn == 0 and K % G == 0
-    k_tiles = K // G
-    qrows = G // 2 if bits == 4 else G
+    bk = min(max(block_k, G), K)
+    while K % bk != 0 or bk % G != 0:  # shrink to a divisor multiple of G
+        bk -= G
+    while N % bn != 0:
+        bn //= 2
+    assert N % bn == 0 and K % bk == 0 and bk % G == 0
+    k_tiles = K // bk
+    pack = 2 if bits == 4 else 1
 
     return pl.pallas_call(
         functools.partial(_qmm_kernel, bits=bits, group_size=G,
                           k_tiles=k_tiles),
         grid=(N // bn, k_tiles),
         in_specs=[
-            pl.BlockSpec((M, G), lambda n, k: (0, k)),
-            pl.BlockSpec((qrows, bn), lambda n, k: (k, n)),
-            pl.BlockSpec((k_tiles, bn), lambda n, k: (0, n)),
+            pl.BlockSpec((M, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((bk // pack, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((K // G, bn), lambda n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
@@ -170,19 +186,25 @@ def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
 
 
 def _w8a8_kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                 k_tiles: int):
+                 group_size: int, k_tiles: int):
     """int8 activation x int8 weight: MXU int8 path with int32 accumulation,
-    per-group weight scale applied per K-tile, per-token activation scale at
-    the end."""
+    per-group weight scale applied per in-kernel group, per-token activation
+    scale at the end. Large K-tiles loop groups in-kernel (see _qmm_kernel)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    prod = jax.lax.dot(x_ref[...], q_ref[...],
-                       preferred_element_type=jnp.int32)  # [M, bn] i32
-    acc_ref[...] += prod.astype(jnp.float32) * s_ref[pl.ds(k, 1), :]
+    G = group_size
+    groups = q_ref.shape[0] // G
+    acc = acc_ref[...]
+    for g in range(groups):
+        prod = jax.lax.dot(x_ref[:, g * G:(g + 1) * G],
+                           q_ref[pl.ds(g * G, G), :],
+                           preferred_element_type=jnp.int32)  # [M, bn] i32
+        acc += prod.astype(jnp.float32) * s_ref[pl.ds(k * groups + g, 1), :]
+    acc_ref[...] = acc
 
     @pl.when(k == k_tiles - 1)
     def _():
@@ -191,26 +213,32 @@ def _w8a8_kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "out_dtype", "block_n", "interpret"))
+    static_argnames=("group_size", "out_dtype", "block_n", "block_k",
+                     "interpret"))
 def _w8a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
              scales: jax.Array, *, group_size: int, out_dtype,
-             block_n: int = 256, interpret: bool = False) -> jax.Array:
+             block_n: int = 2048, block_k: int = 1024,
+             interpret: bool = False) -> jax.Array:
     """xq [M, K] i8, xs [M, 1] f32 -> [M, N] out_dtype."""
     M, K = xq.shape
     N = qvalues.shape[1]
     G = group_size
     bn = min(block_n, N)
-    assert N % bn == 0 and K % G == 0
-    k_tiles = K // G
+    bk = min(max(block_k, G), K)
+    while K % bk != 0 or bk % G != 0:
+        bk -= G
+    while N % bn != 0:
+        bn //= 2
+    k_tiles = K // bk
 
     return pl.pallas_call(
-        functools.partial(_w8a8_kernel, k_tiles=k_tiles),
+        functools.partial(_w8a8_kernel, group_size=G, k_tiles=k_tiles),
         grid=(N // bn, k_tiles),
         in_specs=[
-            pl.BlockSpec((M, G), lambda n, k: (0, k)),
+            pl.BlockSpec((M, bk), lambda n, k: (0, k)),
             pl.BlockSpec((M, 1), lambda n, k: (0, 0)),
-            pl.BlockSpec((G, bn), lambda n, k: (k, n)),
-            pl.BlockSpec((k_tiles, bn), lambda n, k: (0, n)),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((K // G, bn), lambda n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
