@@ -54,7 +54,10 @@ def build_quantized_llama(config, quant, seed=0):
         part = llama.init_params(one, jax.random.fold_in(key, i))
         if head is None:
             head = {k: v for k, v in part.items() if k != "blocks"}
-        qb = quantize_params({"blocks": part["blocks"]}, quant)
+            # Quantize the untied lm_head too (int8): >1 GB/step at bf16.
+            head = quantize_params({**head, "blocks": []}, quant)
+        qb = quantize_params({"blocks": part["blocks"]}, quant,
+                             include_lm_head=False)
         jax.block_until_ready(qb["blocks"][0])
         blocks.append(qb["blocks"][0])
         del part

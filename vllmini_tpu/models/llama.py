@@ -77,9 +77,15 @@ def _mlp(block: Params, x: jax.Array) -> jax.Array:
 
 
 def _logits(params: Params, x: jax.Array) -> jax.Array:
-    if params.get("lm_head") is not None:
-        return jnp.dot(x, params["lm_head"],
-                       preferred_element_type=jnp.float32)
+    lm = params.get("lm_head")
+    if lm is not None:
+        from .common import QuantizedWeight
+        if isinstance(lm, QuantizedWeight):
+            # An untied lm_head may be weight-quantized (>1 GB/step at bf16
+            # for 128k vocabs); keep f32 logits for sampling.
+            from ..ops.quant_matmul import quantized_matmul
+            return quantized_matmul(x, lm, out_dtype=jnp.float32)
+        return jnp.dot(x, lm, preferred_element_type=jnp.float32)
     return jnp.dot(x, params["embed"].T, preferred_element_type=jnp.float32)
 
 

@@ -165,17 +165,10 @@ def prefill_forward(
         x = x + maybe_psum(_moe(block, h2, config, tp_axis), tp_axis)
 
     x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
-
-    def logits_of(y):
-        if params.get("lm_head") is not None:
-            return jnp.dot(y, params["lm_head"],
-                           preferred_element_type=jnp.float32)
-        return jnp.dot(y, params["embed"].T,
-                       preferred_element_type=jnp.float32)
-
+    from .llama import _logits
     if return_all_logits:
-        return logits_of(x), pool
-    return logits_of(x[seq_len - 1]), pool
+        return _logits(params, x), pool
+    return _logits(params, x[seq_len - 1]), pool
 
 
 def decode_forward(
@@ -225,10 +218,5 @@ def decode_forward(
         x = x + maybe_psum(_moe(block, h2, config, tp_axis), tp_axis)
 
     x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
-    if params.get("lm_head") is not None:
-        logits = jnp.dot(x, params["lm_head"],
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.dot(x, params["embed"].T,
-                         preferred_element_type=jnp.float32)
-    return logits, pool
+    from .llama import _logits
+    return _logits(params, x), pool

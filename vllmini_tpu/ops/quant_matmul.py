@@ -73,11 +73,13 @@ def dequantize_weight(qw: QuantizedWeight) -> jax.Array:
     return (full * qw.scales[:, None, :]).reshape(K, N)
 
 
-def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64):
-    """Quantize every 2-D weight inside transformer blocks (embeddings, norms,
-    and biases stay full precision). weight_dtype="w8a8" additionally marks
-    the weights for runtime int8 activation quantization (BASELINE.md config
-    4's W8A8 mode)."""
+def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
+                    include_lm_head: bool = True):
+    """Quantize every 2-D weight inside transformer blocks — plus an untied
+    lm_head, which on a 128k-vocab model streams >1 GB/step at bf16
+    (embeddings, norms, and biases stay full precision). weight_dtype="w8a8"
+    additionally marks the weights for runtime int8 activation quantization
+    (BASELINE.md config 4's W8A8 mode)."""
     if not quant.enabled:
         return params
     bits = 4 if quant.weight_dtype == "int4" else 8
@@ -99,7 +101,32 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64):
     out["blocks"] = [
         jax.tree_util.tree_map(maybe_quant, blk) for blk in params["blocks"]
     ]
+    if include_lm_head and isinstance(out.get("lm_head"), jax.Array):
+        # int8 even for int4 runs: the lm_head is the most PPL-sensitive
+        # matmul and is read once per step either way.
+        lm = quantize_weight(out["lm_head"], 8, quant.group_size)
+        if act_quant:
+            lm = QuantizedWeight(qvalues=lm.qvalues, scales=lm.scales,
+                                 bits=8, group_size=lm.group_size,
+                                 act_quant=True)
+        out["lm_head"] = lm
     return out
+
+
+def _largest_divisor_tile(n: int, cap: int) -> int:
+    """Largest multiple of 128 that divides n and is <= cap (fallback: shrink
+    by halving). Keeps grid-program counts low for awkward dims like a 128256
+    vocab (-> 768-wide tiles, not 256)."""
+    best = 0
+    for t in range(128, cap + 1, 128):
+        if n % t == 0:
+            best = t
+    if best:
+        return best
+    t = cap
+    while n % t != 0:
+        t //= 2
+    return t
 
 
 # ----------------------------------------------------------------------- kernel
@@ -148,20 +175,21 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "block_n", "block_k", "interpret"))
+    static_argnames=("bits", "group_size", "block_n", "block_k", "interpret",
+                     "out_dtype"))
 def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
             bits: int, group_size: int, block_n: int = 2048,
-            block_k: int = 1024, interpret: bool = False) -> jax.Array:
+            block_k: int = 1024, interpret: bool = False,
+            out_dtype=None) -> jax.Array:
     """x [M, K] @ dequant(q) [K, N] -> [M, N]."""
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     M, K = x.shape
     N = qvalues.shape[1]
     G = group_size
-    bn = min(block_n, N)
+    bn = _largest_divisor_tile(N, min(block_n, N))
     bk = min(max(block_k, G), K)
     while K % bk != 0 or bk % G != 0:  # shrink to a divisor multiple of G
         bk -= G
-    while N % bn != 0:
-        bn //= 2
     assert N % bn == 0 and K % bk == 0 and bk % G == 0
     k_tiles = K // bk
     pack = 2 if bits == 4 else 1
@@ -176,7 +204,7 @@ def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
             pl.BlockSpec((K // G, bn), lambda n, k: (0, n)),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -223,12 +251,10 @@ def _w8a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
     M, K = xq.shape
     N = qvalues.shape[1]
     G = group_size
-    bn = min(block_n, N)
+    bn = _largest_divisor_tile(N, min(block_n, N))
     bk = min(max(block_k, G), K)
     while K % bk != 0 or bk % G != 0:
         bk -= G
-    while N % bn != 0:
-        bn //= 2
     k_tiles = K // bk
 
     return pl.pallas_call(
@@ -261,11 +287,14 @@ def quantize_activations(x: jax.Array):
 
 
 def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
-                     interpret: bool | None = None) -> jax.Array:
+                     interpret: bool | None = None,
+                     out_dtype=None) -> jax.Array:
     """y = x @ dequant(qw); x may have any leading shape. act_quant weights
-    take the W8A8 path (dynamic per-token int8 activations)."""
+    take the W8A8 path (dynamic per-token int8 activations). `out_dtype`
+    overrides the result dtype (e.g. f32 logits from a quantized lm_head)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    out_name = jnp.dtype(x.dtype if out_dtype is None else out_dtype).name
     K, N = qw.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
@@ -273,14 +302,14 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
     # Ragged shapes: plain XLA dequant matmul.
     if N % 128 != 0 or K % qw.group_size != 0:
         y = jnp.dot(x2, dequantize_weight(qw).astype(x.dtype),
-                    preferred_element_type=x.dtype)
+                    preferred_element_type=jnp.dtype(out_name))
     elif qw.act_quant:
         xq, xs = quantize_activations(x2)
         y = _w8a8_2d(xq, xs, qw.qvalues, qw.scales,
-                     group_size=qw.group_size,
-                     out_dtype=jnp.dtype(x.dtype).name,
+                     group_size=qw.group_size, out_dtype=out_name,
                      interpret=interpret)
     else:
         y = _qmm_2d(x2, qw.qvalues, qw.scales, bits=qw.bits,
-                    group_size=qw.group_size, interpret=interpret)
+                    group_size=qw.group_size, out_dtype=out_name,
+                    interpret=interpret)
     return y.reshape(*lead, N)
