@@ -98,6 +98,15 @@ def main():
                             kv_dtype=kv_dtype)
         params = build_quantized_llama(model, quant)
         desc = f"llama3-8b {quant.weight_dtype} weights, paged KV int8"
+    elif model_name == "gpt2-xl":
+        # BASELINE config 2: GPT-2 XL, INT8 KV-cache paged attention +
+        # continuous batching (8 concurrent sequences by default).
+        model = ModelConfig.gpt2_xl(dtype="bfloat16")
+        ps = max(ps, 64)  # int8 sublane tile x packing(2) for 64-dim heads
+        cache = CacheConfig(num_pages=max(256, slots * 1024 // ps),
+                            page_size=ps, max_pages_per_seq=1024 // ps,
+                            kv_dtype="int8")
+        desc = "gpt2-xl bf16 weights, paged KV int8"
     else:
         model = ModelConfig.gpt2_124m(
             dtype="bfloat16" if on_tpu else "float32")

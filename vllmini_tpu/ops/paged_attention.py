@@ -94,7 +94,7 @@ def _paged_attention_kernel(
     v_new_ref,         #   packed layouts pre-place the token's lanes
     k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size/packing,
     v_pages_hbm_ref,   #   packing*head_dim] HBM/ANY
-    k_scale_rows_ref,  # [S, num_kv_heads, packing, ctx_pad/packing] f32|None
+    k_scale_rows_ref,  # [S, packing, num_kv_heads, ctx_pad/packing] f32|None
     v_scale_rows_ref,
     # outputs
     o_ref,             # [S, num_kv_heads, group, head_dim] VMEM
@@ -262,7 +262,7 @@ def _paged_attention_kernel(
                 )  # [SH, g, bR]
                 if quantized:
                     ks = k_scale_rows_ref[
-                        :, :, l, pl.ds(row0, block_rows)].reshape(
+                        :, l, :, pl.ds(row0, block_rows)].reshape(
                             SH, block_rows)
                     s = s * ks[:, None, :]
                 token_pos = (
@@ -295,7 +295,7 @@ def _paged_attention_kernel(
                 l_add += jnp.sum(p, axis=-1, keepdims=True)
                 if quantized:
                     vs = v_scale_rows_ref[
-                        :, :, l, pl.ds(row0, block_rows)].reshape(
+                        :, l, :, pl.ds(row0, block_rows)].reshape(
                             SH, block_rows)
                     p = p * vs[:, None, :]
                 # [SH, g, bR] x [SH, bR, P*d] -> [SH, g, P*d]; only lane
@@ -413,6 +413,14 @@ def paged_attention(
     if pages_per_compute_block is None:
         pages_per_compute_block = _default_pages_per_block(
             page_size, pages_per_seq)
+    if k_scales is not None:
+        # The kernel slices the pre-gathered scale rows at offset
+        # block_index * block_rows on their last dim; Mosaic requires that
+        # offset be 128-aligned. Grow the compute block until
+        # block_tokens/packing is a multiple of 128 (or covers the table).
+        while ((pages_per_compute_block * page_size // packing) % 128 != 0
+               and pages_per_compute_block < pages_per_seq):
+            pages_per_compute_block += 1
     # The page table is processed in whole compute blocks; pad table length.
     if pages_per_seq % pages_per_compute_block != 0:
         pad = pages_per_compute_block - pages_per_seq % pages_per_compute_block
@@ -431,11 +439,27 @@ def paged_attention(
 
     # Sequences per grid program: batch the page gathers of several sequences
     # into one DMA wait (the wait latency, not bandwidth, dominates a
-    # one-seq-per-program grid at serving batch sizes).
+    # one-seq-per-program grid at serving batch sizes). Auto-selection also
+    # respects the ~16 MB VMEM budget: double-buffered K+V blocks plus the
+    # write-back staging pages scale with spp x pages_per_block x kv_heads.
     if seqs_per_program is None:
         want = int(os.environ.get("VLLMINI_SPP", "8"))
-        seqs_per_program = next(s for s in (want, 8, 4, 2, 1)
-                                if s >= 1 and batch % s == 0)
+        spp = next(s for s in (want, 8, 4, 2, 1)
+                   if s >= 1 and batch % s == 0)
+        page_bytes = (num_kv_heads * pool_rows * lane_w
+                      * jnp.dtype(k_pages.dtype).itemsize)
+        per_seq_scratch = (4 * pages_per_compute_block + 2) * page_bytes
+        # Mosaic's true scoped-vmem footprint runs ~2.2x this estimate
+        # (pipelined input blocks, sublane padding) against a hard 16 MB
+        # scoped limit — 7.2e6 modeled bytes is the measured safe cap
+        # (GPT-2 124M spp=8 at 7.08e6 fits; GPT-2 XL spp=4 at 7.37e6
+        # overflows by 2%).
+        budget = 7_200_000
+        while spp > 1 and spp * per_seq_scratch > budget:
+            spp //= 2
+        while batch % spp != 0:
+            spp -= 1
+        seqs_per_program = spp
     assert batch % seqs_per_program == 0
     spp = seqs_per_program
 
@@ -510,11 +534,13 @@ def paged_attention(
             g = scales[:, page_tables]                 # [Hkv, B, pages, ps]
             r = g.transpose(1, 0, 2, 3).reshape(
                 batch, num_kv_heads, pages_per_seq * page_size)
+            # [B, P, Hkv, ctx/P]: packing as a LEADING dim — a (P, ctxR)
+            # trailing pair would sublane-pad P=2 rows to 8 (4x VMEM waste).
             r = r.reshape(batch, num_kv_heads, -1,
-                          packing).transpose(0, 1, 3, 2)
+                          packing).transpose(0, 3, 1, 2)
             return r.astype(jnp.float32)
         ctx_rows = pages_per_seq * page_size // packing
-        scale_spec = pl.BlockSpec((spp, num_kv_heads, packing, ctx_rows),
+        scale_spec = pl.BlockSpec((spp, packing, num_kv_heads, ctx_rows),
                                   lambda b, *_: (b, 0, 0, 0))
         in_specs += [scale_spec, scale_spec]
         inputs += [rows(k_scales), rows(v_scales)]
