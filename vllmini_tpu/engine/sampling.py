@@ -29,7 +29,12 @@ def sample_tokens(
 
     # Work in the static top-MAX_TOP_K candidate set (ample for top-k<=64 and
     # for top-p in practice; top-p mass beyond rank 64 is negligible).
-    top_logits, top_idx = jax.lax.top_k(logits, MAX_TOP_K)  # [B, K]
+    # approx_max_k uses the TPU's partial-reduce hardware path — much cheaper
+    # than an exact sort over a 50k-128k vocab; at recall 0.99 over 64
+    # candidates the sampling distribution shift is negligible (and greedy
+    # decoding uses the exact argmax above regardless).
+    top_logits, top_idx = jax.lax.approx_max_k(
+        logits, MAX_TOP_K, recall_target=0.99)  # [B, K]
     ranks = jnp.arange(MAX_TOP_K)[None, :]
 
     # per-slot top-k cut
