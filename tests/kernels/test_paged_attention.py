@@ -183,7 +183,8 @@ def test_fused_write_quantized():
         k_new, v_new, positions, pt, active, ks, vs, jnp.int8)
     out, kq_out, vq_out = paged_attention(
         q, kq, vq, sl, pt, k_scales=ks2, v_scales=vs2,
-        k_new=k_src, v_new=v_src, interpret=True)
+        k_new=k_src, v_new=v_src, k_new_raw=k_new, v_new_raw=v_new,
+        interpret=True)
 
     from vllmini_tpu.ops.kv_write import write_kv_decode
     kp_ref, vp_ref = write_kv_decode(

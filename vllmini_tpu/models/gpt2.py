@@ -201,6 +201,7 @@ def decode_forward(
         attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
                                        k_scales=ks, v_scales=vs,
                                        k_new=k_src, v_new=v_src,
+                                       k_new_raw=k, v_new_raw=v,
                                        packing=pool.packing,
                                        interpret=interpret)  # [B, H, d]
         pool = _update_pool_layer(pool, i, kp, vp, ks, vs)

@@ -181,6 +181,7 @@ def decode_forward(
         attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
                                        k_scales=ks, v_scales=vs,
                                        k_new=k_src, v_new=v_src,
+                                       k_new_raw=k, v_new_raw=v,
                                        sliding_window=config.sliding_window,
                                        packing=pool.packing,
                                        interpret=interpret)

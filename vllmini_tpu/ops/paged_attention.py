@@ -92,6 +92,8 @@ def _paged_attention_kernel(
     q_ref,             # [S, num_kv_heads, group, head_dim] VMEM (LOGICAL d)
     k_new_ref,         # [S, num_kv_heads, packing*head_dim] VMEM or None;
     v_new_ref,         #   packed layouts pre-place the token's lanes
+    k_self_ref,        # [S, num_kv_heads, head_dim] RAW (unquantized) current
+    v_self_ref,        #   token K/V for the in-register self-attention term
     k_pages_hbm_ref,   # [num_kv_heads, num_pages, page_size/packing,
     v_pages_hbm_ref,   #   packing*head_dim] HBM/ANY
     k_scale_rows_ref,  # [S, packing, num_kv_heads, ctx_pad/packing] f32|None
@@ -221,13 +223,15 @@ def _paged_attention_kernel(
             wait_block(i, slot)
 
             if fused_write:
-                # Patch each member's current-token K/V lanes into its freshly
-                # gathered page IN VMEM (so this block's attention sees it),
-                # stage the patched page in k_wb/v_wb, and push it back to HBM
-                # while attention computes. Replaces a separate RMW kernel per
-                # layer (TPU analog of `reshape_and_cache`,
-                # `cache_kernels.cu:153-207`). k_new_ref is pre-placed at each
-                # member's lane block.
+                # Stage each member's current page with the current token's
+                # K/V lanes patched in (k_new_ref is pre-placed at the
+                # member's lane block) for the write-back that makes it
+                # visible to FUTURE steps. THIS step's attention never reads
+                # it from the page: the self-token term is computed
+                # in-register from k_self/v_self after the loop, so the
+                # gathered buffers stay read-only. Replaces a separate RMW
+                # kernel per layer (TPU analog of `reshape_and_cache`,
+                # `cache_kernels.cu:153-207`).
                 for s in range(S):
                     @pl.when((i == cur_block_vec[s]) & (sl_vec[s] > 0))
                     def _(s=s):
@@ -240,14 +244,10 @@ def _paged_attention_kernel(
                                 2) // head_dim
                             hit = hit & (lane_block == cur_lb_vec[s])
                         jm = cur_j_vec[s]
-                        pk = jnp.where(hit, k_new_ref[s][:, None, :],
-                                       k_buf[slot, s, jm])
-                        pv = jnp.where(hit, v_new_ref[s][:, None, :],
-                                       v_buf[slot, s, jm])
-                        k_buf[slot, s, jm] = pk  # this block attends to it
-                        v_buf[slot, s, jm] = pv
-                        k_wb[s] = pk             # staged for write-back
-                        v_wb[s] = pv
+                        k_wb[s] = jnp.where(hit, k_new_ref[s][:, None, :],
+                                            k_buf[slot, s, jm])
+                        v_wb[s] = jnp.where(hit, v_new_ref[s][:, None, :],
+                                            v_buf[slot, s, jm])
 
             row0 = pl.multiple_of(i * block_rows, block_rows)
             k = load_kv(k_buf, slot)  # [SH, bR, P*d]
@@ -272,7 +272,7 @@ def _paged_attention_kernel(
                 )  # [1, g, bR], same for every (seq, head) row
 
                 def _valid(sl, token_pos=token_pos):
-                    v = token_pos < sl
+                    v = token_pos < (sl - 1 if fused_write else sl)
                     if sliding_window is not None:
                         # Mistral-style window: the current token (pos sl-1)
                         # attends to positions (sl-1-window, sl-1].
@@ -315,8 +315,26 @@ def _paged_attention_kernel(
         m0 = jnp.full((SH_, group, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((SH_, group, 1), jnp.float32)
         acc0 = jnp.zeros((SH_, group, head_dim), jnp.float32)
-        _, l, acc = jax.lax.fori_loop(first_block, num_blocks, body,
+        m, l, acc = jax.lax.fori_loop(first_block, num_blocks, body,
                                       (m0, l0, acc0))
+
+        if fused_write:
+            # Self-token attention term, computed from the RAW (unquantized)
+            # current K/V in VMEM — exact, and it frees the page path from
+            # having to see this step's write.
+            ksf = k_self_ref[...].astype(jnp.float32).reshape(
+                SH_, 1, head_dim)
+            vsf = v_self_ref[...].astype(jnp.float32).reshape(
+                SH_, 1, head_dim)
+            s_self = jnp.sum(q * ksf, axis=-1, keepdims=True)  # [SH, g, 1]
+            zero1 = jnp.zeros((1, group, 1), jnp.int32)
+            alive = per_member_mask(lambda sl: zero1 < sl)
+            s_self = jnp.where(alive, s_self, mask_value)
+            m_f = jnp.maximum(m, s_self)
+            alpha = jnp.exp(m - m_f)
+            p_self = jnp.exp(s_self - m_f)
+            l = alpha * l + p_self
+            acc = alpha * acc + p_self * vsf
 
         if fused_write:
             # All members' current pages are staged in the wb buffers by the
@@ -378,6 +396,8 @@ def paged_attention(
     v_scales: jax.Array | None = None,
     k_new: jax.Array | None = None,  # [batch, num_kv_heads, head_dim_q]:
     v_new: jax.Array | None = None,  # fuse the current token's KV write
+    k_new_raw: jax.Array | None = None,  # unquantized current K/V for the
+    v_new_raw: jax.Array | None = None,  # self term (default: k_new/v_new)
     sliding_window: int | None = None,
     packing: int = 1,
     seqs_per_program: int | None = None,
@@ -477,9 +497,10 @@ def paged_attention(
 
     def _kernel_entry(seq_lens_ref, page_tables_ref, q_ref, *rest):
         rest = list(rest)
-        knr = vnr = None
+        knr = vnr = ksl = vsl = None
         if fused_write:
             knr, vnr = rest.pop(0), rest.pop(0)
+            ksl, vsl = rest.pop(0), rest.pop(0)
         k_in, v_in = rest.pop(0), rest.pop(0)  # pool inputs (ANY)
         ksr = vsr = None
         if quantized:
@@ -491,8 +512,8 @@ def paged_attention(
         else:
             k_hbm, v_hbm = k_in, v_in
         kb, vb, kw, vw, ks, vs, wbs = rest
-        kernel(seq_lens_ref, page_tables_ref, q_ref, knr, vnr, k_hbm, v_hbm,
-               ksr, vsr, o_ref, kb, vb, kw, vw, ks, vs, wbs)
+        kernel(seq_lens_ref, page_tables_ref, q_ref, knr, vnr, ksl, vsl,
+               k_hbm, v_hbm, ksr, vsr, o_ref, kb, vb, kw, vw, ks, vs, wbs)
 
     in_specs = [
         pl.BlockSpec((spp, num_kv_heads, group, head_dim),
@@ -520,6 +541,22 @@ def paged_attention(
                          lambda b, *_: (b, 0, 0)),
         ]
         inputs += [pack_new(k_new), pack_new(v_new)]
+        # Raw (unquantized) current-token K/V for the in-register self term.
+        def pad_self(x):
+            if x.shape[-1] < head_dim:
+                x = jnp.pad(x, ((0, 0), (0, 0),
+                                (0, head_dim - x.shape[-1])))
+            return x
+        if quantized and k_new_raw is None:
+            raise ValueError(
+                "quantized pools need k_new_raw/v_new_raw (unquantized "
+                "current-token K/V) alongside the quantized k_new/v_new")
+        k_self = pad_self(k_new if k_new_raw is None else k_new_raw)
+        v_self = pad_self(v_new if v_new_raw is None else v_new_raw)
+        self_spec = pl.BlockSpec((spp, num_kv_heads, head_dim),
+                                 lambda b, *_: (b, 0, 0))
+        in_specs += [self_spec, self_spec]
+        inputs += [k_self, v_self]
     in_specs += [
         pl.BlockSpec(memory_space=pl.ANY),  # k_pages stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # v_pages
@@ -568,8 +605,9 @@ def paged_attention(
                      jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
                      jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype))
         # Operand order incl. 2 scalar-prefetch args: seq_lens(0), tables(1),
-        # q(2), k_new(3), v_new(4), k_pages(5), v_pages(6) -> outputs 1, 2.
-        io_aliases = {5: 1, 6: 2}
+        # q(2), k_new(3), v_new(4), k_self(5), v_self(6), k_pages(7),
+        # v_pages(8) -> outputs 1, 2.
+        io_aliases = {7: 1, 8: 2}
     else:
         out_specs = o_spec
         out_shape = o_shape
