@@ -102,7 +102,7 @@ def main():
         # BASELINE config 2: GPT-2 XL, INT8 KV-cache paged attention +
         # continuous batching (8 concurrent sequences by default).
         model = ModelConfig.gpt2_xl(dtype="bfloat16")
-        ps = max(ps, 64)  # int8 sublane tile x packing(2) for 64-dim heads
+        ps = max(ps, 32)  # int8 sublane tile
         cache = CacheConfig(num_pages=max(256, slots * 1024 // ps),
                             page_size=ps, max_pages_per_seq=1024 // ps,
                             kv_dtype="int8")
@@ -110,8 +110,8 @@ def main():
     else:
         model = ModelConfig.gpt2_124m(
             dtype="bfloat16" if on_tpu else "float32")
-        # page_size >=32 activates the PACKED pool layout for GPT-2's 64-dim
-        # heads (2 tokens per 128-lane row): half KV bytes vs lane-padding.
+        # Token-major pool rows carry all heads of one token (768 lanes for
+        # GPT-2): no lane-padding waste at any page_size.
         cache = CacheConfig(
             num_pages=max(512 * 32 // ps, slots * 1024 // ps), page_size=ps,
             max_pages_per_seq=1024 // ps,
@@ -187,8 +187,7 @@ def main():
     m = config.model
     kv_item = jnp.dtype(config.cache.jnp_kv_dtype).itemsize
     ctx = prompt_len + chunk * (warm_chunks + windows * bench_chunks // 2)
-    kv_bytes = (2 * m.num_layers * m.kv_heads *
-                config.cache.padded_head_dim(m.head_size) * ctx * kv_item)
+    kv_bytes = (2 * m.num_layers * m.kv_heads * m.head_size * ctx * kv_item)
     step_bytes = weight_bytes + slots * kv_bytes
     roofline_step_s = step_bytes / bw
     roofline_tok_s = slots / roofline_step_s

@@ -101,7 +101,8 @@ def main():
     H, d = config.num_heads, config.head_size
     q = jax.random.normal(jax.random.PRNGKey(1), (B, H, d), config.jnp_dtype)
     pa = jax.jit(lambda q, kp, vp: paged_attention(
-        q, kp, vp, seq_lens, page_tables, interpret=not on_tpu))
+        q, kp, vp, seq_lens, page_tables, num_kv_heads=config.kv_heads,
+        interpret=not on_tpu))
     timeit("paged_attention x1 (pipelined)", pa, q, kp, vp)
 
     k = jax.random.normal(jax.random.PRNGKey(2), (B, config.kv_heads, d),

@@ -47,7 +47,7 @@ def main():
     family = get_family(config)
     params = family.init_params(config, jax.random.PRNGKey(0))
     pool = create_kv_pool(config, cache)
-    print("pool packing:", pool.packing)
+    print("pool row width:", pool.row_width)
 
     seq_lens = jnp.full(B, ctx, jnp.int32)
     page_tables = (jnp.arange(B * cache.max_pages_per_seq, dtype=jnp.int32)
@@ -84,7 +84,7 @@ def main():
                 kp, vp, _, _ = pool.layer(i)
                 o, kp, vp = paged_attention(
                     q, kp, vp, seq_lens, page_tables, k_new=kn, v_new=kn,
-                    packing=pool.packing, interpret=not on_tpu)
+                    num_kv_heads=pool.num_kv_heads, interpret=not on_tpu)
                 pool = pool.with_layer(i, kp, vp)
                 q = o * 0.999
             return (pool, q), None

@@ -1,4 +1,4 @@
-"""KV scatter ops: roundtrip tests.
+"""KV write ops: roundtrip tests (token-major layout).
 
 Replicates the reference's `reshape_and_cache` roundtrip oracle
 (`vllmini/tests/kernels/paged_attention.py:63-82`): scatter, then index the pool
@@ -18,31 +18,39 @@ from vllmini_tpu.ops.kv_write import (
 )
 
 
+def _row(pages, pg, off, kvh, hd):
+    """One token's [kvh, hd] slice out of a token-major pool row."""
+    return np.asarray(pages[pg, off, :kvh * hd]).reshape(kvh, hd)
+
+
 def test_decode_roundtrip_and_padding_drop():
-    kvh, npages, psize, hd, batch = 2, 8, 4, 8, 3
-    k_pages = jnp.zeros((kvh, npages, psize, hd))
+    kvh, npages, psize, hd = 2, 8, 4, 8
+    batch = 3
+    W = 128  # aligned row width for kvh*hd = 16
+    k_pages = jnp.zeros((npages, psize, W))
     v_pages = jnp.zeros_like(k_pages)
     key = jax.random.PRNGKey(0)
     k_new = jax.random.normal(key, (batch, kvh, hd))
     v_new = k_new + 1.0
     page_tables = jnp.array([[0, 1], [2, 3], [4, 5]], jnp.int32)
-    positions = jnp.array([5, 0, 7], jnp.int32)  # page1/off1, page2/off0, page5/off3
+    positions = jnp.array([5, 0, 7], jnp.int32)  # pg1/off1, pg2/off0, pg5/off3
     active = jnp.array([True, True, False])
 
     k_out, v_out = write_kv_decode(k_pages, v_pages, k_new, v_new,
                                    positions, page_tables, active,
                                    interpret=True)
-    np.testing.assert_allclose(np.asarray(k_out[:, 1, 1, :]),
-                               np.asarray(k_new[0].reshape(kvh, hd)))
-    np.testing.assert_allclose(np.asarray(v_out[:, 2, 0, :]),
-                               np.asarray(v_new[1].reshape(kvh, hd)))
-    # Inactive row 2 dropped: page 5 untouched.
-    assert np.all(np.asarray(k_out[:, 5]) == 0.0)
+    np.testing.assert_allclose(_row(k_out, 1, 1, kvh, hd),
+                               np.asarray(k_new[0]))
+    np.testing.assert_allclose(_row(v_out, 2, 0, kvh, hd),
+                               np.asarray(v_new[1]))
+    # Inactive row 2 dropped: page 5 untouched (write went to the trash page).
+    assert np.all(np.asarray(k_out[5]) == 0.0)
 
 
 def test_prefill_roundtrip_multi_page():
     kvh, npages, psize, hd = 2, 10, 4, 8
-    k_pages = jnp.zeros((kvh, npages, psize, hd))
+    W = 128
+    k_pages = jnp.zeros((npages, psize, W))
     v_pages = jnp.zeros_like(k_pages)
     L_pad, seq_len = 12, 10  # spans 3 pages, 2 padding tokens
     key = jax.random.PRNGKey(1)
@@ -55,20 +63,49 @@ def test_prefill_roundtrip_multi_page():
     for t in range(seq_len):
         pg = int(page_table[t // psize])
         off = t % psize
-        np.testing.assert_allclose(np.asarray(k_out[:, pg, off, :]),
+        np.testing.assert_allclose(_row(k_out, pg, off, kvh, hd),
                                    np.asarray(k_new[t]), atol=1e-6)
     # Tail slots of the LAST USED page may hold padding writes (whole-page DUS
     # semantics; they are masked by seq_len and overwritten by decode), but
     # pages beyond the prompt and unrelated pages must be untouched.
-    assert np.all(np.asarray(v_out[:, 0]) == 0.0)  # table[3]=0, prompt uses 3 pages
-    assert np.all(np.asarray(v_out[:, 1]) == 0.0)  # not in table
+    assert np.all(np.asarray(v_out[0]) == 0.0)  # table[3]=0, prompt uses 3
+    assert np.all(np.asarray(v_out[1]) == 0.0)  # not in table
+
+
+def test_prefill_chunked_start_pos():
+    """Two page-aligned chunks == one whole-prompt write (chunked prefill)."""
+    kvh, npages, psize, hd = 2, 12, 4, 8
+    W = 128
+    zeros = jnp.zeros((npages, psize, W))
+    L = 14
+    key = jax.random.PRNGKey(7)
+    k_new = jax.random.normal(key, (16, kvh, hd))
+    v_new = k_new * 3.0
+    page_table = jnp.array([7, 3, 9, 5], jnp.int32)
+
+    k_whole, v_whole = write_kv_prefill(zeros, zeros, k_new, v_new,
+                                        page_table, jnp.int32(L))
+    # Chunk 1: tokens [0, 8); chunk 2: tokens [8, 14) (padded to 8).
+    k_c, v_c = write_kv_prefill(zeros, zeros, k_new[:8], v_new[:8],
+                                page_table, jnp.int32(8))
+    k_c, v_c = write_kv_prefill(k_c, v_c, k_new[8:], v_new[8:],
+                                page_table, jnp.int32(L - 8), start_pos=8)
+    # Compare only the rows that hold real tokens (padding tails differ:
+    # the whole-prompt write pads from token 14, the chunked one from 6).
+    for t in range(L):
+        pg, off = int(page_table[t // psize]), t % psize
+        np.testing.assert_allclose(_row(k_c, pg, off, kvh, hd),
+                                   _row(k_whole, pg, off, kvh, hd))
+        np.testing.assert_allclose(_row(v_c, pg, off, kvh, hd),
+                                   _row(v_whole, pg, off, kvh, hd))
 
 
 def test_quantized_prefill_roundtrip():
     kvh, npages, psize, hd = 1, 4, 4, 16
-    k_pages = jnp.zeros((kvh, npages, psize, hd), jnp.int8)
+    W = 128
+    k_pages = jnp.zeros((npages, psize, W), jnp.int8)
     v_pages = jnp.zeros_like(k_pages)
-    k_scales = jnp.zeros((kvh, npages, psize), jnp.float32)
+    k_scales = jnp.zeros((npages, psize, kvh), jnp.float32)
     v_scales = jnp.zeros_like(k_scales)
     L = 8
     key = jax.random.PRNGKey(2)
@@ -81,20 +118,20 @@ def test_quantized_prefill_roundtrip():
     # Dequantized roundtrip within int8 tolerance.
     for t in range(L):
         pg, off = int(page_table[t // psize]), t % psize
-        deq = np.asarray(k_out[:, pg, off, :], np.float32) * \
-            np.asarray(ks_out[:, pg, off])[:, None]
+        deq = _row(k_out, pg, off, kvh, hd).astype(np.float32) * \
+            np.asarray(ks_out[pg, off])[:, None]
         np.testing.assert_allclose(deq, np.asarray(k_new[t]), atol=2e-2)
 
 
 def test_copy_and_swap_pages():
-    kvh, npages, psize, hd = 2, 6, 4, 8
-    pages = jax.random.normal(jax.random.PRNGKey(3), (kvh, npages, psize, hd))
+    npages, psize, W = 6, 4, 128
+    pages = jax.random.normal(jax.random.PRNGKey(3), (npages, psize, W))
     out = copy_pages(pages, jnp.array([0, 1]), jnp.array([4, 5]))
-    np.testing.assert_allclose(np.asarray(out[:, 4]), np.asarray(pages[:, 0]))
-    np.testing.assert_allclose(np.asarray(out[:, 5]), np.asarray(pages[:, 1]))
+    np.testing.assert_allclose(np.asarray(out[4]), np.asarray(pages[0]))
+    np.testing.assert_allclose(np.asarray(out[5]), np.asarray(pages[1]))
 
     # swap out -> zero -> swap in restores contents
     dense = gather_pages(pages, jnp.array([2, 3]))
-    cleared = pages.at[:, jnp.array([2, 3])].set(0.0)
+    cleared = pages.at[jnp.array([2, 3])].set(0.0)
     restored = scatter_pages(cleared, jnp.array([2, 3]), dense)
     np.testing.assert_allclose(np.asarray(restored), np.asarray(pages))

@@ -1,4 +1,4 @@
-"""Paged-attention decode kernel vs naive oracle.
+"""Paged-attention decode kernel vs naive oracle (token-major layout).
 
 Mirrors the reference's oracle pattern (`vllmini/tests/kernels/paged_attention.py:84-139`:
 paged kernel vs hand-written vanilla attention, atol=1e-2) but runs on CPU via Pallas
@@ -11,20 +11,25 @@ import numpy as np
 import pytest
 
 from vllmini_tpu.ops.paged_attention import (
+    align_row_width,
     paged_attention,
     paged_attention_reference,
+    select_heads_per_matmul,
 )
 
 
 def make_inputs(key, *, batch, num_q_heads, num_kv_heads, head_dim, num_pages,
                 page_size, pages_per_seq, seq_lens, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
+    W = align_row_width(num_kv_heads, head_dim)
     q = jax.random.normal(ks[0], (batch, num_q_heads, head_dim), dtype)
-    k_pages = jax.random.normal(
-        ks[1], (num_kv_heads, num_pages, page_size, head_dim), dtype)
-    v_pages = jax.random.normal(
-        ks[2], (num_kv_heads, num_pages, page_size, head_dim), dtype)
-    # Distinct physical pages per (seq, logical page) — exercise the indirection.
+    k_pages = jax.random.normal(ks[1], (num_pages, page_size, W), dtype)
+    v_pages = jax.random.normal(ks[2], (num_pages, page_size, W), dtype)
+    if W > num_kv_heads * head_dim:  # pad lanes are zero, as the writes keep
+        k_pages = k_pages.at[:, :, num_kv_heads * head_dim:].set(0)
+        v_pages = v_pages.at[:, :, num_kv_heads * head_dim:].set(0)
+    # Distinct physical pages per (seq, logical page) — exercise the
+    # indirection.
     perm = jax.random.permutation(ks[3], num_pages)[: batch * pages_per_seq]
     page_tables = perm.reshape(batch, pages_per_seq).astype(jnp.int32)
     seq_lens = jnp.asarray(seq_lens, jnp.int32)
@@ -38,6 +43,7 @@ def make_inputs(key, *, batch, num_q_heads, num_kv_heads, head_dim, num_pages,
         (3, 8, 2, 64, 16, 4, [64, 1, 17]),               # GQA group=4
         (2, 4, 1, 128, 8, 8, [64, 33]),                  # MQA, head_dim=128
         (4, 4, 4, 64, 16, 4, [16, 0, 5, 64]),            # inactive slot (len 0)
+        (2, 12, 3, 64, 16, 4, [40, 64]),                 # W padded past H*d
     ],
 )
 def test_matches_oracle(batch, num_q_heads, num_kv_heads, head_dim, page_size,
@@ -47,8 +53,10 @@ def test_matches_oracle(batch, num_q_heads, num_kv_heads, head_dim, page_size,
         key, batch=batch, num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
         head_dim=head_dim, num_pages=batch * pages_per_seq + 3,
         page_size=page_size, pages_per_seq=pages_per_seq, seq_lens=seq_lens)
-    out = paged_attention(q, kp, vp, sl, pt, interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=num_kv_heads,
+                          interpret=True)
+    ref = paged_attention_reference(q, kp, vp, sl, pt,
+                                    num_kv_heads=num_kv_heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
     # Inactive slots produce exact zeros.
@@ -57,15 +65,69 @@ def test_matches_oracle(batch, num_q_heads, num_kv_heads, head_dim, page_size,
             assert np.all(np.asarray(out[b]) == 0.0)
 
 
+@pytest.mark.parametrize("hpm", [1, 2, 4])
+def test_heads_per_matmul_variants(hpm):
+    """Every legal block-diagonal grouping gives the same answer."""
+    key = jax.random.PRNGKey(5)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=8, num_kv_heads=4, head_dim=128,
+        num_pages=12, page_size=16, pages_per_seq=4, seq_lens=[40, 64])
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4)
+    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+                          heads_per_matmul=hpm, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_select_heads_per_matmul():
+    assert select_heads_per_matmul(12, 1, 64) == 12      # GPT-2: full merge
+    assert select_heads_per_matmul(25, 1, 64) == 25      # GPT-2 XL
+    assert select_heads_per_matmul(8, 4, 128) == 2       # Llama-8B GQA
+    assert select_heads_per_matmul(8, 8, 128) == 1       # Llama-70B GQA
+    assert select_heads_per_matmul(2, 1, 8) == 2         # tiny test model
+
+
 def test_multi_block_iteration():
     """seq spans several compute blocks -> exercises double-buffered loop."""
     key = jax.random.PRNGKey(1)
     q, kp, vp, sl, pt = make_inputs(
         key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=70, page_size=16, pages_per_seq=32, seq_lens=[512, 200])
-    out = paged_attention(q, kp, vp, sl, pt,
+    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
                           pages_per_compute_block=4, interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("parts", [2, 4])
+def test_kv_partitions_match_plain(parts):
+    """The v2-analog partitioned grid + LSE merge == single-program result.
+
+    Counterpart of `paged_attention_v2` + reduce
+    (`attention_kernels.cu:529-669,845-928`)."""
+    key = jax.random.PRNGKey(6)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=3, num_q_heads=8, num_kv_heads=2, head_dim=64,
+        num_pages=100, page_size=16, pages_per_seq=32,
+        seq_lens=[512, 37, 0])
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=2)
+    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=2,
+                          kv_partitions=parts, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    assert np.all(np.asarray(out[2]) == 0.0)
+
+
+def test_kv_partitions_sliding_window():
+    key = jax.random.PRNGKey(7)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
+        num_pages=70, page_size=16, pages_per_seq=32, seq_lens=[490, 100])
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4,
+                                    sliding_window=64)
+    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+                          sliding_window=64, kv_partitions=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
@@ -76,20 +138,42 @@ def test_quantized_int8_kv():
     q, kp, vp, sl, pt = make_inputs(
         key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
         num_pages=16, page_size=psize, pages_per_seq=pps, seq_lens=[40, 64])
-    # Quantize per token (per page row) to int8.
-    def quant(p):
-        amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
-        scale = jnp.maximum(amax / 127.0, 1e-8)
-        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
-        return qv, scale[..., 0]
-    kq, ks = quant(kp)
-    vq, vs = quant(vp)
-    out = paged_attention(q, kq, vq, sl, pt, k_scales=ks, v_scales=vs,
-                          interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt)
+
+    kq, ks = _quant_tokenmajor(kp, heads, hd)
+    vq, vs = _quant_tokenmajor(vp, heads, hd)
+    out = paged_attention(q, kq, vq, sl, pt, num_kv_heads=heads,
+                          k_scales=ks, v_scales=vs, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=heads)
     # int8 KV error budget
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_quantized_gqa():
+    key = jax.random.PRNGKey(8)
+    q, kp, vp, sl, pt = make_inputs(
+        key, batch=2, num_q_heads=8, num_kv_heads=2, head_dim=128,
+        num_pages=16, page_size=16, pages_per_seq=4, seq_lens=[40, 64])
+    kq, ks = _quant_tokenmajor(kp, 2, 128)
+    vq, vs = _quant_tokenmajor(vp, 2, 128)
+    out = paged_attention(q, kq, vq, sl, pt, num_kv_heads=2,
+                          k_scales=ks, v_scales=vs, interpret=True)
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def _quant_tokenmajor(pages, H, d):
+    """Per-token-per-head int8 quantization of a token-major pool."""
+    P, ps, W = pages.shape
+    x = pages[:, :, :H * d].reshape(P, ps, H, d)
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    qv = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
+    flat = qv.reshape(P, ps, H * d)
+    if W > H * d:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, W - H * d)))
+    return flat.astype(jnp.int8), scale.astype(jnp.float32)
 
 
 def test_bfloat16_io():
@@ -98,9 +182,9 @@ def test_bfloat16_io():
         key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=12, page_size=16, pages_per_seq=4, seq_lens=[20, 64],
         dtype=jnp.bfloat16)
-    out = paged_attention(q, kp, vp, sl, pt, interpret=True)
+    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4, interpret=True)
     assert out.dtype == jnp.bfloat16
-    ref = paged_attention_reference(q, kp, vp, sl, pt)
+    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
@@ -125,9 +209,11 @@ def test_fused_write_matches_separate():
     # Oracle: write first, then attend over the updated pool.
     kp_ref, vp_ref = write_kv_decode(kp, vp, k_new, v_new, positions, pt,
                                      active, interpret=True)
-    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
+    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt,
+                                    num_kv_heads=heads)
 
-    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt, k_new=k_new,
+    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt,
+                                          num_kv_heads=heads, k_new=k_new,
                                           v_new=v_new, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -146,51 +232,46 @@ def test_fused_write_inactive_slot_untouched():
         num_pages=11, page_size=16, pages_per_seq=4, seq_lens=[0, 33])
     k_new = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 64))
     v_new = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 64))
-    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt, k_new=k_new,
-                                          v_new=v_new, interpret=True)
+    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+                                          k_new=k_new, v_new=v_new,
+                                          interpret=True)
     assert np.all(np.asarray(out[0]) == 0.0)
     # Slot 0's pages are untouched (compare pool outside slot 1's written row).
     page1 = int(pt[1, 33 // 16])
-    mask = np.ones(kp.shape[1], bool)
+    mask = np.ones(kp.shape[0], bool)
     mask[page1] = False
-    np.testing.assert_array_equal(np.asarray(kp_out)[:, mask],
-                                  np.asarray(kp)[:, mask])
+    np.testing.assert_array_equal(np.asarray(kp_out)[mask],
+                                  np.asarray(kp)[mask])
 
 
 def test_fused_write_quantized():
-    from vllmini_tpu.ops.kv_write import quantize_decode_tokens
+    from vllmini_tpu.ops.kv_write import quantize_decode_tokens, \
+        write_kv_decode
 
     key = jax.random.PRNGKey(10)
     batch, heads, hd, psize, pps = 2, 4, 64, 16, 4
     q, kp, vp, sl, pt = make_inputs(
         key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
         num_pages=16, page_size=psize, pages_per_seq=pps, seq_lens=[40, 64])
-    # Full-precision oracle pool with the new token written densely.
     k_new = jax.random.normal(jax.random.PRNGKey(11), (batch, heads, hd))
     v_new = jax.random.normal(jax.random.PRNGKey(12), (batch, heads, hd))
     positions = sl - 1
     active = sl > 0
 
-    def quant(p):
-        amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
-        scale = jnp.maximum(amax / 127.0, 1e-8)
-        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
-        return qv, scale[..., 0]
-
-    kq, ks = quant(kp)
-    vq, vs = quant(vp)
+    kq, ks = _quant_tokenmajor(kp, heads, hd)
+    vq, vs = _quant_tokenmajor(vp, heads, hd)
     k_src, v_src, ks2, vs2 = quantize_decode_tokens(
         k_new, v_new, positions, pt, active, ks, vs, jnp.int8)
     out, kq_out, vq_out = paged_attention(
-        q, kq, vq, sl, pt, k_scales=ks2, v_scales=vs2,
+        q, kq, vq, sl, pt, num_kv_heads=heads, k_scales=ks2, v_scales=vs2,
         k_new=k_src, v_new=v_src, k_new_raw=k_new, v_new_raw=v_new,
         interpret=True)
 
-    from vllmini_tpu.ops.kv_write import write_kv_decode
     kp_ref, vp_ref = write_kv_decode(
         kp.astype(jnp.float32), vp.astype(jnp.float32), k_new, v_new,
         positions, pt, active, interpret=True)
-    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
+    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt,
+                                    num_kv_heads=heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=6e-2, rtol=6e-2)
 
@@ -201,117 +282,11 @@ def test_sliding_window_matches_oracle():
         key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=32, page_size=4, pages_per_seq=8, seq_lens=[30, 3, 17])
     for window in (4, 8, 100):
-        out = paged_attention(q, kp, vp, sl, pt, sliding_window=window,
+        out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+                              sliding_window=window,
                               pages_per_compute_block=2, interpret=True)
-        ref = paged_attention_reference(q, kp, vp, sl, pt,
+        ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4,
                                         sliding_window=window)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5,
                                    err_msg=f"window={window}")
-
-
-# ---------------------------------------------------------------- packed
-
-def _pack_pages(pages, packing):
-    H, Pg, ps, d = pages.shape
-    return pages.reshape(H, Pg, ps // packing, packing * d)
-
-
-@pytest.mark.parametrize("packing,head_dim", [(2, 64), (4, 32)])
-def test_packed_layout_matches_oracle(packing, head_dim):
-    """Packed pool rows (P tokens per 128-lane row) == unpacked oracle."""
-    key = jax.random.PRNGKey(40)
-    q, kp, vp, sl, pt = make_inputs(
-        key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=head_dim,
-        num_pages=16, page_size=8, pages_per_seq=4,
-        seq_lens=[17, 1, 32])
-    ref = paged_attention_reference(q, kp, vp, sl, pt)
-    out = paged_attention(q, _pack_pages(kp, packing),
-                          _pack_pages(vp, packing), sl, pt,
-                          packing=packing, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
-
-
-def test_packed_fused_write_matches_separate():
-    from vllmini_tpu.ops.kv_write import write_kv_decode
-
-    packing, head_dim = 2, 64
-    key = jax.random.PRNGKey(41)
-    q, kp, vp, sl, pt = make_inputs(
-        key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=head_dim,
-        num_pages=16, page_size=8, pages_per_seq=4, seq_lens=[17, 1, 32])
-    k_new = jax.random.normal(jax.random.PRNGKey(42), (3, 4, head_dim))
-    v_new = jax.random.normal(jax.random.PRNGKey(43), (3, 4, head_dim))
-    positions = sl - 1
-    active = sl > 0
-
-    # Oracle in the UNPACKED layout.
-    kp_ref, vp_ref = write_kv_decode(kp, vp, k_new, v_new, positions, pt,
-                                     active, interpret=True)
-    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt)
-
-    out, kp_out, vp_out = paged_attention(
-        q, _pack_pages(kp, packing), _pack_pages(vp, packing), sl, pt,
-        k_new=k_new, v_new=v_new, packing=packing, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
-    np.testing.assert_array_equal(np.asarray(kp_out),
-                                  np.asarray(_pack_pages(kp_ref, packing)))
-    np.testing.assert_array_equal(np.asarray(vp_out),
-                                  np.asarray(_pack_pages(vp_ref, packing)))
-
-    # The packed separate write op agrees too.
-    kp2, vp2 = write_kv_decode(_pack_pages(kp, packing),
-                               _pack_pages(vp, packing), k_new, v_new,
-                               positions, pt, active, interpret=True,
-                               packing=packing)
-    np.testing.assert_array_equal(np.asarray(kp2),
-                                  np.asarray(_pack_pages(kp_ref, packing)))
-
-
-def test_packed_prefill_write_matches_unpacked():
-    from vllmini_tpu.ops.kv_write import write_kv_prefill
-
-    packing, head_dim, ps = 2, 64, 8
-    key = jax.random.PRNGKey(44)
-    H, n_pages = 4, 12
-    L = 19
-    k_new = jax.random.normal(key, (24, H, head_dim))
-    v_new = jax.random.normal(jax.random.PRNGKey(45), (24, H, head_dim))
-    table = jnp.asarray([5, 2, 9, 0], jnp.int32)
-    kp = jnp.zeros((H, n_pages, ps, head_dim))
-    vp = jnp.zeros_like(kp)
-    kp_ref, vp_ref = write_kv_prefill(kp, vp, k_new, v_new, table,
-                                      jnp.int32(L))
-    kp_pk, vp_pk = write_kv_prefill(
-        _pack_pages(kp, packing), _pack_pages(vp, packing), k_new, v_new,
-        table, jnp.int32(L), packing=packing)
-    np.testing.assert_array_equal(np.asarray(kp_pk),
-                                  np.asarray(_pack_pages(kp_ref, packing)))
-    np.testing.assert_array_equal(np.asarray(vp_pk),
-                                  np.asarray(_pack_pages(vp_ref, packing)))
-
-
-def test_packed_quantized_matches_oracle():
-    packing, head_dim = 2, 64
-    key = jax.random.PRNGKey(46)
-    q, kp, vp, sl, pt = make_inputs(
-        key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=head_dim,
-        num_pages=16, page_size=8, pages_per_seq=4, seq_lens=[17, 32])
-
-    def quant(p):  # per-token int8, unpacked layout
-        amax = jnp.max(jnp.abs(p), axis=-1, keepdims=True)
-        scale = jnp.maximum(amax / 127.0, 1e-8)
-        qv = jnp.clip(jnp.round(p / scale), -127, 127).astype(jnp.int8)
-        return qv, scale[..., 0]
-
-    kq, ks = quant(kp)
-    vq, vs = quant(vp)
-    ref = paged_attention_reference(q, kp, vp, sl, pt)
-    out = paged_attention(q, _pack_pages(kq, packing),
-                          _pack_pages(vq, packing), sl, pt,
-                          k_scales=ks, v_scales=vs, packing=packing,
-                          interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=5e-2, rtol=5e-2)

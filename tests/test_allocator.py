@@ -221,9 +221,14 @@ def test_convert_pool_roundtrip():
                         kv_dtype="float32", head_pad_to=1)
     pool = create_kv_pool(cfg, cache)
     key = jax.random.PRNGKey(0)
-    pool.k_pages[0] = jax.random.normal(key, pool.k_pages[0].shape)
-    pool.v_pages[0] = jax.random.normal(jax.random.PRNGKey(1),
-                                        pool.v_pages[0].shape)
+    used = pool.num_kv_heads * pool.head_dim  # row-tail pad lanes stay zero
+
+    def fill(k, shape):
+        x = jax.random.normal(k, shape)
+        return x.at[:, :, used:].set(0.0)
+
+    pool.k_pages[0] = fill(key, pool.k_pages[0].shape)
+    pool.v_pages[0] = fill(jax.random.PRNGKey(1), pool.v_pages[0].shape)
 
     q = convert_pool(pool, jnp.int8)
     assert q.quantized and q.k_pages[0].dtype == jnp.int8
@@ -235,5 +240,6 @@ def test_convert_pool_roundtrip():
     f8 = convert_pool(pool, jnp.float8_e4m3fn)
     assert f8.k_pages[0].dtype == jnp.float8_e4m3fn
     back8 = convert_pool(f8, jnp.float32)
+    # e4m3: 3 mantissa bits -> up to ~6% relative spacing near amax.
     np.testing.assert_allclose(np.asarray(back8.k_pages[0]),
-                               np.asarray(pool.k_pages[0]), atol=8e-2)
+                               np.asarray(pool.k_pages[0]), atol=2e-1)

@@ -115,3 +115,37 @@ def test_primary_driver_and_broadcast_identity():
     finished = driver.step()
     assert isinstance(finished, list)
     assert broadcast_bytes(b"xyz") == b"xyz"
+
+
+def test_abort_between_ticks_is_broadcast():
+    """scheduler.abort() from an HTTP handler runs OUTSIDE PrimaryDriver.step();
+    its device commands (clear_slot/free) must still reach workers via the
+    driver's persistent command sink (ADVICE r1, high)."""
+    config = _cfg()
+    primary_engine, worker_engine = _pair(config)
+    sched = Scheduler(primary_engine)
+    driver = PrimaryDriver(sched)
+    worker = WorkerDriver(worker_engine)
+
+    r1 = sched.add_request([3, 1, 4], SamplingParams(max_new_tokens=8,
+                                                     greedy=True))
+    r2 = sched.add_request([2, 7], SamplingParams(max_new_tokens=8,
+                                                  greedy=True))
+
+    def tick():
+        # Mirror PrimaryDriver.step() but hand the payload to the in-process
+        # worker instead of the (identity) broadcast.
+        try:
+            sched.step()
+        finally:
+            worker.step_once(driver._drain())
+
+    tick()
+    tick()
+    # Abort OUTSIDE a tick — as the server's DELETE handler does (api.py).
+    assert sched.abort(r1)
+    tick()
+    while sched.has_work:
+        tick()
+    assert len(sched.get(r2).output_ids) == 8
+    _assert_devices_match(primary_engine, worker_engine)

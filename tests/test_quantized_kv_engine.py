@@ -102,24 +102,21 @@ def test_packed_pool_engine_matches_padded():
     params = family.init_params(model, jax.random.PRNGKey(5))
 
     outs = {}
-    for mode, pad_to in (("packed", 128), ("padded", 0)):
-        cache = CacheConfig(num_pages=16, page_size=32, max_pages_per_seq=4,
-                            kv_dtype="float32",
-                            head_pad_to=pad_to if pad_to else 1)
+    for mode, page_size in (("ps32", 32), ("ps16", 16)):
+        cache = CacheConfig(num_pages=16 * 32 // page_size,
+                            page_size=page_size,
+                            max_pages_per_seq=128 // page_size,
+                            kv_dtype="float32")
         cfg = EngineConfig(model=model, cache=cache,
                            scheduler=SchedulerConfig(
                                max_decode_slots=2, decode_chunk_steps=3,
                                prefill_buckets=(32,)),
                            hf_model=None)
         engine = LLMEngine(cfg, params=jax.tree.map(jnp.copy, params))
-        if mode == "packed":
-            assert engine.pool.packing == 4, engine.pool.packing
-        else:
-            assert engine.pool.packing == 1
         sched = Scheduler(engine)
         rid = sched.add_request([3, 1, 4, 1, 5],
                                 SamplingParams(max_new_tokens=9, greedy=True))
         sched.run_to_completion(max_steps=100)
         outs[mode] = sched.get(rid).output_ids
         assert len(outs[mode]) == 9
-    assert outs["packed"] == outs["padded"], outs
+    assert outs["ps32"] == outs["ps16"], outs

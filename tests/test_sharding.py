@@ -90,11 +90,14 @@ def test_tp_decode_matches_single_device(family_name, dp, tp):
 
     mesh = make_mesh(dp, tp)
     sharded = shard_params(params, config, mesh)
+    # The TP pool needs per-shard lane alignment (shards=tp) and dp page
+    # replicas; its zero contents match the reference pool's.
+    pool_tp = create_kv_pool(config, cache, shards=tp)
     pool_sh = shard_pool(
         dataclasses.replace(
-            pool,
-            k_pages=[jnp.tile(x, (1, dp, 1, 1)) for x in pool.k_pages],
-            v_pages=[jnp.tile(x, (1, dp, 1, 1)) for x in pool.v_pages],
+            pool_tp,
+            k_pages=[jnp.tile(x, (dp, 1, 1)) for x in pool_tp.k_pages],
+            v_pages=[jnp.tile(x, (dp, 1, 1)) for x in pool_tp.v_pages],
         ), mesh)
     step = make_tp_decode_fn(family, config, mesh, sharded, interpret=True)
     got, pool_out = step(sharded, pool_sh, token_ids, positions, seq_lens,

@@ -197,9 +197,8 @@ class CacheConfig:
     page_size: int = 16
     max_pages_per_seq: int = 16
     kv_dtype: str = "bfloat16"  # "bfloat16"|"float32"|"int8"|"fp8_e4m3"|"fp8_e5m2"
-    # Pool pages are lane-padded so head_dim is a multiple of this (TPU DMA
-    # requires 128-aligned trailing dims; see ops/paged_attention.py). Set 1 to
-    # disable (CPU-only unit tests that check exact shapes).
+    # Deprecated (token-major pool rows are 128-aligned by construction, with
+    # no per-head lane padding); accepted so older configs keep loading.
     head_pad_to: int = 128
 
     @property
@@ -220,28 +219,11 @@ class CacheConfig:
         return {"float32": 8, "bfloat16": 16, "float16": 16,
                 "int8": 32, "fp8_e4m3": 32, "fp8_e5m2": 32}[self.kv_dtype]
 
-    def padded_head_dim(self, head_size: int) -> int:
-        if self.packing_for(head_size) > 1:
-            return head_size  # packed layout wastes no lanes
-        m = max(1, self.head_pad_to)
-        return -(-head_size // m) * m
-
-    def packing_for(self, head_size: int) -> int:
-        """Tokens per 128-lane pool row (packed layout for head_size < 128).
-
-        Packing requires 128 % head_size == 0 and enough page rows to stay
-        DMA-tile-aligned (page_size/P a multiple of the dtype sublane tile);
-        otherwise 1 (lane-padded layout)."""
-        if self.head_pad_to <= 1:  # explicit unpadded/test mode
-            return 1
-        if head_size >= 128 or 128 % head_size != 0:
-            return 1
-        p = 128 // head_size
-        if self.page_size % p != 0:
-            return 1
-        if (self.page_size // p) % self.sublane_tile != 0:
-            return 1
-        return p
+    def row_width(self, num_kv_heads: int, head_size: int,
+                  shards: int = 1) -> int:
+        """Token-major pool row width (see memory/kv_cache.align_row_width)."""
+        from .memory.kv_cache import align_row_width
+        return align_row_width(num_kv_heads, head_size, shards)
 
     def __post_init__(self):
         if self.page_size < 1:

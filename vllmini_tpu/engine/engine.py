@@ -125,20 +125,14 @@ class LLMEngine:
         self.metrics = Metrics()
 
         if not self.interpret:
-            # Native Mosaic DMA constraints (see ops/paged_attention.py).
+            # Native Mosaic DMA constraints (see ops/paged_attention.py):
+            # pages are DMA'd whole, so their (page_size, row_width) trailing
+            # dims must be tile-aligned; row_width is aligned by construction.
             tile = config.cache.sublane_tile
-            packing = config.cache.packing_for(config.model.head_size)
-            pool_rows = config.cache.page_size // packing
-            if pool_rows % tile != 0:
+            if config.cache.page_size % tile != 0:
                 raise ValueError(
-                    f"page_size={config.cache.page_size} (packing {packing}) "
-                    f"must give page rows divisible by {tile} for "
-                    f"kv_dtype={config.cache.kv_dtype} on TPU")
-            if (packing == 1 and
-                    config.cache.padded_head_dim(config.model.head_size)
-                    % 128):
-                raise ValueError("pool head_dim must be 128-aligned on TPU; "
-                                 "set CacheConfig.head_pad_to=128")
+                    f"page_size={config.cache.page_size} must be a multiple "
+                    f"of {tile} for kv_dtype={config.cache.kv_dtype} on TPU")
 
         if params is None:
             params = self.family.init_params(
@@ -162,7 +156,8 @@ class LLMEngine:
             self.mesh = None
             self.local_model = config.model
         self.params = params
-        self.pool: KVPool = create_kv_pool(config.model, config.cache)
+        self.pool: KVPool = create_kv_pool(config.model, config.cache,
+                                           shards=self.tp)
         if self.mesh is not None:
             from ..parallel.tp import shard_pool
             self.pool = shard_pool(self.pool, self.mesh)
@@ -213,7 +208,8 @@ class LLMEngine:
             pspecs = param_specs(self.params)
             poolspecs = pool_pspec(config.model.num_layers,
                                    self.pool.quantized,
-                                   packing=self.pool.packing)
+                                   num_kv_heads=self.pool.num_kv_heads,
+                                   head_dim=self.pool.head_dim)
             stspecs = jax.tree.map(lambda _: P(), self.state)
 
             def chunk_sharded(params, pool, state, tables, budget, rng, *,
@@ -513,8 +509,8 @@ class LLMEngine:
         idx = jnp.asarray(pages, jnp.int32)
 
         def gather(layers):
-            # [L, H, n_pages, ps, d(or nothing)] on host
-            return np.stack([np.asarray(jax.device_get(x[:, idx]))
+            # [L, n_pages, ps, row_width|H] on host (token-major: pages dim 0)
+            return np.stack([np.asarray(jax.device_get(x[idx]))
                              for x in layers])
 
         arrays = {"k": gather(self.pool.k_pages),
@@ -566,7 +562,7 @@ class LLMEngine:
         pool = self.pool
 
         def scatter(layers, host, dtype):
-            return [x.at[:, idx].set(jnp.asarray(host[i], dtype))
+            return [x.at[idx].set(jnp.asarray(host[i], dtype))
                     for i, x in enumerate(layers)]
 
         pool = dataclasses.replace(

@@ -1,24 +1,29 @@
-"""Device-side paged KV pool.
+"""Device-side paged KV pool (token-major layout).
 
 Reference counterpart: the two global cache tensors in `KVCache`
 (`/root/reference/vllmini/kv_cache.py:13-14`). TPU-first layout deltas (SURVEY.md §7):
 
-- per-layer arrays `[num_kv_heads, num_pages, page_size, head_dim]` with
-  head_dim on the 128-lane axis — NOT the reference's CUDA 16-byte-LDG
-  vectorized `[blocks, heads, head_size//8, block_size, 8]` layout;
+- per-layer arrays `[num_pages, page_size, row_width]` where one page ROW is
+  one token's K (or V) for ALL kv heads concatenated
+  (`row_width = align(num_kv_heads * head_dim, 128)` per TP shard) — NOT the
+  reference's CUDA 16-byte-LDG vectorized
+  `[blocks, heads, head_size//8, block_size, 8]` layout. Token-major makes a
+  page gather ONE contiguous DMA descriptor and the decode-token write ONE
+  row DMA (the head-major alternative costs a num_kv_heads-segment strided
+  copy per page);
 - key and value share one layout (the reference needs two);
 - the pool is a LIST of per-layer arrays rather than one stacked
   `[layers, ...]` tensor: layer updates then swap a pytree leaf instead of a
-  dynamic-update-slice through a multi-hundred-MB array (XLA cannot always
-  elide that slice+writeback, and it costs a full layer copy per step);
+  dynamic-update-slice through a multi-hundred-MB array;
 - one page table per sequence serves all layers (same page index in every
   layer's array);
-- optional int8/fp8 payload with per-token fp32 scales stored alongside
-  (the north-star quantized cache; the reference's fp8 machinery is
-  `quantization/fp8/**` + `convert_fp8`).
+- optional int8/fp8 payload with per-token-per-head fp32 scales stored
+  token-major alongside (`[num_pages, page_size, num_kv_heads]`) — the
+  north-star quantized cache; the reference's fp8 machinery is
+  `quantization/fp8/**` + `convert_fp8`.
 
 The pool is a pytree threaded through the jitted step functions with donation,
-so in-place scatter updates never copy it.
+so in-place updates never copy it.
 """
 
 from __future__ import annotations
@@ -32,50 +37,49 @@ import jax.numpy as jnp
 from ..config import CacheConfig, ModelConfig
 
 
+def align_row_width(num_kv_heads: int, head_dim: int, shards: int = 1) -> int:
+    """Pool row width: per-TP-shard `(H/shards)*d` rounded up to the 128-lane
+    tile, so every shard_map slice stays 128-aligned."""
+    assert num_kv_heads % shards == 0
+    per = (num_kv_heads // shards) * head_dim
+    return shards * ((per + 127) // 128 * 128)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVPool:
     """All KV state for one model, all layers, all sequences.
 
     Each list holds `num_layers` arrays of shape
-    [num_kv_heads, num_pages, page_size/packing, packing*head_dim]
-    (scales: [num_kv_heads, num_pages, page_size]).
-
-    `packing` > 1 is the PACKED layout for head_dim < 128: `packing` adjacent
-    tokens share one 128-lane row (token t of a page lives in row t//packing,
-    lanes (t%packing)*head_dim ...). Byte-identical to the unpadded contiguous
-    [page_size, head_dim] data, so it reads/writes at full DMA width with NO
-    lane-padding waste — for GPT-2's 64-dim heads this halves KV bytes vs the
-    pad-to-128 layout. packing == 1 is the plain (possibly lane-padded)
-    layout.
+    [num_pages, page_size, row_width] (scales: [num_pages, page_size,
+    num_kv_heads]). `num_kv_heads`/`head_dim` are static pytree metadata:
+    the row layout folds heads into lanes, so they are no longer derivable
+    from shapes (row_width may carry per-shard alignment padding).
     """
 
     k_pages: List[jax.Array]
     v_pages: List[jax.Array]
     k_scales: Optional[List[jax.Array]]
     v_scales: Optional[List[jax.Array]]
-    packing: int = dataclasses.field(metadata=dict(static=True), default=1)
+    num_kv_heads: int = dataclasses.field(
+        metadata=dict(static=True), default=1)
+    head_dim: int = dataclasses.field(metadata=dict(static=True), default=128)
 
     @property
     def num_layers(self) -> int:
         return len(self.k_pages)
 
     @property
-    def num_kv_heads(self) -> int:
+    def num_pages(self) -> int:
         return self.k_pages[0].shape[0]
 
     @property
-    def num_pages(self) -> int:
+    def page_size(self) -> int:
         return self.k_pages[0].shape[1]
 
     @property
-    def page_size(self) -> int:
-        return self.k_pages[0].shape[2] * self.packing
-
-    @property
-    def head_dim(self) -> int:
-        """Logical per-token head dim (lane width / packing)."""
-        return self.k_pages[0].shape[3] // self.packing
+    def row_width(self) -> int:
+        return self.k_pages[0].shape[2]
 
     @property
     def quantized(self) -> bool:
@@ -99,7 +103,7 @@ class KVPool:
             vs_list = list(self.v_scales)
             ks_list[i], vs_list[i] = k_scales, v_scales
         return KVPool(k_list, v_list, ks_list, vs_list,
-                      packing=self.packing)
+                      num_kv_heads=self.num_kv_heads, head_dim=self.head_dim)
 
     def bytes(self) -> int:
         total = sum(x.nbytes for x in self.k_pages)
@@ -114,73 +118,73 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
     """Cache-wide dtype conversion — the TPU analog of the reference's
     `convert_fp8` (`cache_kernels.cu:322-392`), both directions:
 
-    - float pool -> int8/fp8 pool: per-token symmetric quantization, scales
-      materialized alongside;
+    - float pool -> int8/fp8 pool: per-token-per-head symmetric quantization,
+      scales materialized alongside;
     - quantized pool -> float pool: dequantize with the stored scales and
       drop them.
 
     Used when changing serving precision on a warm cache (e.g. admitting a
     long-context burst by halving KV bytes without evicting anything).
+    Requires an unsharded row layout (row_width == align(H*d)).
     """
-    import jax.numpy as _jnp
+    target = jnp.dtype(target_dtype)
+    quant_targets = (jnp.int8, jnp.dtype("float8_e4m3fn"),
+                     jnp.dtype("float8_e5m2"))
+    H, d = pool.num_kv_heads, pool.head_dim
 
-    target = _jnp.dtype(target_dtype)
-    quant_targets = (_jnp.int8, _jnp.dtype("float8_e4m3fn"),
-                     _jnp.dtype("float8_e5m2"))
-    P = pool.packing
+    def split_heads(x):  # [P, ps, W] -> [P, ps, H, d]
+        return x[:, :, :H * d].reshape(x.shape[0], x.shape[1], H, d)
 
-    def unpack(x):  # packed rows -> per-token rows [H, Pg, ps, d]
-        if P == 1:
-            return x
-        H, Pg, rows, lanes = x.shape
-        return x.reshape(H, Pg, rows * P, lanes // P)
+    def merge_heads(x, W):  # [P, ps, H, d] -> [P, ps, W]
+        P, ps = x.shape[0], x.shape[1]
+        flat = x.reshape(P, ps, H * d)
+        if W > H * d:
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, W - H * d)))
+        return flat
 
-    def repack(x):
-        if P == 1:
-            return x
-        H, Pg, ps, d = x.shape
-        return x.reshape(H, Pg, ps // P, d * P)
-
-    def quantize(x):  # [H, Pg, ps, d] float -> (q, scale [H, Pg, ps])
-        x = unpack(x)
-        amax = _jnp.max(_jnp.abs(x.astype(_jnp.float32)), axis=-1)
-        qmax = 127.0 if target == _jnp.int8 else float(
-            _jnp.finfo(target).max)
-        scale = _jnp.maximum(amax / qmax, 1e-8)
-        q = x.astype(_jnp.float32) / scale[..., None]
-        if target == _jnp.int8:
-            q = _jnp.clip(_jnp.round(q), -qmax, qmax)
-        return repack(q.astype(target)), scale.astype(_jnp.float32)
+    def quantize(x):  # -> (q [P, ps, W], scale [P, ps, H])
+        W = x.shape[2]
+        xh = split_heads(x).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xh), axis=-1)
+        qmax = 127.0 if target == jnp.int8 else float(jnp.finfo(target).max)
+        scale = jnp.maximum(amax / qmax, 1e-8)
+        q = xh / scale[..., None]
+        if target == jnp.int8:
+            q = jnp.clip(jnp.round(q), -qmax, qmax)
+        return (merge_heads(q, W).astype(target),
+                scale.astype(jnp.float32))
 
     def dequantize(x, s):
-        y = unpack(x).astype(_jnp.float32) * s[..., None]
-        return repack(y.astype(target))
+        W = x.shape[2]
+        y = split_heads(x).astype(jnp.float32) * s[..., None]
+        return merge_heads(y, W).astype(target)
 
     if target in quant_targets:
         if pool.quantized:  # re-quantize via fp32
-            pool = convert_pool(pool, _jnp.float32)
+            pool = convert_pool(pool, jnp.float32)
         kq = [quantize(x) for x in pool.k_pages]
         vq = [quantize(x) for x in pool.v_pages]
         return KVPool(k_pages=[q for q, _ in kq], v_pages=[q for q, _ in vq],
                       k_scales=[s for _, s in kq],
-                      v_scales=[s for _, s in vq], packing=P)
+                      v_scales=[s for _, s in vq],
+                      num_kv_heads=H, head_dim=d)
     if pool.quantized:
         return KVPool(
             k_pages=[dequantize(x, s) for x, s in zip(pool.k_pages,
                                                       pool.k_scales)],
             v_pages=[dequantize(x, s) for x, s in zip(pool.v_pages,
                                                       pool.v_scales)],
-            k_scales=None, v_scales=None, packing=P)
+            k_scales=None, v_scales=None, num_kv_heads=H, head_dim=d)
     return KVPool(k_pages=[x.astype(target) for x in pool.k_pages],
                   v_pages=[x.astype(target) for x in pool.v_pages],
-                  k_scales=None, v_scales=None, packing=P)
+                  k_scales=None, v_scales=None, num_kv_heads=H, head_dim=d)
 
 
 def create_kv_pool(model: ModelConfig, cache: CacheConfig,
-                   sharding=None) -> KVPool:
-    """Allocate the zero-filled pool: ~`2 * L * H_kv * P * page_size *
-    padded_head_dim * itemsize` bytes (the reference's ≈49 MB GPT-2 pool,
-    `SURVEY.md` §3.1, lane padding included).
+                   sharding=None, shards: int = 1) -> KVPool:
+    """Allocate the zero-filled token-major pool: ~`2 * L * page_size *
+    row_width * (num_pages+1) * itemsize` bytes (the reference's ≈49 MB GPT-2
+    pool, `SURVEY.md` §3.1).
 
     One extra physical page beyond `cache.num_pages` is allocated as the TRASH
     page: padding/inactive writes land there unconditionally, which lets the
@@ -188,17 +192,12 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     copy the whole pool). The allocator never hands it out; its index equals
     the page-table padding sentinel (`cache.num_pages`).
 
-    head_size < 128 with a compatible page_size selects the PACKED layout
-    (see KVPool.packing): no lane padding, half the KV bytes for 64-dim
-    heads."""
-    packing = cache.packing_for(model.head_size)
-    if packing > 1:
-        shape = (model.kv_heads, cache.num_pages + 1,
-                 cache.page_size // packing, packing * model.head_size)
-    else:
-        shape = (model.kv_heads, cache.num_pages + 1, cache.page_size,
-                 cache.padded_head_dim(model.head_size))
-    scale_shape = (model.kv_heads, cache.num_pages + 1, cache.page_size)
+    `shards` > 1 pads each TP shard's lane slice independently (see
+    `align_row_width`).
+    """
+    W = align_row_width(model.kv_heads, model.head_size, shards)
+    shape = (cache.num_pages + 1, cache.page_size, W)
+    scale_shape = (cache.num_pages + 1, cache.page_size, model.kv_heads)
     dtype = cache.jnp_kv_dtype
     L = model.num_layers
 
@@ -214,4 +213,5 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     if cache.quantized:
         k_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
         v_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
-    return KVPool(k_pages, v_pages, k_scales, v_scales, packing=packing)
+    return KVPool(k_pages, v_pages, k_scales, v_scales,
+                  num_kv_heads=model.kv_heads, head_dim=model.head_size)

@@ -121,7 +121,7 @@ def prefill_forward(
             kp, vp, ks, vs = pool.layer(i)
             out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
                                    start_pos=start_pos, k_scales=ks,
-                                   v_scales=vs, packing=pool.packing)
+                                   v_scales=vs)
             if pool.quantized:
                 kp, vp, ks, vs = out
             else:
@@ -183,7 +183,7 @@ def decode_forward(
                                        k_new=k_src, v_new=v_src,
                                        k_new_raw=k, v_new_raw=v,
                                        sliding_window=config.sliding_window,
-                                       packing=pool.packing,
+                                       num_kv_heads=Hkv,
                                        interpret=interpret)
         pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
         x = x + maybe_psum(

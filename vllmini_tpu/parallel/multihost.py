@@ -80,23 +80,37 @@ def broadcast_bytes(payload: Optional[bytes]) -> bytes:
 
 class PrimaryDriver:
     """Wraps the scheduler on process 0: each tick runs one scheduler step
-    with command recording on, then broadcasts the recorded log."""
+    with command recording on, then broadcasts the recorded log.
+
+    The engine's `command_sink` is PERSISTENT (installed once here), not
+    scoped to `step()`: device-mutating calls made between ticks — e.g.
+    `scheduler.abort()` from an HTTP DELETE handler, serialized by the
+    server's engine lock — accumulate in the same log and ride the next
+    tick's broadcast. (A step-scoped sink silently dropped those commands,
+    leaving worker hosts with diverged replicated state.)"""
 
     def __init__(self, scheduler):
         self.scheduler = scheduler
         self.engine = scheduler.engine
+        self._log: List = []
+        self.engine.command_sink = self._log
+
+    def _drain(self) -> bytes:
+        log, self._log = self._log, []
+        self.engine.command_sink = self._log
+        return pickle.dumps(log)
 
     def step(self):
-        log: List = []
-        self.engine.command_sink = log
         try:
             finished = self.scheduler.step()
         finally:
-            self.engine.command_sink = None
-        broadcast_bytes(pickle.dumps(log))
+            # Broadcast whatever DID execute even if the step raised —
+            # workers must mirror every device mutation that happened.
+            broadcast_bytes(self._drain())
         return finished
 
     def shutdown(self) -> None:
+        broadcast_bytes(self._drain())
         broadcast_bytes(pickle.dumps(_SHUTDOWN))
 
 

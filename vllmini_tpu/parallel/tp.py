@@ -259,29 +259,31 @@ def param_specs(params) -> Any:
                                   is_leaf=lambda x: x is None)
 
 
-def pool_pspec(num_layers: int, quantized: bool,
-               packing: int = 1) -> KVPool:
-    """Per-layer pool arrays [kv_heads, pages, page_size, head_dim]: kv_heads
-    on MODEL (head-sharded KV), pages on DATA (per-replica pools). `packing`
-    must match the value pool's (static pytree fields must agree)."""
-    arr = [P(MODEL_AXIS, DATA_AXIS, None, None)] * num_layers
-    sc = ([P(MODEL_AXIS, DATA_AXIS, None)] * num_layers if quantized
+def pool_pspec(num_layers: int, quantized: bool, *,
+               num_kv_heads: int, head_dim: int) -> KVPool:
+    """Per-layer token-major pool arrays [pages, page_size, row_width]:
+    head lanes on MODEL (head-sharded KV — each shard's `(H/tp)*d` lane slice
+    is independently 128-aligned, see `align_row_width`), pages on DATA
+    (per-replica pools). Static pytree fields must agree with the value
+    pool's."""
+    arr = [P(DATA_AXIS, None, MODEL_AXIS)] * num_layers
+    sc = ([P(DATA_AXIS, None, MODEL_AXIS)] * num_layers if quantized
           else None)
     return KVPool(k_pages=arr, v_pages=list(arr), k_scales=sc,
-                  v_scales=list(sc) if sc else None, packing=packing)
+                  v_scales=list(sc) if sc else None,
+                  num_kv_heads=num_kv_heads, head_dim=head_dim)
 
 
 def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
-    s = NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS, None, None))
-    ss = NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS, None))
+    s = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
     return KVPool(
         k_pages=[jax.device_put(x, s) for x in pool.k_pages],
         v_pages=[jax.device_put(x, s) for x in pool.v_pages],
-        k_scales=([jax.device_put(x, ss) for x in pool.k_scales]
+        k_scales=([jax.device_put(x, s) for x in pool.k_scales]
                   if pool.k_scales is not None else None),
-        v_scales=([jax.device_put(x, ss) for x in pool.v_scales]
+        v_scales=([jax.device_put(x, s) for x in pool.v_scales]
                   if pool.v_scales is not None else None),
-        packing=pool.packing,
+        num_kv_heads=pool.num_kv_heads, head_dim=pool.head_dim,
     )
 
 
@@ -297,7 +299,9 @@ def make_tp_decode_fn(family, config: ModelConfig, mesh: Mesh, params,
     tp = mesh.shape[MODEL_AXIS]
     local_cfg = local_model_config(config, tp)
     p_specs = param_specs(params)
-    pool_specs = pool_pspec(config.num_layers, quantized=quantized_pool)
+    pool_specs = pool_pspec(config.num_layers, quantized=quantized_pool,
+                            num_kv_heads=config.kv_heads,
+                            head_dim=config.head_size)
 
     data = P(DATA_AXIS)
     in_specs = (p_specs, pool_specs, data, data, data,
