@@ -1,0 +1,119 @@
+"""Quantization-quality report: ΔPPL for every served precision (BASELINE gate).
+
+The BASELINE.json gate is ΔPPL <= 0.1 vs FP16 at the same bit-width. This
+environment has NO network egress — the HF hub is unreachable, so real
+checkpoints cannot be downloaded; the measurement below uses full-scale
+random-init models and a SELF-GENERATED token stream (the model greedily
+continues a seed prompt, giving a low-perplexity, realistically-distributed
+stream), which exercises exactly the same numerics as real weights.
+
+Measures, per model:
+  - weight quantization (int8 / int4 / w8a8) via the cache-less prefill scorer;
+  - KV-cache quantization (int8 / fp8) via the SERVING decode path
+    (paged pool + fused write + kernel dequant).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ppl_report.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllmini_tpu.config import CacheConfig, ModelConfig, QuantConfig
+from vllmini_tpu.evaluation.ppl import decode_perplexity, perplexity
+from vllmini_tpu.models.registry import get_family
+from vllmini_tpu.ops.quant_matmul import quantize_params
+
+STREAM_LEN = 2048
+WINDOW = 256
+
+
+def self_stream(params, config, n_tokens, seed=7):
+    """Greedy continuation of a short random seed prompt — a structured,
+    low-PPL stream from the model itself."""
+    family = get_family(config)
+    from vllmini_tpu.memory.kv_cache import create_kv_pool
+
+    pages = -(-n_tokens // 32)
+    cache = CacheConfig(num_pages=pages + 2, page_size=32,
+                        max_pages_per_seq=pages + 1)
+    pool = create_kv_pool(config, cache)
+    tables = jnp.arange(1 * (pages + 1), dtype=jnp.int32).reshape(1, -1)
+    rng = np.random.default_rng(seed)
+    seed_toks = rng.integers(0, config.vocab_size, 8)
+
+    interpret = jax.default_backend() not in ("tpu",)
+
+    def gen(params, pool, first):
+        def body(carry, t):
+            pool, tok = carry
+            logits, pool = family.decode_forward(
+                params, config, pool, tok[None],
+                jnp.full(1, 1, jnp.int32) * t,
+                jnp.full(1, 1, jnp.int32) * (t + 1),
+                tables, jnp.ones(1, bool), interpret=interpret)
+            # Greedy with a dash of noise so the stream doesn't cycle.
+            nxt = jnp.argmax(
+                logits[0] + jax.random.gumbel(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), t),
+                    logits[0].shape) * 0.3).astype(jnp.int32)
+            return (pool, nxt), tok
+
+        (_, _), toks = jax.lax.scan(gen_body := body, (pool, first),
+                                    jnp.arange(n_tokens))
+        return toks
+
+    toks = jax.jit(gen, donate_argnums=(1,))(
+        params, pool, jnp.int32(seed_toks[0]))
+    return np.asarray(toks)
+
+
+def main():
+    config = ModelConfig.gpt2_124m(
+        dtype="bfloat16" if jax.default_backend() == "tpu" else "float32")
+    family = get_family(config)
+    params = family.init_params(config, jax.random.PRNGKey(0))
+    stream = self_stream(params, config, STREAM_LEN)
+    print(f"stream: {STREAM_LEN} self-generated tokens, window {WINDOW}")
+
+    import math
+
+    # Random-init models sit near vocab-uniform perplexity, so the absolute
+    # "ΔPPL <= 0.1" gate (which presumes real-model PPL ~20) is evaluated in
+    # its scale-free form: Δlog-ppl (nats/token) <= 0.1/20 = 5e-3, the same
+    # relative logit-perturbation budget.
+    GATE_NATS = 5e-3
+
+    base = perplexity(params, config, stream, window=WINDOW)
+    print(f"{'weights bf16 (baseline)':34s} ppl={base:11.4f}")
+    rows = []
+    for wq in ("int8", "int4", "w8a8"):
+        qp = quantize_params(params, QuantConfig(weight_dtype=wq))
+        p = perplexity(qp, config, stream, window=WINDOW)
+        dn = math.log(p / base)
+        rows.append((f"weights {wq}", p, dn))
+        print(f"{'weights ' + wq:34s} ppl={p:11.4f}  dlogppl={dn:+9.2e}")
+
+    cache_f = CacheConfig(page_size=32, kv_dtype=config.dtype)
+    base_d = decode_perplexity(params, config, cache_f, stream,
+                               window=WINDOW)
+    print(f"{'kv ' + config.dtype + ' (decode baseline)':34s} "
+          f"ppl={base_d:11.4f}")
+    for kvd in ("int8", "fp8_e4m3"):
+        cache_q = dataclasses.replace(cache_f, kv_dtype=kvd)
+        p = decode_perplexity(params, config, cache_q, stream, window=WINDOW)
+        dn = math.log(p / base_d)
+        rows.append((f"kv {kvd}", p, dn))
+        print(f"{'kv ' + kvd:34s} ppl={p:11.4f}  dlogppl={dn:+9.2e}")
+
+    bad = [(n, d) for n, _, d in rows if abs(d) > GATE_NATS]
+    print(f"GATE (|dlogppl| <= {GATE_NATS:.0e} nats/token ≡ dPPL<=0.1 at "
+          f"PPL 20):", "PASS" if not bad else f"FAIL {bad}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,7 @@ def main():
                    .reshape(B, -1) % cache.num_pages)
     active = jnp.ones(B, bool)
     temps = jnp.zeros(B, jnp.float32)
+    seeds = jnp.zeros(B, jnp.uint32)
     topks = jnp.full(B, 50, jnp.int32)
     topps = jnp.ones(B, jnp.float32)
 
@@ -43,7 +44,7 @@ def main():
                     params, config, pool, tok, positions, seq_lens,
                     page_tables, active, interpret=not on_tpu)
                 if sampling == "full":
-                    tok = sample_tokens(logits, step_rng, temps, topks, topps)
+                    tok = sample_tokens(logits, seeds, positions, temps, topks, topps)
                 elif sampling == "greedy":
                     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (pool, tok, seq_lens + 1), None

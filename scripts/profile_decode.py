@@ -70,6 +70,7 @@ def main():
 
     # ---- scan of 16 forwards + sampling (the chunk shape), blocked
     temps = jnp.zeros(B, jnp.float32)
+    seeds = jnp.zeros(B, jnp.uint32)
     topks = jnp.full(B, 50, jnp.int32)
     topps = jnp.ones(B, jnp.float32)
 
@@ -79,7 +80,7 @@ def main():
             logits, pool = family.decode_forward(
                 params, config, pool, tok, positions, seq_lens, page_tables,
                 active, interpret=not on_tpu)
-            tok = sample_tokens(logits, step_rng, temps, topks, topps)
+            tok = sample_tokens(logits, seeds, positions, temps, topks, topps)
             return (pool, tok), None
         rngs = jax.random.split(rng, 16)
         (pool, tok), _ = jax.lax.scan(body, (pool, tok), rngs)
@@ -97,24 +98,25 @@ def main():
     print(f"{'  -> per step':36s} {d16/16*1e3:9.3f} ms")
 
     # ---- components
-    kp, vp, ks, vs = pool.layer(0)
+    kv0, sc0 = pool.layer(0)
     H, d = config.num_heads, config.head_size
     q = jax.random.normal(jax.random.PRNGKey(1), (B, H, d), config.jnp_dtype)
-    pa = jax.jit(lambda q, kp, vp: paged_attention(
-        q, kp, vp, seq_lens, page_tables, num_kv_heads=config.kv_heads,
+    pa = jax.jit(lambda q, kv: paged_attention(
+        q, kv, seq_lens, page_tables, num_kv_heads=config.kv_heads,
         interpret=not on_tpu))
-    timeit("paged_attention x1 (pipelined)", pa, q, kp, vp)
+    timeit("paged_attention x1 (pipelined)", pa, q, kv0)
 
     k = jax.random.normal(jax.random.PRNGKey(2), (B, config.kv_heads, d),
                           config.jnp_dtype)
-    wr = jax.jit(lambda kp, vp, k, v: write_kv_decode(
-        kp, vp, k, v, positions, page_tables, active, interpret=not on_tpu))
-    timeit("write_kv_decode x1 (pipelined)", wr, kp, vp, k, k)
+    wr = jax.jit(lambda kv, k, v: write_kv_decode(
+        kv, k, v, positions, page_tables, active, interpret=not on_tpu))
+    timeit("write_kv_decode x1 (pipelined)", wr, kv0, k, k)
 
     logits = jax.random.normal(jax.random.PRNGKey(3),
                                (B, config.vocab_size), jnp.float32)
-    samp = jax.jit(lambda l, r: sample_tokens(l, r, temps, topks, topps))
-    timeit("sample_tokens (pipelined)", samp, logits, jax.random.PRNGKey(4))
+    samp = jax.jit(lambda l: sample_tokens(l, seeds, positions, temps,
+                                           topks, topps))
+    timeit("sample_tokens (pipelined)", samp, logits)
 
     x = jax.random.normal(jax.random.PRNGKey(5),
                           (B, config.hidden_size), config.jnp_dtype)

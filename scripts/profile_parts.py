@@ -81,11 +81,11 @@ def main():
         def body(carry, _):
             pool, q = carry
             for i in range(L):
-                kp, vp, _, _ = pool.layer(i)
-                o, kp, vp = paged_attention(
-                    q, kp, vp, seq_lens, page_tables, k_new=kn, v_new=kn,
+                kv, _ = pool.layer(i)
+                o, kv = paged_attention(
+                    q, kv, seq_lens, page_tables, k_new=kn, v_new=kn,
                     num_kv_heads=pool.num_kv_heads, interpret=not on_tpu)
-                pool = pool.with_layer(i, kp, vp)
+                pool = pool.with_layer(i, kv)
                 q = o * 0.999
             return (pool, q), None
         (pool, q), _ = jax.lax.scan(body, (pool, q), None, length=STEPS)
@@ -129,7 +129,9 @@ def main():
         def body(carry, _):
             logits, rng = carry
             rng, k = jax.random.split(rng)
-            tok = sample_tokens(logits, k, jnp.zeros(B), jnp.full(B, 50),
+            tok = sample_tokens(logits, jnp.zeros(B, jnp.uint32),
+                                jnp.zeros(B, jnp.int32),
+                                jnp.zeros(B), jnp.full(B, 50),
                                 jnp.ones(B))
             logits = logits + tok[:, None] * 1e-9
             return (logits, rng), None

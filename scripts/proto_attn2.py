@@ -28,18 +28,14 @@ def make_case(key, B, H, group, d, page_size, pages_per_seq, num_pages,
     ks = jax.random.split(key, 8)
     W = pa2.align_row_width(H, d)
     if jnp.dtype(dtype) == jnp.int8:
-        k_pages = jax.random.randint(
-            ks[0], (num_pages, page_size, W), -127, 128, jnp.int32
-        ).astype(jnp.int8)
-        v_pages = jax.random.randint(
-            ks[1], (num_pages, page_size, W), -127, 128, jnp.int32
+        kv_pages = jax.random.randint(
+            ks[0], (num_pages, 2, page_size, W), -127, 128, jnp.int32
         ).astype(jnp.int8)
     else:
-        k_pages = jax.random.normal(ks[0], (num_pages, page_size, W), dtype)
-        v_pages = jax.random.normal(ks[1], (num_pages, page_size, W), dtype)
+        kv_pages = jax.random.normal(
+            ks[0], (num_pages, 2, page_size, W), dtype)
     if W > H * d:  # zero the pad lanes as the write path would
-        k_pages = k_pages.at[:, :, H * d:].set(0)
-        v_pages = v_pages.at[:, :, H * d:].set(0)
+        kv_pages = kv_pages.at[..., H * d:].set(0)
     q_dtype = dtype if jnp.dtype(dtype) != jnp.int8 else jnp.float32
     q = jax.random.normal(ks[2], (B, H * group, d), q_dtype)
     if lens is None:
@@ -48,15 +44,12 @@ def make_case(key, B, H, group, d, page_size, pages_per_seq, num_pages,
     seq_lens = jnp.asarray(lens, jnp.int32)
     perm = jax.random.permutation(ks[4], num_pages - 1)[
         :B * pages_per_seq].reshape(B, pages_per_seq)
-    k_scales = v_scales = None
+    kv_scales = None
     if quantized:
-        k_scales = jax.random.uniform(
-            ks[5], (num_pages, page_size, H), jnp.float32, 0.01, 0.03)
-        v_scales = jax.random.uniform(
-            ks[6], (num_pages, page_size, H), jnp.float32, 0.01, 0.03)
-    return dict(q=q, k_pages=k_pages, v_pages=v_pages, seq_lens=seq_lens,
-                page_tables=perm, k_scales=k_scales, v_scales=v_scales,
-                H=H, d=d)
+        kv_scales = jax.random.uniform(
+            ks[5], (num_pages, 2, page_size, H), jnp.float32, 0.01, 0.03)
+    return dict(q=q, kv_pages=kv_pages, seq_lens=seq_lens,
+                page_tables=perm, kv_scales=kv_scales, H=H, d=d)
 
 
 def check(interpret):
@@ -79,14 +72,13 @@ def check(interpret):
                 c["q"] = c["q"].astype(dtype)
             H, d = c.pop("H"), c.pop("d")
             want = pa2.paged_attention_reference(
-                c["q"], c["k_pages"], c["v_pages"], c["seq_lens"],
+                c["q"], c["kv_pages"], c["seq_lens"],
                 c["page_tables"], num_kv_heads=H,
-                k_scales=c["k_scales"], v_scales=c["v_scales"])
+                kv_scales=c["kv_scales"])
             got = pa2.paged_attention(
-                c["q"], c["k_pages"], c["v_pages"], c["seq_lens"],
+                c["q"], c["kv_pages"], c["seq_lens"],
                 c["page_tables"], num_kv_heads=H,
-                k_scales=c["k_scales"], v_scales=c["v_scales"],
-                interpret=interpret)
+                kv_scales=c["kv_scales"], interpret=interpret)
             err = float(jnp.max(jnp.abs(
                 got.astype(jnp.float32) - want.astype(jnp.float32))))
             scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) + 1e-6
@@ -97,10 +89,9 @@ def check(interpret):
 
             # partitioned (v2 analog)
             got_p = pa2.paged_attention(
-                c["q"], c["k_pages"], c["v_pages"], c["seq_lens"],
+                c["q"], c["kv_pages"], c["seq_lens"],
                 c["page_tables"], num_kv_heads=H, kv_partitions=4,
-                k_scales=c["k_scales"], v_scales=c["v_scales"],
-                interpret=interpret)
+                kv_scales=c["kv_scales"], interpret=interpret)
             err_p = float(jnp.max(jnp.abs(
                 got_p.astype(jnp.float32) - want.astype(jnp.float32))))
             print(f"{name:14s} quant={int(quant)} parts=4 "
@@ -110,10 +101,10 @@ def check(interpret):
             # fused write: pool initially missing the last token; kernel
             # writes it and the self term is merged outside.
             pos = c["seq_lens"] - 1
+            ps_ = c["kv_pages"].shape[2]
             page_of = jnp.take_along_axis(
-                c["page_tables"], (pos // c["k_pages"].shape[1])[:, None],
-                1)[:, 0]
-            row_of = pos % c["k_pages"].shape[1]
+                c["page_tables"], (pos // ps_)[:, None], 1)[:, 0]
+            row_of = pos % ps_
             kf = jax.random.normal(jax.random.PRNGKey(12),
                                    (c["q"].shape[0], H, d), jnp.float32)
             vf = jax.random.normal(jax.random.PRNGKey(13),
@@ -123,27 +114,24 @@ def check(interpret):
                 vq = jnp.clip(jnp.round(vf / 0.02), -127, 127)
                 k_new, v_new = kq.astype(jnp.int8), vq.astype(jnp.int8)
                 k_raw, v_raw = kq * 0.02, vq * 0.02
-                ks2 = c["k_scales"].at[page_of, row_of].set(0.02)
-                vs2 = c["v_scales"].at[page_of, row_of].set(0.02)
+                sc2 = c["kv_scales"].at[page_of, :, row_of].set(0.02)
             else:
                 k_new, v_new = kf.astype(dtype), vf.astype(dtype)
                 k_raw = v_raw = None
-                ks2 = vs2 = None
-            got_f, kp2, vp2 = pa2.paged_attention(
-                c["q"], c["k_pages"], c["v_pages"], c["seq_lens"],
-                c["page_tables"], num_kv_heads=H,
-                k_scales=ks2, v_scales=vs2,
+                sc2 = None
+            got_f, kv2 = pa2.paged_attention(
+                c["q"], c["kv_pages"], c["seq_lens"],
+                c["page_tables"], num_kv_heads=H, kv_scales=sc2,
                 k_new=k_new, v_new=v_new, k_new_raw=k_raw, v_new_raw=v_raw,
                 interpret=interpret)
             # oracle on the POST-write pool
             want_f = pa2.paged_attention_reference(
-                c["q"], kp2, vp2, c["seq_lens"], c["page_tables"],
-                num_kv_heads=H, k_scales=ks2, v_scales=vs2)
+                c["q"], kv2, c["seq_lens"], c["page_tables"],
+                num_kv_heads=H, kv_scales=sc2)
             err_f = float(jnp.max(jnp.abs(
                 got_f.astype(jnp.float32) - want_f.astype(jnp.float32))))
             # and the write itself landed
-            W = kp2.shape[-1]
-            row = kp2[page_of, row_of][:, :H * d].reshape(
+            row = kv2[page_of, 0, row_of][:, :H * d].reshape(
                 c["q"].shape[0], H, d)
             werr = float(jnp.max(jnp.abs(
                 row.astype(jnp.float32) - k_new.astype(jnp.float32))))
@@ -157,10 +145,10 @@ def check(interpret):
                   pages_per_seq=8, num_pages=256, dtype=dtype)
     H, d = c.pop("H"), c.pop("d")
     want = pa2.paged_attention_reference(
-        c["q"], c["k_pages"], c["v_pages"], c["seq_lens"], c["page_tables"],
+        c["q"], c["kv_pages"], c["seq_lens"], c["page_tables"],
         num_kv_heads=H, sliding_window=40)
     got = pa2.paged_attention(
-        c["q"], c["k_pages"], c["v_pages"], c["seq_lens"], c["page_tables"],
+        c["q"], c["kv_pages"], c["seq_lens"], c["page_tables"],
         num_kv_heads=H, sliding_window=40, interpret=interpret)
     err = float(jnp.max(jnp.abs(
         got.astype(jnp.float32) - want.astype(jnp.float32))))
@@ -180,48 +168,43 @@ def perf():
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
 
-    # --- new token-major ---
     W = pa2.align_row_width(H, d)
-    k_pages = jax.random.normal(key, (num_pages, page_size, W), dtype)
-    v_pages = jax.random.normal(key, (num_pages, page_size, W), dtype)
+    kv_pages = jax.random.normal(key, (num_pages, 2, page_size, W), dtype)
     q = jax.random.normal(key, (B, H * group, d), dtype)
     kn = jax.random.normal(key, (B, H, d), dtype)
     seq_lens = jnp.full((B,), ctx, jnp.int32)
     pt = (jnp.arange(B * pages_per_seq, dtype=jnp.int32)
           .reshape(B, pages_per_seq) % num_pages)
 
-    def chunk_new(kp, vp, q):
+    def chunk_new(kv, q):
         def body(carry, _):
-            kp, vp, q = carry
+            kv, q = carry
             for _ in range(L):
-                o, kp, vp = pa2.paged_attention(
-                    q, kp, vp, seq_lens, pt, num_kv_heads=H,
+                o, kv = pa2.paged_attention(
+                    q, kv, seq_lens, pt, num_kv_heads=H,
                     k_new=kn, v_new=kn)
-            return (kp, vp, o[:, :H]), None
-        carry, _ = jax.lax.scan(body, (kp, vp, q), None, length=STEPS)
+            return (kv, o[:, :H]), None
+        carry, _ = jax.lax.scan(body, (kv, q), None, length=STEPS)
         return carry
-    f_new = jax.jit(chunk_new, donate_argnums=(0, 1))
+    f_new = jax.jit(chunk_new, donate_argnums=(0,))
 
     def timeit(name, fn, *args):
         out = jax.block_until_ready(fn(*args))
         t0 = time.perf_counter()
         for _ in range(N):
-            out = fn(*out[:2], args[-1]) if False else fn(*args)
+            out = fn(*args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / N / STEPS
         print(f"{name:34s} {dt*1e3:8.3f} ms/step")
         return dt
 
-    t_new = timeit("NEW token-major fused x12", lambda: f_new(
-        jnp.copy(k_pages), jnp.copy(v_pages), q))
-
-    # (old head-major kernel baseline, recorded r1: 1.53 ms/step here)
+    timeit("interleaved fused x12", lambda: f_new(jnp.copy(kv_pages), q))
+    # (r1 head-major baseline here: 1.53 ms; token-major split-KV: 1.04 ms)
 
     # long-context single-seq: partitioned vs plain
     B2, ctx2, pps2 = 2, 8192, 256
     np2 = B2 * pps2 + 8
-    kp2 = jax.random.normal(key, (np2, page_size, W), dtype)
-    vp2 = jax.random.normal(key, (np2, page_size, W), dtype)
+    kv2 = jax.random.normal(key, (np2, 2, page_size, W), dtype)
     q2 = jax.random.normal(key, (B2, H * group, d), dtype)
     sl2 = jnp.full((B2,), ctx2, jnp.int32)
     pt2 = (jnp.arange(B2 * pps2, dtype=jnp.int32).reshape(B2, pps2) % np2)
@@ -231,7 +214,7 @@ def perf():
             def body(q, _):
                 for _ in range(L):
                     o = pa2.paged_attention(
-                        q, kp2, vp2, sl2, pt2, num_kv_heads=H,
+                        q, kv2, sl2, pt2, num_kv_heads=H,
                         kv_partitions=parts)
                 return q + o[:, :H * group] * 0, None
             out, _ = jax.lax.scan(body, q, None, length=STEPS)

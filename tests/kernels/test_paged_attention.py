@@ -1,4 +1,4 @@
-"""Paged-attention decode kernel vs naive oracle (token-major layout).
+"""Paged-attention decode kernel vs naive oracle (token-major interleaved).
 
 Mirrors the reference's oracle pattern (`vllmini/tests/kernels/paged_attention.py:84-139`:
 paged kernel vs hand-written vanilla attention, atol=1e-2) but runs on CPU via Pallas
@@ -23,17 +23,28 @@ def make_inputs(key, *, batch, num_q_heads, num_kv_heads, head_dim, num_pages,
     ks = jax.random.split(key, 4)
     W = align_row_width(num_kv_heads, head_dim)
     q = jax.random.normal(ks[0], (batch, num_q_heads, head_dim), dtype)
-    k_pages = jax.random.normal(ks[1], (num_pages, page_size, W), dtype)
-    v_pages = jax.random.normal(ks[2], (num_pages, page_size, W), dtype)
+    kv = jax.random.normal(ks[1], (num_pages, 2, page_size, W), dtype)
     if W > num_kv_heads * head_dim:  # pad lanes are zero, as the writes keep
-        k_pages = k_pages.at[:, :, num_kv_heads * head_dim:].set(0)
-        v_pages = v_pages.at[:, :, num_kv_heads * head_dim:].set(0)
+        kv = kv.at[..., num_kv_heads * head_dim:].set(0)
     # Distinct physical pages per (seq, logical page) — exercise the
     # indirection.
     perm = jax.random.permutation(ks[3], num_pages)[: batch * pages_per_seq]
     page_tables = perm.reshape(batch, pages_per_seq).astype(jnp.int32)
     seq_lens = jnp.asarray(seq_lens, jnp.int32)
-    return q, k_pages, v_pages, seq_lens, page_tables
+    return q, kv, seq_lens, page_tables
+
+
+def _quant_tokenmajor(kv, H, d):
+    """Per-token-per-head int8 quantization of an interleaved pool."""
+    P, _, ps, W = kv.shape
+    x = kv[..., :H * d].reshape(P, 2, ps, H, d)
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    qv = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
+    flat = qv.reshape(P, 2, ps, H * d)
+    if W > H * d:
+        flat = jnp.pad(flat, ((0, 0),) * 3 + ((0, W - H * d),))
+    return flat.astype(jnp.int8), scale.astype(jnp.float32)
 
 
 @pytest.mark.parametrize(
@@ -49,13 +60,13 @@ def make_inputs(key, *, batch, num_q_heads, num_kv_heads, head_dim, num_pages,
 def test_matches_oracle(batch, num_q_heads, num_kv_heads, head_dim, page_size,
                         pages_per_seq, seq_lens):
     key = jax.random.PRNGKey(0)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=batch, num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
         head_dim=head_dim, num_pages=batch * pages_per_seq + 3,
         page_size=page_size, pages_per_seq=pages_per_seq, seq_lens=seq_lens)
-    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=num_kv_heads,
+    out = paged_attention(q, kv, sl, pt, num_kv_heads=num_kv_heads,
                           interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt,
+    ref = paged_attention_reference(q, kv, sl, pt,
                                     num_kv_heads=num_kv_heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -69,11 +80,11 @@ def test_matches_oracle(batch, num_q_heads, num_kv_heads, head_dim, page_size,
 def test_heads_per_matmul_variants(hpm):
     """Every legal block-diagonal grouping gives the same answer."""
     key = jax.random.PRNGKey(5)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=2, num_q_heads=8, num_kv_heads=4, head_dim=128,
         num_pages=12, page_size=16, pages_per_seq=4, seq_lens=[40, 64])
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4)
-    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=4)
+    out = paged_attention(q, kv, sl, pt, num_kv_heads=4,
                           heads_per_matmul=hpm, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -90,12 +101,12 @@ def test_select_heads_per_matmul():
 def test_multi_block_iteration():
     """seq spans several compute blocks -> exercises double-buffered loop."""
     key = jax.random.PRNGKey(1)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=70, page_size=16, pages_per_seq=32, seq_lens=[512, 200])
-    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+    out = paged_attention(q, kv, sl, pt, num_kv_heads=4,
                           pages_per_compute_block=4, interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4)
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
@@ -107,12 +118,12 @@ def test_kv_partitions_match_plain(parts):
     Counterpart of `paged_attention_v2` + reduce
     (`attention_kernels.cu:529-669,845-928`)."""
     key = jax.random.PRNGKey(6)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=3, num_q_heads=8, num_kv_heads=2, head_dim=64,
         num_pages=100, page_size=16, pages_per_seq=32,
         seq_lens=[512, 37, 0])
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=2)
-    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=2,
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=2)
+    out = paged_attention(q, kv, sl, pt, num_kv_heads=2,
                           kv_partitions=parts, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -121,12 +132,12 @@ def test_kv_partitions_match_plain(parts):
 
 def test_kv_partitions_sliding_window():
     key = jax.random.PRNGKey(7)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=70, page_size=16, pages_per_seq=32, seq_lens=[490, 100])
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4,
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=4,
                                     sliding_window=64)
-    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+    out = paged_attention(q, kv, sl, pt, num_kv_heads=4,
                           sliding_window=64, kv_partitions=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -135,15 +146,14 @@ def test_kv_partitions_sliding_window():
 def test_quantized_int8_kv():
     key = jax.random.PRNGKey(2)
     batch, heads, hd, psize, pps = 2, 4, 64, 16, 4
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
         num_pages=16, page_size=psize, pages_per_seq=pps, seq_lens=[40, 64])
 
-    kq, ks = _quant_tokenmajor(kp, heads, hd)
-    vq, vs = _quant_tokenmajor(vp, heads, hd)
-    out = paged_attention(q, kq, vq, sl, pt, num_kv_heads=heads,
-                          k_scales=ks, v_scales=vs, interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=heads)
+    kvq, sc = _quant_tokenmajor(kv, heads, hd)
+    out = paged_attention(q, kvq, sl, pt, num_kv_heads=heads,
+                          kv_scales=sc, interpret=True)
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=heads)
     # int8 KV error budget
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
@@ -151,40 +161,26 @@ def test_quantized_int8_kv():
 
 def test_quantized_gqa():
     key = jax.random.PRNGKey(8)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=2, num_q_heads=8, num_kv_heads=2, head_dim=128,
         num_pages=16, page_size=16, pages_per_seq=4, seq_lens=[40, 64])
-    kq, ks = _quant_tokenmajor(kp, 2, 128)
-    vq, vs = _quant_tokenmajor(vp, 2, 128)
-    out = paged_attention(q, kq, vq, sl, pt, num_kv_heads=2,
-                          k_scales=ks, v_scales=vs, interpret=True)
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=2)
+    kvq, sc = _quant_tokenmajor(kv, 2, 128)
+    out = paged_attention(q, kvq, sl, pt, num_kv_heads=2,
+                          kv_scales=sc, interpret=True)
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
 
 
-def _quant_tokenmajor(pages, H, d):
-    """Per-token-per-head int8 quantization of a token-major pool."""
-    P, ps, W = pages.shape
-    x = pages[:, :, :H * d].reshape(P, ps, H, d)
-    amax = jnp.max(jnp.abs(x), axis=-1)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    qv = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
-    flat = qv.reshape(P, ps, H * d)
-    if W > H * d:
-        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, W - H * d)))
-    return flat.astype(jnp.int8), scale.astype(jnp.float32)
-
-
 def test_bfloat16_io():
     key = jax.random.PRNGKey(3)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=12, page_size=16, pages_per_seq=4, seq_lens=[20, 64],
         dtype=jnp.bfloat16)
-    out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4, interpret=True)
+    out = paged_attention(q, kv, sl, pt, num_kv_heads=4, interpret=True)
     assert out.dtype == jnp.bfloat16
-    ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4)
+    ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=4)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
@@ -197,7 +193,7 @@ def test_fused_write_matches_separate():
     key = jax.random.PRNGKey(4)
     batch, heads, hd, psize, pps = 3, 4, 64, 16, 4
     seq_lens = [37, 1, 49]  # includes a first-token (page start) case
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
         num_pages=batch * pps + 3, page_size=psize, pages_per_seq=pps,
         seq_lens=seq_lens)
@@ -207,41 +203,36 @@ def test_fused_write_matches_separate():
     active = sl > 0
 
     # Oracle: write first, then attend over the updated pool.
-    kp_ref, vp_ref = write_kv_decode(kp, vp, k_new, v_new, positions, pt,
-                                     active, interpret=True)
-    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt,
-                                    num_kv_heads=heads)
+    kv_ref = write_kv_decode(kv, k_new, v_new, positions, pt, active,
+                             interpret=True)
+    ref = paged_attention_reference(q, kv_ref, sl, pt, num_kv_heads=heads)
 
-    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt,
-                                          num_kv_heads=heads, k_new=k_new,
-                                          v_new=v_new, interpret=True)
+    out, kv_out = paged_attention(q, kv, sl, pt, num_kv_heads=heads,
+                                  k_new=k_new, v_new=v_new, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
-    # The pools must contain the written token rows (and nothing else changed).
-    np.testing.assert_allclose(np.asarray(kp_out), np.asarray(kp_ref),
-                               atol=0, rtol=0)
-    np.testing.assert_allclose(np.asarray(vp_out), np.asarray(vp_ref),
+    # The pool must contain the written token rows (and nothing else changed).
+    np.testing.assert_allclose(np.asarray(kv_out), np.asarray(kv_ref),
                                atol=0, rtol=0)
 
 
 def test_fused_write_inactive_slot_untouched():
     """seq_len == 0 slots must neither write KV nor produce attention."""
     key = jax.random.PRNGKey(7)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=11, page_size=16, pages_per_seq=4, seq_lens=[0, 33])
     k_new = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 64))
     v_new = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 64))
-    out, kp_out, vp_out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
-                                          k_new=k_new, v_new=v_new,
-                                          interpret=True)
+    out, kv_out = paged_attention(q, kv, sl, pt, num_kv_heads=4,
+                                  k_new=k_new, v_new=v_new, interpret=True)
     assert np.all(np.asarray(out[0]) == 0.0)
     # Slot 0's pages are untouched (compare pool outside slot 1's written row).
     page1 = int(pt[1, 33 // 16])
-    mask = np.ones(kp.shape[0], bool)
+    mask = np.ones(kv.shape[0], bool)
     mask[page1] = False
-    np.testing.assert_array_equal(np.asarray(kp_out)[mask],
-                                  np.asarray(kp)[mask])
+    np.testing.assert_array_equal(np.asarray(kv_out)[mask],
+                                  np.asarray(kv)[mask])
 
 
 def test_fused_write_quantized():
@@ -250,7 +241,7 @@ def test_fused_write_quantized():
 
     key = jax.random.PRNGKey(10)
     batch, heads, hd, psize, pps = 2, 4, 64, 16, 4
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=batch, num_q_heads=heads, num_kv_heads=heads, head_dim=hd,
         num_pages=16, page_size=psize, pages_per_seq=pps, seq_lens=[40, 64])
     k_new = jax.random.normal(jax.random.PRNGKey(11), (batch, heads, hd))
@@ -258,34 +249,31 @@ def test_fused_write_quantized():
     positions = sl - 1
     active = sl > 0
 
-    kq, ks = _quant_tokenmajor(kp, heads, hd)
-    vq, vs = _quant_tokenmajor(vp, heads, hd)
-    k_src, v_src, ks2, vs2 = quantize_decode_tokens(
-        k_new, v_new, positions, pt, active, ks, vs, jnp.int8)
-    out, kq_out, vq_out = paged_attention(
-        q, kq, vq, sl, pt, num_kv_heads=heads, k_scales=ks2, v_scales=vs2,
+    kvq, sc = _quant_tokenmajor(kv, heads, hd)
+    k_src, v_src, sc2 = quantize_decode_tokens(
+        k_new, v_new, positions, pt, active, sc, jnp.int8)
+    out, kvq_out = paged_attention(
+        q, kvq, sl, pt, num_kv_heads=heads, kv_scales=sc2,
         k_new=k_src, v_new=v_src, k_new_raw=k_new, v_new_raw=v_new,
         interpret=True)
 
-    kp_ref, vp_ref = write_kv_decode(
-        kp.astype(jnp.float32), vp.astype(jnp.float32), k_new, v_new,
-        positions, pt, active, interpret=True)
-    ref = paged_attention_reference(q, kp_ref, vp_ref, sl, pt,
-                                    num_kv_heads=heads)
+    kv_ref = write_kv_decode(kv.astype(jnp.float32), k_new, v_new,
+                             positions, pt, active, interpret=True)
+    ref = paged_attention_reference(q, kv_ref, sl, pt, num_kv_heads=heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=6e-2, rtol=6e-2)
 
 
 def test_sliding_window_matches_oracle():
     key = jax.random.PRNGKey(30)
-    q, kp, vp, sl, pt = make_inputs(
+    q, kv, sl, pt = make_inputs(
         key, batch=3, num_q_heads=4, num_kv_heads=4, head_dim=64,
         num_pages=32, page_size=4, pages_per_seq=8, seq_lens=[30, 3, 17])
     for window in (4, 8, 100):
-        out = paged_attention(q, kp, vp, sl, pt, num_kv_heads=4,
+        out = paged_attention(q, kv, sl, pt, num_kv_heads=4,
                               sliding_window=window,
                               pages_per_compute_block=2, interpret=True)
-        ref = paged_attention_reference(q, kp, vp, sl, pt, num_kv_heads=4,
+        ref = paged_attention_reference(q, kv, sl, pt, num_kv_heads=4,
                                         sliding_window=window)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5,

@@ -225,21 +225,20 @@ def test_convert_pool_roundtrip():
 
     def fill(k, shape):
         x = jax.random.normal(k, shape)
-        return x.at[:, :, used:].set(0.0)
+        return x.at[..., used:].set(0.0)
 
-    pool.k_pages[0] = fill(key, pool.k_pages[0].shape)
-    pool.v_pages[0] = fill(jax.random.PRNGKey(1), pool.v_pages[0].shape)
+    pool.kv_pages[0] = fill(key, pool.kv_pages[0].shape)
 
     q = convert_pool(pool, jnp.int8)
-    assert q.quantized and q.k_pages[0].dtype == jnp.int8
+    assert q.quantized and q.kv_pages[0].dtype == jnp.int8
     back = convert_pool(q, jnp.float32)
     assert not back.quantized
-    np.testing.assert_allclose(np.asarray(back.k_pages[0]),
-                               np.asarray(pool.k_pages[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(back.kv_pages[0]),
+                               np.asarray(pool.kv_pages[0]), atol=2e-2)
 
     f8 = convert_pool(pool, jnp.float8_e4m3fn)
-    assert f8.k_pages[0].dtype == jnp.float8_e4m3fn
+    assert f8.kv_pages[0].dtype == jnp.float8_e4m3fn
     back8 = convert_pool(f8, jnp.float32)
     # e4m3: 3 mantissa bits -> up to ~6% relative spacing near amax.
-    np.testing.assert_allclose(np.asarray(back8.k_pages[0]),
-                               np.asarray(pool.k_pages[0]), atol=2e-1)
+    np.testing.assert_allclose(np.asarray(back8.kv_pages[0]),
+                               np.asarray(pool.kv_pages[0]), atol=2e-1)

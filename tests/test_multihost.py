@@ -51,7 +51,6 @@ def _assert_devices_match(a: LLMEngine, b: LLMEngine):
                       jax.tree_util.tree_leaves((b.pool, b.state))):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
     np.testing.assert_array_equal(a._tables_host, b._tables_host)
-    assert a._step_counter == b._step_counter
 
 
 def test_worker_replay_matches_primary():

@@ -51,7 +51,7 @@ def test_quantized_kv_generation_completes(kv_dtype):
         assert all(0 <= t < 128 for t in seq.generated_ids())
     # Scales got populated for used pages.
     pool = s.engine.pool
-    assert float(np.abs(np.asarray(pool.k_scales)).sum()) > 0
+    assert float(np.abs(np.asarray(pool.kv_scales)).sum()) > 0
 
 
 def test_quantized_kv_close_to_fp32():

@@ -145,3 +145,24 @@ def test_abort_and_queue_cleanup():
     assert s.engine.allocator.num_free_pages == 32
     assert s.pop_finished(a) is not None
     assert s.get(a) is None
+
+
+def test_finished_result_gc_bounds_sequences():
+    """A client that never DELETEs results must not grow scheduler.sequences
+    without bound (count-bounded eviction, oldest first)."""
+    import dataclasses as _dc
+
+    sched = make_sched(slots=2)
+    sched.config = _dc.replace(
+        sched.config, scheduler=_dc.replace(sched.config.scheduler,
+                                            max_finished=5,
+                                            finished_ttl_s=0.0))
+    ids = []
+    for i in range(12):
+        ids.append(sched.add_request([1 + i % 7, 2], greedy(2)))
+        sched.run_to_completion(max_steps=100)
+    sched.step()  # one more tick to run GC after the last finish
+    finished_kept = [i for i in ids if sched.get(i) is not None]
+    assert len(finished_kept) <= 6  # cap (5) + the one finishing this tick
+    # The newest results survive.
+    assert sched.get(ids[-1]) is not None

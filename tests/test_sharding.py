@@ -96,8 +96,8 @@ def test_tp_decode_matches_single_device(family_name, dp, tp):
     pool_sh = shard_pool(
         dataclasses.replace(
             pool_tp,
-            k_pages=[jnp.tile(x, (dp, 1, 1)) for x in pool_tp.k_pages],
-            v_pages=[jnp.tile(x, (dp, 1, 1)) for x in pool_tp.v_pages],
+            kv_pages=[jnp.tile(x, (dp, 1, 1, 1))
+                      for x in pool_tp.kv_pages],
         ), mesh)
     step = make_tp_decode_fn(family, config, mesh, sharded, interpret=True)
     got, pool_out = step(sharded, pool_sh, token_ids, positions, seq_lens,
@@ -106,7 +106,7 @@ def test_tp_decode_matches_single_device(family_name, dp, tp):
                                atol=2e-4, rtol=2e-4)
 
     # KV writes landed: the decoded token's K row is nonzero in each replica.
-    assert float(sum(jnp.abs(x).sum() for x in pool_out.k_pages)) > 0
+    assert float(sum(jnp.abs(x).sum() for x in pool_out.kv_pages)) > 0
 
 
 def test_local_config_divisibility_errors():

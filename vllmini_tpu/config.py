@@ -261,6 +261,14 @@ class SchedulerConfig:
     # most-recently-admitted sequence (the reference's OOM policy,
     # `vllmini/scheduler.py:117-130`) and either swap its pages to host or requeue.
     preemption_mode: str = "swap"  # "swap" | "recompute"
+    # Finished-result garbage collection: clients that never DELETE their
+    # results must not grow scheduler.sequences without bound (the reference
+    # one-shot-deletes on fetch, `vllmini/server.py:101-102`; we keep results
+    # fetchable but bounded). A finished, unfetched result is evicted once it
+    # is older than `finished_ttl_s` OR the finished set exceeds
+    # `max_finished` (oldest first). <=0 disables either limit.
+    finished_ttl_s: float = 600.0
+    max_finished: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)
@@ -303,11 +311,23 @@ class SamplingParams:
 
     max_new_tokens: int = 20
     temperature: float = 1.0
+    # NOTE top_k is served from a static top-64 candidate set selected with
+    # `lax.approx_max_k(recall=0.99)`: requested top_k > 64 is effectively
+    # top-64, and with temperature > 0 the true argmax can miss the candidate
+    # set ~1% of steps (greedy/temperature-0 uses the exact argmax). See
+    # engine/sampling.py.
     top_k: int = 50
     top_p: float = 1.0
     greedy: bool = False
     stop_token_ids: Sequence[int] = ()
+    # Per-request RNG seed: the same seed + prompt reproduces the completion
+    # exactly, independent of batch composition (None -> deterministic
+    # per-sequence default).
     seed: Optional[int] = None
+    # Number of completions sharing one prompt prefill (n-best sampling):
+    # forks share the prompt's KV pages copy-on-write and diverge from the
+    # first sampled token, each on its own seed stream.
+    n: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

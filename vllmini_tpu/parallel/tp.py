@@ -261,28 +261,24 @@ def param_specs(params) -> Any:
 
 def pool_pspec(num_layers: int, quantized: bool, *,
                num_kv_heads: int, head_dim: int) -> KVPool:
-    """Per-layer token-major pool arrays [pages, page_size, row_width]:
-    head lanes on MODEL (head-sharded KV — each shard's `(H/tp)*d` lane slice
-    is independently 128-aligned, see `align_row_width`), pages on DATA
-    (per-replica pools). Static pytree fields must agree with the value
-    pool's."""
-    arr = [P(DATA_AXIS, None, MODEL_AXIS)] * num_layers
-    sc = ([P(DATA_AXIS, None, MODEL_AXIS)] * num_layers if quantized
+    """Per-layer token-major interleaved pool arrays
+    [pages, 2, page_size, row_width]: head lanes on MODEL (head-sharded KV —
+    each shard's `(H/tp)*d` lane slice is independently 128-aligned, see
+    `align_row_width`), pages on DATA (per-replica pools). Static pytree
+    fields must agree with the value pool's."""
+    arr = [P(DATA_AXIS, None, None, MODEL_AXIS)] * num_layers
+    sc = ([P(DATA_AXIS, None, None, MODEL_AXIS)] * num_layers if quantized
           else None)
-    return KVPool(k_pages=arr, v_pages=list(arr), k_scales=sc,
-                  v_scales=list(sc) if sc else None,
+    return KVPool(kv_pages=arr, kv_scales=sc,
                   num_kv_heads=num_kv_heads, head_dim=head_dim)
 
 
 def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
-    s = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+    s = NamedSharding(mesh, P(DATA_AXIS, None, None, MODEL_AXIS))
     return KVPool(
-        k_pages=[jax.device_put(x, s) for x in pool.k_pages],
-        v_pages=[jax.device_put(x, s) for x in pool.v_pages],
-        k_scales=([jax.device_put(x, s) for x in pool.k_scales]
-                  if pool.k_scales is not None else None),
-        v_scales=([jax.device_put(x, s) for x in pool.v_scales]
-                  if pool.v_scales is not None else None),
+        kv_pages=[jax.device_put(x, s) for x in pool.kv_pages],
+        kv_scales=([jax.device_put(x, s) for x in pool.kv_scales]
+                   if pool.kv_scales is not None else None),
         num_kv_heads=pool.num_kv_heads, head_dim=pool.head_dim,
     )
 

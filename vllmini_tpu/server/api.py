@@ -144,17 +144,27 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             top_p = float(body.get("top_p", 1.0))
             greedy = bool(body.get("greedy", False))
             stop = [int(t) for t in body.get("stop_token_ids", [])]
+            seed = body.get("seed")
+            n = int(body.get("n", 1))
             assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
+            assert n >= 1
         except Exception:
             return _json_error(400, "malformed generate request")
         if eos_token_id is not None and eos_token_id not in stop:
             stop.append(eos_token_id)
         sid, err = _submit(prompt, SamplingParams(
             max_new_tokens=max_new, temperature=temperature, top_k=top_k,
-            top_p=top_p, greedy=greedy, stop_token_ids=tuple(stop)))
+            top_p=top_p, greedy=greedy, stop_token_ids=tuple(stop),
+            seed=None if seed is None else int(seed), n=n))
         if err is not None:
             return err
-        return web.json_response({"sequence_id": sid})
+        resp = {"sequence_id": sid}
+        if n > 1:
+            # n-best: the fork siblings' ids, fetchable via /result/{id}.
+            with loop.lock:
+                parent = scheduler.get(sid)
+                resp["sequence_ids"] = list(parent.fork_group)
+        return web.json_response(resp)
 
     async def get_result(request: web.Request) -> web.Response:
         try:
