@@ -111,7 +111,9 @@ def main():
         model = ModelConfig.gpt2_124m(
             dtype="bfloat16" if on_tpu else "float32")
         # Token-major pool rows carry all heads of one token (768 lanes for
-        # GPT-2): no lane-padding waste at any page_size.
+        # GPT-2): no lane-padding waste at any page_size. Decode attention is
+        # DMA-descriptor-issue bound, so bigger pages are faster: default 64.
+        ps = int(os.environ.get("VLLMINI_BENCH_PS", "64"))
         cache = CacheConfig(
             num_pages=max(512 * 32 // ps, slots * 1024 // ps), page_size=ps,
             max_pages_per_seq=1024 // ps,

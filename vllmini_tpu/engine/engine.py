@@ -145,18 +145,23 @@ class LLMEngine:
             params = self.family.init_params(
                 config.model, jax.random.PRNGKey(config.seed))
 
-        # --- tensor parallelism over a (1, tp) mesh. Weights are head-/
-        # channel-sharded, the KV pool is kv-head-sharded, the decode state is
-        # replicated; the step fns below are shard_map'd so the Pallas kernels
-        # run unmodified on each chip's local heads (zero attention-time
-        # communication). Engine-level data parallelism is NOT a mesh axis:
-        # DP replicas are independent engines behind the server.
+        # --- parallelism over a (dp, tp) mesh. TP: weights head-/channel-
+        # sharded, KV pool head-lane-sharded, psum-combined row projections —
+        # the Pallas kernels run unmodified on each chip's local heads (zero
+        # attention-time communication). DP: decode slots, page tables, and
+        # the page pool shard over the "data" axis — each replica is an
+        # independent pool addressed by LOCAL page indices with its own
+        # host-side allocator; a sequence lives entirely in one replica
+        # (its slot determines which).
         self.tp = config.parallel.tensor_parallel
-        if self.tp > 1:
+        self.dp = config.parallel.data_parallel
+        if config.scheduler.max_decode_slots % self.dp != 0:
+            raise ValueError("max_decode_slots must divide data_parallel")
+        self.local_slots = config.scheduler.max_decode_slots // self.dp
+        if self.tp > 1 or self.dp > 1:
             from ..parallel.mesh import make_mesh
-            from ..parallel.tp import (local_model_config, shard_params,
-                                       shard_pool)
-            self.mesh = make_mesh(1, self.tp)
+            from ..parallel.tp import local_model_config, shard_params
+            self.mesh = make_mesh(self.dp, self.tp)
             self.local_model = local_model_config(config.model, self.tp)
             params = shard_params(params, config.model, self.mesh)
         else:
@@ -167,6 +172,14 @@ class LLMEngine:
                                            shards=self.tp)
         if self.mesh is not None:
             from ..parallel.tp import shard_pool
+            if self.dp > 1:  # one independent pool per data replica
+                self.pool = dataclasses.replace(
+                    self.pool,
+                    kv_pages=[jnp.tile(x, (self.dp, 1, 1, 1))
+                              for x in self.pool.kv_pages],
+                    kv_scales=(None if self.pool.kv_scales is None else
+                               [jnp.tile(x, (self.dp, 1, 1, 1))
+                                for x in self.pool.kv_scales]))
             self.pool = shard_pool(self.pool, self.mesh)
         # Sliding-window models get a RING allocator: pages fully below the
         # window are recycled, so steady-state usage per sequence is
@@ -174,9 +187,14 @@ class LLMEngine:
         window = config.model.sliding_window
         self.window_pages = (
             -(-window // config.cache.page_size) + 1 if window else None)
-        self.allocator = make_allocator(
-            config.cache.num_pages, config.cache.page_size,
-            config.cache.max_pages_per_seq, window_pages=self.window_pages)
+        self.allocators = [
+            make_allocator(config.cache.num_pages, config.cache.page_size,
+                           config.cache.max_pages_per_seq,
+                           window_pages=self.window_pages)
+            for _ in range(self.dp)]
+        self.allocator = self.allocators[0]  # dp==1 fast path / back-compat
+        # seq_id -> data replica index (assigned at prefill/swap-in).
+        self.seq_replica: Dict[int, int] = {}
         self.max_slots = config.scheduler.max_decode_slots
         self.pages_per_seq_max = config.cache.max_pages_per_seq
         self.max_context = min(config.cache.max_context_len,
@@ -216,28 +234,47 @@ class LLMEngine:
         else:
             from ..parallel.tp import param_specs, pool_pspec
 
+            from ..parallel.mesh import DATA_AXIS
+
             pspecs = param_specs(self.params)
             poolspecs = pool_pspec(config.model.num_layers,
                                    self.pool.quantized,
                                    num_kv_heads=self.pool.num_kv_heads,
                                    head_dim=self.pool.head_dim)
-            stspecs = jax.tree.map(lambda _: P(), self.state)
+            # Decode state shards its slot dimension over the data axis.
+            stspecs = jax.tree.map(
+                lambda x: P(DATA_AXIS) if x.ndim == 1 else P(DATA_AXIS, None),
+                self.state)
+            tspec = P(DATA_AXIS, None)  # page tables: slots on data
+            bspec = P(DATA_AXIS)        # step budget
 
             def chunk_sharded(params, pool, state, tables, budget, *,
                               steps: int):
                 inner = jax.shard_map(
                     lambda *a: self._chunk_impl(*a, steps=steps),
                     mesh=self.mesh,
-                    in_specs=(pspecs, poolspecs, stspecs, P(), P()),
+                    in_specs=(pspecs, poolspecs, stspecs, tspec, bspec),
                     out_specs=(poolspecs, stspecs),
                     check_vma=False)
                 return inner(params, pool, state, tables, budget)
 
+            local_slots = self.local_slots
+
             def prefill_sharded(params, pool, state, *rest):
+                def inner_fn(params, pool, state, *rest):
+                    # Global slot ids -> this replica's local ids; slots
+                    # owned elsewhere become -1 (masked inserts), and the
+                    # non-owner's table row is all-sentinel so its pool
+                    # writes land on ITS trash page.
+                    base = jax.lax.axis_index(DATA_AXIS) * local_slots
+                    return self._prefill_impl(params, pool, state, *rest,
+                                              slot_base=base)
+                # operand 2 of *rest is the per-replica table row [dp, pps].
+                rspecs = (P(), P(), tspec) + (P(),) * 8
                 inner = jax.shard_map(
-                    self._prefill_impl,
+                    inner_fn,
                     mesh=self.mesh,
-                    in_specs=(pspecs, poolspecs, stspecs) + (P(),) * 11,
+                    in_specs=(pspecs, poolspecs, stspecs) + rspecs,
                     out_specs=(poolspecs, stspecs),
                     check_vma=False)
                 return inner(params, pool, state, *rest)
@@ -254,6 +291,27 @@ class LLMEngine:
             return None
         from ..parallel.mesh import MODEL_AXIS
         return MODEL_AXIS
+
+    # ------------------------------------------------- data-parallel routing
+
+    def replica_of_slot(self, slot: int) -> int:
+        return slot // self.local_slots
+
+    def alloc_of_slot(self, slot: int):
+        return self.allocators[self.replica_of_slot(slot)]
+
+    def alloc_of_seq(self, seq_id: int):
+        return self.allocators[self.seq_replica.get(seq_id, 0)]
+
+    @property
+    def num_free_pages(self) -> int:
+        return sum(a.num_free_pages for a in self.allocators)
+
+    def _globalize_pages(self, pages, replica: int):
+        """Replica-local page indices -> indices into the dp-stacked global
+        pool arrays (each replica owns num_pages+1 rows incl. its trash)."""
+        stride = self.config.cache.num_pages + 1
+        return np.asarray(pages, np.int64) + replica * stride
 
     def _forward_decode(self, params, pool, state: DecodeState, page_tables):
         positions = state.tokens_in_kv
@@ -308,12 +366,17 @@ class LLMEngine:
 
     def _prefill_impl(self, params, pool, state: DecodeState, token_ids,
                       seq_len, page_table, seeds, temp, top_k, top_p,
-                      max_new, stop_tokens, total_cap, slots):
+                      max_new, stop_tokens, total_cap, slots, slot_base=0):
         """Run the prompt once; insert into `slots` (F of them — slot 0 is
         the parent, the rest are COW forks for n-best sampling), each with
         its own first token sampled from the SHARED prefill logits under its
-        own seed."""
+        own seed. Under data parallelism `slot_base` is this replica's first
+        global slot; slots outside [base, base+local) are masked out (and
+        the replica's table row is all-sentinel, so its KV writes go to its
+        trash page)."""
         F = slots.shape[0]
+        if page_table.ndim == 2:   # [1, pps] per-replica row under shard_map
+            page_table = page_table[0]
         logits, pool = self.family.prefill_forward(
             params, self.local_model, pool, token_ids, seq_len, page_table,
             interpret=self.interpret, tp_axis=self._tp_axis)
@@ -323,10 +386,12 @@ class LLMEngine:
             jnp.full((F,), temp, jnp.float32),
             jnp.full((F,), top_k, jnp.int32),
             jnp.full((F,), top_p, jnp.float32))
+        B_local = state.last_token.shape[0]
         for i in range(F):
             tok = toks[i]
-            slot = jnp.maximum(slots[i], 0)
-            valid = slots[i] >= 0
+            local = slots[i] - slot_base
+            slot = jnp.clip(local, 0, B_local - 1)
+            valid = (slots[i] >= 0) & (local >= 0) & (local < B_local)
 
             def upd(arr, val, slot=slot, valid=valid):
                 return arr.at[slot].set(jnp.where(valid, val, arr[slot]))
@@ -399,8 +464,11 @@ class LLMEngine:
         forks = list(forks or ())
         L = len(seq.prompt_ids)
         bucket = self.bucket_for(L)
-        self.allocator.allocate(seq.seq_id, L)
-        table_row = self.allocator.padded_table(seq.seq_id)
+        alloc = self.alloc_of_slot(slot)
+        replica = self.replica_of_slot(slot)
+        self.seq_replica[seq.seq_id] = replica
+        alloc.allocate(seq.seq_id, L)
+        table_row = alloc.padded_table(seq.seq_id)
         padded = np.zeros(bucket, np.int32)
         padded[:L] = seq.prompt_ids
 
@@ -420,8 +488,11 @@ class LLMEngine:
         slots = np.asarray([slot] + [sl for _, sl in forks], np.int32)
         seeds = np.asarray([seed] + [(seed + 1 + i) & 0xFFFFFFFF
                                      for i in range(len(forks))], np.uint32)
-        for i, (child, _) in enumerate(forks):
-            self.allocator.fork(seq.seq_id, child.seq_id)
+        for i, (child, child_slot) in enumerate(forks):
+            if self.replica_of_slot(child_slot) != replica:
+                raise ValueError("fork slots must share the data replica")
+            alloc.fork(seq.seq_id, child.seq_id)
+            self.seq_replica[child.seq_id] = replica
             child.rng_seed = int(seeds[1 + i])
         kw = dict(slots=slots, padded=padded, length=L, table_row=table_row,
                   temp=np.float32(0.0 if s.greedy else s.temperature),
@@ -438,12 +509,13 @@ class LLMEngine:
             # The shared last page will be written by the child's first
             # decode step: give the child a private copy now (lazy COW).
             if L % self.config.cache.page_size != 0:
-                pair = self.allocator.cow_last_page(child.seq_id)
+                pair = alloc.cow_last_page(child.seq_id)
                 if pair is not None:
                     src, dst = pair
-                    self._emit("cow", src=np.int32(src), dst=np.int32(dst))
-                    self.exec_cow(src, dst)
-            child_row = self.allocator.padded_table(child.seq_id)
+                    self._emit("cow", src=np.int32(src), dst=np.int32(dst),
+                               replica=np.int32(replica))
+                    self.exec_cow(src, dst, replica)
+            child_row = alloc.padded_table(child.seq_id)
             self._tables_host[child_slot] = child_row
             self.metrics.counter("forks", 1)
         self._tables_dirty = True
@@ -453,21 +525,30 @@ class LLMEngine:
                      top_p, max_new, stops, total_cap, seeds) -> None:
         self._tables_host[int(slots[0])] = table_row
         self._tables_dirty = True
+        if self.mesh is None:
+            table_arg = jnp.asarray(table_row)
+        else:
+            # One row per data replica: only the owner's is real, the rest
+            # are all-sentinel (their prefill writes hit their trash page).
+            rows = np.full((self.dp, table_row.shape[0]),
+                           self.config.cache.num_pages, np.int32)
+            rows[int(slots[0]) // self.local_slots] = table_row
+            table_arg = jnp.asarray(rows)
         self.pool, self.state = self._prefill_fn(
             self.params, self.pool, self.state, jnp.asarray(padded),
-            jnp.int32(length), jnp.asarray(table_row),
+            jnp.int32(length), table_arg,
             jnp.asarray(seeds, jnp.uint32),
             jnp.float32(temp), jnp.int32(top_k), jnp.float32(top_p),
             jnp.int32(max_new), jnp.asarray(stops),
             jnp.int32(total_cap), jnp.asarray(slots, jnp.int32))
 
-    def exec_cow(self, src: int, dst: int) -> None:
+    def exec_cow(self, src: int, dst: int, replica: int = 0) -> None:
         """Device-side page duplication for copy-on-write (the TPU
         `copy_blocks`, `cache_kernels.cu:69-148`): one page, all layers."""
         from ..ops.kv_write import copy_pages
 
-        si = jnp.asarray([src], jnp.int32)
-        di = jnp.asarray([dst], jnp.int32)
+        si = jnp.asarray(self._globalize_pages([src], replica), jnp.int32)
+        di = jnp.asarray(self._globalize_pages([dst], replica), jnp.int32)
         pool = self.pool
         pool = dataclasses.replace(
             pool, kv_pages=[copy_pages(x, si, di) for x in pool.kv_pages])
@@ -558,8 +639,10 @@ class LLMEngine:
     # ----------------------------------------------------------- free and swap
 
     def free_sequence(self, seq: Sequence) -> None:
-        if self.allocator.has_seq(seq.seq_id):
-            self.allocator.free(seq.seq_id)
+        alloc = self.alloc_of_seq(seq.seq_id)
+        if alloc.has_seq(seq.seq_id):
+            alloc.free(seq.seq_id)
+        self.seq_replica.pop(seq.seq_id, None)
         slot = -1 if seq.slot is None else seq.slot
         self._emit("free", seq_id=seq.seq_id, slot=slot)
         self.exec_free(seq.seq_id, slot)
@@ -580,21 +663,27 @@ class LLMEngine:
         # headroom pages beyond tokens_in_kv (chunk reservations), and swap-in
         # re-allocates from the token count alone. Windowed sequences save
         # only the live ring tail (pages below the window are dead).
-        filled = self.allocator.pages_needed(max(1, seq.tokens_in_kv))
+        alloc = self.alloc_of_seq(seq.seq_id)
+        filled = alloc.pages_needed(max(1, seq.tokens_in_kv))
         start = (max(0, filled - self.window_pages)
                  if self.window_pages else 0)
         pages = np.asarray(
-            self.allocator.seq_pages(seq.seq_id)[start:filled], np.int32)
+            alloc.seq_pages(seq.seq_id)[start:filled], np.int32)
         slot = -1 if seq.slot is None else seq.slot
+        replica = self.seq_replica.get(seq.seq_id, 0)
         self._emit("swap_out", seq_id=seq.seq_id, pages=pages,
                    num_tokens=seq.tokens_in_kv, slot=slot,
-                   start_page=np.int32(start))
-        self.exec_swap_out(seq.seq_id, pages, seq.tokens_in_kv, slot, start)
-        self.allocator.release_for_swap(seq.seq_id)
+                   start_page=np.int32(start), replica=np.int32(replica))
+        self.exec_swap_out(seq.seq_id, pages, seq.tokens_in_kv, slot, start,
+                           replica)
+        alloc.release_for_swap(seq.seq_id)
+        self.seq_replica.pop(seq.seq_id, None)
 
     def exec_swap_out(self, seq_id: int, pages: np.ndarray, num_tokens: int,
-                      slot: int, start_page: int = 0) -> None:
-        idx = jnp.asarray(pages, jnp.int32)
+                      slot: int, start_page: int = 0,
+                      replica: int = 0) -> None:
+        idx = jnp.asarray(self._globalize_pages(pages, int(replica)),
+                          jnp.int32)
 
         def gather(layers):
             # [L, n_pages, ps, row_width|H] on host (token-major: pages dim 0)
@@ -610,15 +699,18 @@ class LLMEngine:
             self.exec_clear_slot(slot)
         self.metrics.counter("swap_outs", 1)
 
-    def can_swap_in(self, seq: Sequence) -> bool:
-        return self.allocator.can_allocate(seq.tokens_in_kv)
+    def can_swap_in(self, seq: Sequence, slot: Optional[int] = None) -> bool:
+        alloc = (self.allocator if slot is None else self.alloc_of_slot(slot))
+        return alloc.can_allocate(seq.tokens_in_kv)
 
     def swap_in(self, seq: Sequence, slot: int) -> None:
         """Re-allocate pages, restore KV from host RAM, re-insert the slot."""
         sw = self._swapped[seq.seq_id]
         num_tokens = sw.num_tokens
-        table = self.allocator.allocate_for_swap_in(seq.seq_id, num_tokens)
-        filled = self.allocator.pages_needed(max(1, num_tokens))
+        alloc = self.alloc_of_slot(slot)
+        self.seq_replica[seq.seq_id] = self.replica_of_slot(slot)
+        table = alloc.allocate_for_swap_in(seq.seq_id, num_tokens)
+        filled = alloc.pages_needed(max(1, num_tokens))
         # Land the saved content on the SAME logical slots it came from.
         pages = np.asarray(table[sw.start_page:filled], np.int32)
         s = seq.sampling
@@ -630,7 +722,8 @@ class LLMEngine:
         out_buf_row[: len(gen)] = gen
         kw = dict(
             seq_id=seq.seq_id, slot=slot, pages=pages,
-            table_row=self.allocator.padded_table(seq.seq_id),
+            replica=np.int32(self.replica_of_slot(slot)),
+            table_row=alloc.padded_table(seq.seq_id),
             last_token=np.int32(0 if seq.last_token is None
                                 else seq.last_token),
             tokens_in_kv=np.int32(seq.tokens_in_kv),
@@ -647,9 +740,11 @@ class LLMEngine:
 
     def exec_swap_in(self, seq_id, slot, pages, table_row, last_token,
                      tokens_in_kv, out_buf_row, out_count, max_new, stops,
-                     total_cap, temp, top_k, top_p, seed) -> None:
+                     total_cap, temp, top_k, top_p, seed,
+                     replica=0) -> None:
         sw = self._swapped.pop(seq_id)
-        idx = jnp.asarray(pages, jnp.int32)
+        idx = jnp.asarray(self._globalize_pages(pages, int(replica)),
+                          jnp.int32)
         pool = self.pool
 
         def scatter(layers, host, dtype):

@@ -133,6 +133,33 @@ class Scheduler:
                 return i
         return None
 
+    def _find_slot_with_pages(self, num_tokens: int) -> Optional[int]:
+        """A free slot whose data replica can allocate `num_tokens`."""
+        for i, s in enumerate(self.slots):
+            if s is None and self.engine.alloc_of_slot(i).can_allocate(
+                    num_tokens):
+                return i
+        return None
+
+    def _find_group_slots(self, need: int, num_tokens: int,
+                          extra_pages: int = 0):
+        """`need` free slots within ONE data replica whose allocator has
+        pages for the prompt plus `extra_pages` (COW fork copies)."""
+        L = self.engine.local_slots
+        for r in range(self.engine.dp):
+            free = [i for i in range(r * L, (r + 1) * L)
+                    if self.slots[i] is None][:need]
+            if len(free) < need:
+                continue
+            alloc = self.engine.allocators[r]
+            if not alloc.can_allocate(num_tokens):
+                continue
+            if extra_pages and alloc.num_free_pages < (
+                    alloc.phys_pages_needed(num_tokens) + extra_pages):
+                continue
+            return free
+        return None
+
     def _finish(self, seq: Sequence, reason: FinishReason) -> None:
         # Unadmitted fork siblings die with the parent request.
         children, seq.fork_children = seq.fork_children, []
@@ -233,7 +260,8 @@ class Scheduler:
                 continue
             delta = int(summary.tokens_in_kv[slot]) - seq.tokens_in_kv
             if delta > 0:
-                self.engine.allocator.advance(seq.seq_id, delta)
+                self.engine.alloc_of_seq(seq.seq_id).advance(
+                    seq.seq_id, delta)
             seq.tokens_in_kv = int(summary.tokens_in_kv[slot])
             n_out = int(summary.out_count[slot])
             seq.output_ids = [int(t) for t in summary.out_buf[slot, :n_out]]
@@ -267,30 +295,22 @@ class Scheduler:
 
         # 1. Re-admit swapped sequences first (they hold partial results).
         while self.swapped:
-            slot = self._free_slot()
-            if slot is None:
-                break
             seq = self.swapped[0]
-            if not self.engine.can_swap_in(seq):
+            slot = self._find_slot_with_pages(seq.tokens_in_kv)
+            if slot is None:
                 break
             self.swapped.popleft()
             self._admit(seq, slot, from_swap=True)
 
-        # 2. Admit new requests into free slots (a fork group needs a slot
-        #    per completion plus one COW page per fork).
+        # 2. Admit new requests into free slots (a fork group needs its
+        #    slots — and pool pages — in ONE data replica).
         while self.waiting:
             seq = self.waiting[0]
             need = 1 + len(seq.fork_children)
-            free = [i for i, s in enumerate(self.slots) if s is None][:need]
-            if len(free) < need:
+            free = self._find_group_slots(need, len(seq.prompt_ids),
+                                          extra_pages=need - 1)
+            if free is None:
                 break
-            alloc = self.engine.allocator
-            if not alloc.can_allocate(len(seq.prompt_ids)):
-                break
-            if need > 1:
-                pages_for_prompt = alloc.pages_needed(len(seq.prompt_ids))
-                if alloc.num_free_pages < pages_for_prompt + (need - 1):
-                    break
             self.waiting.popleft()
             try:
                 self._admit(seq, free[0], from_swap=False,
@@ -315,9 +335,10 @@ class Scheduler:
                        self._max_total_tokens - upper)
             if want <= 0:
                 continue  # device will have flagged hit_cap already
+            alloc = self.engine.alloc_of_seq(seq.seq_id)
             while True:
                 try:
-                    self.engine.allocator.reserve(seq.seq_id, pending + want)
+                    alloc.reserve(seq.seq_id, pending + want)
                     budget[seq.slot] = want
                     break
                 except OutOfPages:
@@ -345,15 +366,15 @@ class Scheduler:
                     fit = (self.engine.pages_per_seq_max
                            * self.config.cache.page_size - upper)
                     if fit > 0:
-                        self.engine.allocator.reserve(seq.seq_id,
-                                                      pending + fit)
+                        alloc.reserve(seq.seq_id, pending + fit)
                         budget[seq.slot] = fit
                     break
             if seq.is_finished or seq.slot is None:
                 mapping.pop(dispatch_slot, None)
                 continue
             # New pages may have extended the table: refresh the device copy.
-            table = self.engine.allocator.padded_table(seq.seq_id)
+            table = self.engine.alloc_of_seq(seq.seq_id).padded_table(
+                seq.seq_id)
             if not np.array_equal(table,
                                   self.engine._tables_host[seq.slot]):
                 self.engine._tables_host[seq.slot] = table

@@ -123,6 +123,10 @@ class NativePageAllocator:
     def pages_needed(self, num_tokens: int) -> int:
         return -(-num_tokens // self.page_size)
 
+    def phys_pages_needed(self, num_tokens: int) -> int:
+        # Windowed ring allocation is Python-only; native == logical.
+        return self.pages_needed(num_tokens)
+
     def can_allocate(self, num_tokens: int) -> bool:
         return bool(self._lib.pa_can_allocate(self._h, num_tokens))
 

@@ -211,7 +211,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             snap["num_running"] = scheduler.num_running
             snap["num_waiting"] = len(scheduler.waiting)
             snap["num_swapped"] = len(scheduler.swapped)
-            snap["free_pages"] = scheduler.engine.allocator.num_free_pages
+            snap["free_pages"] = scheduler.engine.num_free_pages
         return web.json_response(snap)
 
     app.router.add_post("/generate", generate)

@@ -44,7 +44,8 @@ def build_engine_config(args) -> EngineConfig:
                                   pipeline_depth=args.pipeline_depth,
                                   preemption_mode=args.preemption),
         quant=QuantConfig(weight_dtype=args.weight_dtype),
-        parallel=ParallelConfig(tensor_parallel=args.tensor_parallel),
+        parallel=ParallelConfig(tensor_parallel=args.tensor_parallel,
+                                data_parallel=args.data_parallel),
         hf_model=args.hf_model or args.model,
     )
 
@@ -70,6 +71,10 @@ def main(argv=None):
     p.add_argument("--preemption", default="swap",
                    choices=["swap", "recompute"])
     p.add_argument("--tensor-parallel", type=int, default=1)
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="decode slots + page pool shard over this many "
+                        "data replicas on the mesh (max_decode_slots is the "
+                        "GLOBAL slot count and must divide it)")
     # Multi-host serving (BASELINE config 5): process 0 owns the HTTP server,
     # scheduler, and allocator; workers replay its device-command stream.
     p.add_argument("--num-processes", type=int, default=1,
