@@ -216,12 +216,17 @@ class LLMEngine:
         self.command_sink: Optional[List] = None
         self._seed_base = config.seed if rng_seed is None else rng_seed
 
-        # Bucket list covering up to max context.
+        # Prefill shape buckets. Prompts longer than the largest bucket are
+        # admitted in page-aligned CHUNKS (each chunk attends over the
+        # pool-resident prefix), so no max_context-sized program is ever
+        # compiled and prompt admission is bounded only by pool capacity.
+        ps = config.cache.page_size
         buckets = sorted(b for b in config.scheduler.prefill_buckets
                          if b <= self.max_context)
-        if not buckets or buckets[-1] < self.max_context:
-            buckets.append(self.max_context)
+        if not buckets:
+            buckets = [min(256, self.max_context)]
         self.prefill_buckets = buckets
+        self.prefill_chunk = max(ps, buckets[-1] // ps * ps)
 
         # Donate ONLY the pool: the small DecodeState must stay readable as a
         # per-chunk snapshot after later chunks are dispatched (pipelining).
@@ -230,7 +235,11 @@ class LLMEngine:
         if self.mesh is None:
             self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1,),
                                      static_argnames=("steps",))
-            self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+            self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,),
+                                       static_argnames=("prefix_tokens",))
+            self._prefill_chunk_fn = jax.jit(
+                self._prefill_chunk_impl, donate_argnums=(1,),
+                static_argnames=("prefix_tokens",))
         else:
             from ..parallel.tp import param_specs, pool_pspec
 
@@ -260,7 +269,8 @@ class LLMEngine:
 
             local_slots = self.local_slots
 
-            def prefill_sharded(params, pool, state, *rest):
+            def prefill_sharded(params, pool, state, *rest,
+                                prefix_tokens: int = 0):
                 def inner_fn(params, pool, state, *rest):
                     # Global slot ids -> this replica's local ids; slots
                     # owned elsewhere become -1 (masked inserts), and the
@@ -268,7 +278,8 @@ class LLMEngine:
                     # writes land on ITS trash page.
                     base = jax.lax.axis_index(DATA_AXIS) * local_slots
                     return self._prefill_impl(params, pool, state, *rest,
-                                              slot_base=base)
+                                              slot_base=base,
+                                              prefix_tokens=prefix_tokens)
                 # operand 2 of *rest is the per-replica table row [dp, pps].
                 rspecs = (P(), P(), tspec) + (P(),) * 8
                 inner = jax.shard_map(
@@ -279,9 +290,24 @@ class LLMEngine:
                     check_vma=False)
                 return inner(params, pool, state, *rest)
 
+            def prefill_chunk_sharded(params, pool, *rest,
+                                      prefix_tokens: int = 0):
+                inner = jax.shard_map(
+                    lambda *a: self._prefill_chunk_impl(
+                        *a, prefix_tokens=prefix_tokens),
+                    mesh=self.mesh,
+                    in_specs=(pspecs, poolspecs, P(), P(), tspec),
+                    out_specs=poolspecs,
+                    check_vma=False)
+                return inner(params, pool, *rest)
+
             self._chunk_fn = jax.jit(chunk_sharded, donate_argnums=(1,),
                                      static_argnames=("steps",))
-            self._prefill_fn = jax.jit(prefill_sharded, donate_argnums=(1,))
+            self._prefill_fn = jax.jit(prefill_sharded, donate_argnums=(1,),
+                                       static_argnames=("prefix_tokens",))
+            self._prefill_chunk_fn = jax.jit(
+                prefill_chunk_sharded, donate_argnums=(1,),
+                static_argnames=("prefix_tokens",))
 
     # ------------------------------------------------------------------ device
 
@@ -366,7 +392,8 @@ class LLMEngine:
 
     def _prefill_impl(self, params, pool, state: DecodeState, token_ids,
                       seq_len, page_table, seeds, temp, top_k, top_p,
-                      max_new, stop_tokens, total_cap, slots, slot_base=0):
+                      max_new, stop_tokens, total_cap, slots, slot_base=0,
+                      prefix_tokens: int = 0):
         """Run the prompt once; insert into `slots` (F of them — slot 0 is
         the parent, the rest are COW forks for n-best sampling), each with
         its own first token sampled from the SHARED prefill logits under its
@@ -379,10 +406,11 @@ class LLMEngine:
             page_table = page_table[0]
         logits, pool = self.family.prefill_forward(
             params, self.local_model, pool, token_ids, seq_len, page_table,
-            interpret=self.interpret, tp_axis=self._tp_axis)
+            start_pos=prefix_tokens, interpret=self.interpret,
+            tp_axis=self._tp_axis)
         toks = sample_tokens(
             jnp.broadcast_to(logits, (F,) + logits.shape), seeds,
-            jnp.full((F,), seq_len, jnp.int32),
+            jnp.full((F,), prefix_tokens + seq_len, jnp.int32),
             jnp.full((F,), temp, jnp.float32),
             jnp.full((F,), top_k, jnp.int32),
             jnp.full((F,), top_p, jnp.float32))
@@ -401,7 +429,8 @@ class LLMEngine:
             state = dataclasses.replace(
                 state,
                 last_token=upd(state.last_token, tok),
-                tokens_in_kv=upd(state.tokens_in_kv, seq_len),
+                tokens_in_kv=upd(state.tokens_in_kv,
+                                 prefix_tokens + seq_len),
                 active=upd(state.active, ~is_stop & (max_new > 1)),
                 out_buf=state.out_buf.at[slot].set(jnp.where(
                     valid,
@@ -420,6 +449,19 @@ class LLMEngine:
             )
         return pool, state
 
+    def _prefill_chunk_impl(self, params, pool, token_ids, seq_len,
+                            page_table, *, prefix_tokens: int = 0):
+        """KV-write-only forward of one prompt chunk (chunked prefill): the
+        chunk attends over the pool-resident prefix, its K/V land in the
+        pool, logits are discarded (no sampling, no slot insert)."""
+        if page_table.ndim == 2:
+            page_table = page_table[0]
+        _, pool = self.family.prefill_forward(
+            params, self.local_model, pool, token_ids, seq_len, page_table,
+            start_pos=prefix_tokens, interpret=self.interpret,
+            tp_axis=self._tp_axis)
+        return pool
+
     def _seed_for(self, seq: Sequence) -> int:
         """Effective RNG seed: the request's SamplingParams.seed, or a
         deterministic per-sequence default (so multi-host replay agrees)."""
@@ -434,7 +476,7 @@ class LLMEngine:
             if length <= b:
                 return b
         raise ValueError(
-            f"prompt length {length} exceeds max context "
+            f"chunk length {length} exceeds largest prefill bucket "
             f"{self.prefill_buckets[-1]}")
 
     def _emit(self, op: str, **kw) -> None:
@@ -463,14 +505,29 @@ class LLMEngine:
         """
         forks = list(forks or ())
         L = len(seq.prompt_ids)
-        bucket = self.bucket_for(L)
         alloc = self.alloc_of_slot(slot)
         replica = self.replica_of_slot(slot)
         self.seq_replica[seq.seq_id] = replica
         alloc.allocate(seq.seq_id, L)
         table_row = alloc.padded_table(seq.seq_id)
+
+        # Chunked prefill: all but the final chunk only write KV (each chunk
+        # attends over the pool-resident prefix); the final chunk also
+        # samples the first token and inserts the slot(s).
+        start = 0
+        while L - start > self.prefill_chunk:
+            clen = self.prefill_chunk
+            cpad = np.zeros(clen, np.int32)
+            cpad[:] = seq.prompt_ids[start:start + clen]
+            ckw = dict(padded=cpad, length=clen, table_row=table_row,
+                       prefix_tokens=start, replica=np.int32(replica))
+            self._emit("prefill_chunk", **ckw)
+            self.exec_prefill_chunk(**ckw)
+            start += clen
+        rem = L - start
+        bucket = self.bucket_for(rem)
         padded = np.zeros(bucket, np.int32)
-        padded[:L] = seq.prompt_ids
+        padded[:rem] = seq.prompt_ids[start:]
 
         s = seq.sampling
         stops = np.full(MAX_STOP_TOKENS, -1, np.int32)
@@ -494,7 +551,8 @@ class LLMEngine:
             alloc.fork(seq.seq_id, child.seq_id)
             self.seq_replica[child.seq_id] = replica
             child.rng_seed = int(seeds[1 + i])
-        kw = dict(slots=slots, padded=padded, length=L, table_row=table_row,
+        kw = dict(slots=slots, padded=padded, length=rem,
+                  table_row=table_row, prefix_tokens=start,
                   temp=np.float32(0.0 if s.greedy else s.temperature),
                   top_k=np.int32(s.top_k), top_p=np.float32(s.top_p),
                   max_new=np.int32(remaining), stops=stops,
@@ -521,26 +579,39 @@ class LLMEngine:
         self._tables_dirty = True
         self.metrics.counter("prefill_tokens", L)
 
+    def _replica_table(self, table_row, replica: int):
+        if self.mesh is None:
+            return jnp.asarray(table_row)
+        # One row per data replica: only the owner's is real, the rest are
+        # all-sentinel (their prefill writes hit their trash page).
+        rows = np.full((self.dp, table_row.shape[0]),
+                       self.config.cache.num_pages, np.int32)
+        rows[replica] = table_row
+        return jnp.asarray(rows)
+
     def exec_prefill(self, slots, padded, length, table_row, temp, top_k,
-                     top_p, max_new, stops, total_cap, seeds) -> None:
+                     top_p, max_new, stops, total_cap, seeds,
+                     prefix_tokens=0) -> None:
         self._tables_host[int(slots[0])] = table_row
         self._tables_dirty = True
-        if self.mesh is None:
-            table_arg = jnp.asarray(table_row)
-        else:
-            # One row per data replica: only the owner's is real, the rest
-            # are all-sentinel (their prefill writes hit their trash page).
-            rows = np.full((self.dp, table_row.shape[0]),
-                           self.config.cache.num_pages, np.int32)
-            rows[int(slots[0]) // self.local_slots] = table_row
-            table_arg = jnp.asarray(rows)
+        table_arg = self._replica_table(table_row,
+                                        int(slots[0]) // self.local_slots)
         self.pool, self.state = self._prefill_fn(
             self.params, self.pool, self.state, jnp.asarray(padded),
             jnp.int32(length), table_arg,
             jnp.asarray(seeds, jnp.uint32),
             jnp.float32(temp), jnp.int32(top_k), jnp.float32(top_p),
             jnp.int32(max_new), jnp.asarray(stops),
-            jnp.int32(total_cap), jnp.asarray(slots, jnp.int32))
+            jnp.int32(total_cap), jnp.asarray(slots, jnp.int32),
+            prefix_tokens=int(prefix_tokens))
+
+    def exec_prefill_chunk(self, padded, length, table_row, prefix_tokens,
+                           replica=0) -> None:
+        """KV-write-only prefill of one page-aligned prompt chunk."""
+        self.pool = self._prefill_chunk_fn(
+            self.params, self.pool, jnp.asarray(padded), jnp.int32(length),
+            self._replica_table(table_row, int(replica)),
+            prefix_tokens=int(prefix_tokens))
 
     def exec_cow(self, src: int, dst: int, replica: int = 0) -> None:
         """Device-side page duplication for copy-on-write (the TPU

@@ -78,6 +78,30 @@ def _update_pool_layer(pool: KVPool, i: int, kv_pages,
     return pool.with_layer(i, kv_pages, kv_scales)
 
 
+
+
+def _gather_prefix_kv(pool: KVPool, layer: int, page_table: jax.Array,
+                      prefix_tokens: int, dtype, H: int, d: int):
+    """Dense [prefix_tokens, H, d] K and V for chunked prefill: the chunk's
+    queries attend over the pool-resident prefix (written by earlier chunks).
+    `prefix_tokens` is STATIC and page-aligned (the engine chunks on page
+    boundaries), so shapes stay fixed per (bucket, prefix) pair. `H` is the
+    LOCAL kv-head count (under shard_map each TP shard gathers its own
+    lane slice)."""
+    kv, sc = pool.layer(layer)
+    ps = kv.shape[2]
+    n = prefix_tokens // ps
+    pages = jnp.clip(page_table[:n], 0, kv.shape[0] - 1)
+    g = kv[pages]                                   # [n, 2, ps, W]
+    x = g[..., :H * d].reshape(n, 2, ps, H, d)
+    if sc is not None:
+        scales = sc[pages]                          # [n, 2, ps, H]
+        x = x.astype(jnp.float32) * scales[..., None]
+    k = x[:, 0].reshape(n * ps, H, d).astype(dtype)
+    v = x[:, 1].reshape(n * ps, H, d).astype(dtype)
+    return k, v
+
+
 def _split_qkv(qkv: jax.Array, num_heads: int, num_kv_heads: int,
                head_dim: int):
     """[T, h + 2*kv_h*d] -> q [T, H, d], k [T, Hkv, d], v [T, Hkv, d]."""
@@ -115,6 +139,9 @@ def prefill_forward(
     `return_all_logits` (used by the PPL harness). `pool=None` skips KV cache
     writes entirely (pure scoring mode)."""
     L_pad = token_ids.shape[0]
+    prefix_tokens = int(start_pos) if isinstance(start_pos, int) else 0
+    assert prefix_tokens == 0 or pool is not None, \
+        "chunked prefill needs the pool for its prefix"
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
     positions = start_pos + jnp.arange(L_pad, dtype=jnp.int32)
     # Clamp padding positions into range for the wpe lookup.
@@ -137,9 +164,17 @@ def prefill_forward(
                 kv = out
             pool = _update_pool_layer(pool, i, kv, sc)
 
+        if prefix_tokens:
+            pk, pv = _gather_prefix_kv(pool, i, page_table, prefix_tokens,
+                                       k.dtype, Hkv, d)
+            k_att = jnp.concatenate([pk, k], axis=0)
+            v_att = jnp.concatenate([pv, v], axis=0)
+        else:
+            k_att, v_att = k, v
         attn = flash_attention_prefill(
-            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-            seq_len, causal=True, interpret=interpret,
+            q.transpose(1, 0, 2), k_att.transpose(1, 0, 2),
+            v_att.transpose(1, 0, 2), prefix_tokens + seq_len,
+            q_offset=prefix_tokens, causal=True, interpret=interpret,
         ).transpose(1, 0, 2).reshape(L_pad, H * d)
         x = x + maybe_psum(
             linear(attn, block["attn"]["c_proj_w"],

@@ -23,7 +23,7 @@ from ..ops.flash_attention import flash_attention_prefill
 from ..ops.kv_write import quantize_decode_tokens, write_kv_prefill
 from ..ops.paged_attention import paged_attention
 from .common import apply_rope, linear, maybe_psum, rms_norm, rope_table
-from .gpt2 import _update_pool_layer
+from .gpt2 import _gather_prefix_kv, _update_pool_layer
 
 Params = Dict[str, Any]
 
@@ -103,6 +103,9 @@ def prefill_forward(
     return_all_logits: bool = False,
 ):
     L_pad = token_ids.shape[0]
+    prefix_tokens = int(start_pos) if isinstance(start_pos, int) else 0
+    assert prefix_tokens == 0 or pool is not None, \
+        "chunked prefill needs the pool for its prefix"
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
     positions = start_pos + jnp.arange(L_pad, dtype=jnp.int32)
     cos, sin = rope_table(positions, d, config.rope_theta)  # [L, d/2]
@@ -127,9 +130,18 @@ def prefill_forward(
                 kv = out
             pool = _update_pool_layer(pool, i, kv, sc)
 
+        if prefix_tokens:
+            pk, pv = _gather_prefix_kv(pool, i, page_table, prefix_tokens,
+                                       k.dtype, Hkv, d)
+            k_att = jnp.concatenate([pk, k], axis=0)
+            v_att = jnp.concatenate([pv, v], axis=0)
+        else:
+            k_att, v_att = k, v
         attn = flash_attention_prefill(
-            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-            seq_len, causal=True, sliding_window=config.sliding_window,
+            q.transpose(1, 0, 2), k_att.transpose(1, 0, 2),
+            v_att.transpose(1, 0, 2), prefix_tokens + seq_len,
+            q_offset=prefix_tokens, causal=True,
+            sliding_window=config.sliding_window,
             interpret=interpret,
         ).transpose(1, 0, 2).reshape(L_pad, H * d)
         x = x + maybe_psum(linear(attn, block["attn"]["wo"]), tp_axis)

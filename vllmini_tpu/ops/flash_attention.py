@@ -29,7 +29,11 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_kernel(
-    seq_len_ref,            # scalar prefetch: [1] int32 true length
+    seq_len_ref,            # scalar prefetch: [1] int32 TOTAL true length
+    q_off_ref,              # scalar prefetch: [1] int32 — absolute position
+    #                         of q row 0 (chunked prefill: the chunk's
+    #                         queries attend over the pool-resident prefix
+    #                         rows 0..q_off-1 + the chunk itself)
     q_ref,                  # [1, block_q, head_dim]
     k_ref,                  # [1, block_kv, head_dim]
     v_ref,
@@ -48,6 +52,7 @@ def _flash_kernel(
     block_kv = k_ref.shape[1]
     num_kv_blocks = pl.num_programs(2)
     seq_len = seq_len_ref[0]
+    q_off = q_off_ref[0]
 
     @pl.when(j == 0)
     def _():
@@ -59,9 +64,10 @@ def _flash_kernel(
     # sliding window, also blocks entirely below every query's window.
     run = True
     if causal:
-        run = (j * block_kv) <= ((i + 1) * block_q - 1)
+        run = (j * block_kv) <= (q_off + (i + 1) * block_q - 1)
     if sliding_window is not None:
-        run &= ((j + 1) * block_kv - 1) > (i * block_q - sliding_window)
+        run &= ((j + 1) * block_kv - 1) > (q_off + i * block_q
+                                          - sliding_window)
 
     @pl.when(run)
     def _():
@@ -72,7 +78,8 @@ def _flash_kernel(
             preferred_element_type=jnp.float32,
         )  # [block_q, block_kv]
 
-        row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        row = (q_off + i * block_q
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
         col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = col < seq_len
         if causal:
@@ -103,17 +110,17 @@ def _flash_kernel(
 
 
 def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
-                     sliding_window=None):
-    """Dense fallback/oracle: [h, L, d] x [kvh, L, d] -> [h, L, d]."""
-    num_q_heads, L, head_dim = q.shape
-    num_kv_heads = k.shape[0]
+                     sliding_window=None, q_offset=0):
+    """Dense fallback/oracle: [h, Lq, d] x [kvh, Lk, d] -> [h, Lq, d]."""
+    num_q_heads, Lq, head_dim = q.shape
+    num_kv_heads, Lk = k.shape[0], k.shape[1]
     group = num_q_heads // num_kv_heads
-    qf = q.reshape(num_kv_heads, group, L, head_dim).astype(jnp.float32)
+    qf = q.reshape(num_kv_heads, group, Lq, head_dim).astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     s = jnp.einsum("hgqd,hkd->hgqk", qf, kf) * sm_scale
-    row = jnp.arange(L)[:, None]
-    col = jnp.arange(L)[None, :]
+    row = q_offset + jnp.arange(Lq)[:, None]
+    col = jnp.arange(Lk)[None, :]
     mask = col < seq_len
     if causal:
         mask = jnp.logical_and(mask, col <= row)
@@ -122,7 +129,7 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
     s = jnp.where(mask[None, None], s, mask_value)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("hgqk,hkd->hgqd", p, vf)
-    return o.reshape(num_q_heads, L, head_dim).astype(q.dtype)
+    return o.reshape(num_q_heads, Lq, head_dim).astype(q.dtype)
 
 
 @functools.partial(
@@ -131,11 +138,12 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
                      "sliding_window"),
 )
 def flash_attention_prefill(
-    q: jax.Array,   # [num_q_heads, L, head_dim]
-    k: jax.Array,   # [num_kv_heads, L, head_dim]
-    v: jax.Array,
-    seq_len: jax.Array | None = None,  # scalar int32 true length (<= L)
+    q: jax.Array,   # [num_q_heads, Lq, head_dim]
+    k: jax.Array,   # [num_kv_heads, Lk, head_dim]  (Lk >= Lq: chunked
+    v: jax.Array,   #   prefill passes prefix + chunk K/V)
+    seq_len: jax.Array | None = None,  # scalar int32 TOTAL true len (<= Lk)
     *,
+    q_offset: jax.Array | int = 0,  # absolute position of q row 0
     sm_scale: float | None = None,
     causal: bool = True,
     sliding_window: int | None = None,
@@ -143,22 +151,25 @@ def flash_attention_prefill(
     block_kv: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    num_q_heads, L, head_dim = q.shape
-    num_kv_heads = k.shape[0]
+    num_q_heads, Lq, head_dim = q.shape
+    num_kv_heads, Lk = k.shape[0], k.shape[1]
     assert num_q_heads % num_kv_heads == 0
     group = num_q_heads // num_kv_heads
     if sm_scale is None:
         sm_scale = head_dim ** -0.5
     if seq_len is None:
-        seq_len = jnp.int32(L)
+        seq_len = jnp.int32(Lk)
     seq_len = jnp.asarray(seq_len, jnp.int32).reshape(1)
+    q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
 
-    if L % block_q != 0 or L % block_kv != 0 or L < max(block_q, block_kv):
+    if (Lq % block_q != 0 or Lk % block_kv != 0
+            or Lq < block_q or Lk < block_kv):
         return _dense_reference(q, k, v, seq_len[0], sm_scale, causal,
                                 DEFAULT_MASK_VALUE,
-                                sliding_window=sliding_window)
+                                sliding_window=sliding_window,
+                                q_offset=q_off[0])
 
-    grid = (num_q_heads, L // block_q, L // block_kv)
+    grid = (num_q_heads, Lq // block_q, Lk // block_kv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, causal=causal,
         mask_value=DEFAULT_MASK_VALUE, sliding_window=sliding_window,
@@ -166,7 +177,7 @@ def flash_attention_prefill(
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, head_dim),
@@ -184,9 +195,10 @@ def flash_attention_prefill(
                 pltpu.VMEM((block_q, head_dim), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_q_heads, L, head_dim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_q_heads, Lq, head_dim),
+                                       q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(seq_len, q, k, v)
+    )(seq_len, q_off, q, k, v)
