@@ -68,8 +68,9 @@ def _build(params, ring: bool):
     assert engine.window_pages == 3
     if not ring:
         engine.window_pages = None
-        engine.allocator = make_allocator(24, 4, 16, window_pages=None,
-                                          force_python=True)
+        engine.allocators = [make_allocator(24, 4, 16, window_pages=None,
+                                            force_python=True)]
+        engine.allocator = engine.allocators[0]
     return Scheduler(engine)
 
 

@@ -41,8 +41,14 @@ def sample_tokens(
         # path — much cheaper than an exact sort over a 50k-128k vocab; at
         # recall 0.99 over 64 candidates the sampling distribution shift is
         # negligible (and greedy decoding uses the exact argmax regardless).
-        top_logits, top_idx = jax.lax.approx_max_k(
-            logits, MAX_TOP_K, recall_target=0.99)  # [B, K]
+        # bf16 halves the candidate scan's bytes; the top-64 LOGITS are
+        # re-read in f32 below, so only candidate SELECTION sees bf16
+        # rounding (ties at <1e-2 relative may reorder — noise next to the
+        # 0.99 recall target).
+        _, top_idx = jax.lax.approx_max_k(
+            logits.astype(jnp.bfloat16), MAX_TOP_K,
+            recall_target=0.99)  # [B, K]
+        top_logits = jnp.take_along_axis(logits, top_idx, axis=1)
         ranks = jnp.arange(MAX_TOP_K)[None, :]
 
         # per-slot top-k cut
