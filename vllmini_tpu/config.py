@@ -200,6 +200,11 @@ class CacheConfig:
     # Deprecated (token-major pool rows are 128-aligned by construction, with
     # no per-head lane padding); accepted so older configs keep loading.
     head_pad_to: int = 128
+    # Automatic prefix caching: requests sharing a page-aligned prompt
+    # prefix reuse its KV pages copy-on-write instead of re-prefilling
+    # (LRU-evicted when the pool needs pages back). Host side is the Python
+    # allocator (refcount sharing), so enabling this selects it.
+    enable_prefix_cache: bool = False
 
     @property
     def max_context_len(self) -> int:

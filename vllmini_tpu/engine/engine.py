@@ -190,9 +190,16 @@ class LLMEngine:
         self.allocators = [
             make_allocator(config.cache.num_pages, config.cache.page_size,
                            config.cache.max_pages_per_seq,
-                           window_pages=self.window_pages)
+                           window_pages=self.window_pages,
+                           force_python=(True if config.cache.
+                                         enable_prefix_cache else None))
             for _ in range(self.dp)]
         self.allocator = self.allocators[0]  # dp==1 fast path / back-compat
+        # Automatic prefix caching (one cache per data replica's pool).
+        self.prefix_caches = None
+        if config.cache.enable_prefix_cache:
+            from ..memory.prefix_cache import PrefixCache
+            self.prefix_caches = [PrefixCache(a) for a in self.allocators]
         # seq_id -> data replica index (assigned at prefill/swap-in).
         self.seq_replica: Dict[int, int] = {}
         self.max_slots = config.scheduler.max_decode_slots
@@ -332,6 +339,25 @@ class LLMEngine:
     @property
     def num_free_pages(self) -> int:
         return sum(a.num_free_pages for a in self.allocators)
+
+    def ensure_pages(self, replica: int, num_tokens: int,
+                     extra_pages: int = 0) -> bool:
+        """Can `replica` hold `num_tokens` (+extra pages)? Evicts prefix-
+        cache entries (LRU, cache's reference only) to make room first."""
+        alloc = self.allocators[replica]
+        need = alloc.phys_pages_needed(num_tokens) + extra_pages
+        if self.prefix_caches is not None and alloc.num_free_pages < need:
+            self.prefix_caches[replica].evict_for(need)
+        return alloc.num_free_pages >= need
+
+    def try_evict_prefix(self, replica: int, pages: int = 1) -> bool:
+        """Give back prefix-cache pages under decode-time pool pressure;
+        True if anything was freed."""
+        if self.prefix_caches is None:
+            return False
+        before = self.allocators[replica].num_free_pages
+        self.prefix_caches[replica].evict_for(before + pages)
+        return self.allocators[replica].num_free_pages > before
 
     def _globalize_pages(self, pages, replica: int):
         """Replica-local page indices -> indices into the dp-stacked global
@@ -508,13 +534,28 @@ class LLMEngine:
         alloc = self.alloc_of_slot(slot)
         replica = self.replica_of_slot(slot)
         self.seq_replica[seq.seq_id] = replica
-        alloc.allocate(seq.seq_id, L)
+
+        # Prefix cache: adopt the longest cached page-aligned prefix
+        # (shared read-only, refcounted) and prefill only the remainder —
+        # at least one token must remain to produce the first logits.
+        cached = 0
+        if self.prefix_caches is not None:
+            ps = self.config.cache.page_size
+            cached, cpages = self.prefix_caches[replica].lookup(
+                seq.prompt_ids, max_tokens=((L - 1) // ps) * ps)
+            if cached:
+                alloc.adopt(seq.seq_id, cpages, cached)
+                alloc.reserve(seq.seq_id, L - cached)
+                alloc.advance(seq.seq_id, L - cached)
+                self.metrics.counter("prefix_cache_hit_tokens", cached)
+        if not cached:
+            alloc.allocate(seq.seq_id, L)
         table_row = alloc.padded_table(seq.seq_id)
 
         # Chunked prefill: all but the final chunk only write KV (each chunk
         # attends over the pool-resident prefix); the final chunk also
         # samples the first token and inserts the slot(s).
-        start = 0
+        start = cached
         while L - start > self.prefill_chunk:
             clen = self.prefill_chunk
             cpad = np.zeros(clen, np.int32)
@@ -561,6 +602,10 @@ class LLMEngine:
         self.exec_prefill(**kw)
         seq.tokens_in_kv = L
         seq.slot = slot
+        if self.prefix_caches is not None:
+            # Publish the freshly written full pages for future requests.
+            self.prefix_caches[replica].insert(
+                seq.prompt_ids, alloc.seq_pages(seq.seq_id))
         for child, child_slot in forks:
             child.tokens_in_kv = L
             child.slot = child_slot

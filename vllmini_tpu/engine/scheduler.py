@@ -134,10 +134,11 @@ class Scheduler:
         return None
 
     def _find_slot_with_pages(self, num_tokens: int) -> Optional[int]:
-        """A free slot whose data replica can allocate `num_tokens`."""
+        """A free slot whose data replica can allocate `num_tokens`
+        (evicting prefix-cache entries to make room if needed)."""
         for i, s in enumerate(self.slots):
-            if s is None and self.engine.alloc_of_slot(i).can_allocate(
-                    num_tokens):
+            if s is None and self.engine.ensure_pages(
+                    self.engine.replica_of_slot(i), num_tokens):
                 return i
         return None
 
@@ -151,11 +152,8 @@ class Scheduler:
                     if self.slots[i] is None][:need]
             if len(free) < need:
                 continue
-            alloc = self.engine.allocators[r]
-            if not alloc.can_allocate(num_tokens):
-                continue
-            if extra_pages and alloc.num_free_pages < (
-                    alloc.phys_pages_needed(num_tokens) + extra_pages):
+            if not self.engine.ensure_pages(r, num_tokens,
+                                            extra_pages=extra_pages):
                 continue
             return free
         return None
@@ -342,6 +340,10 @@ class Scheduler:
                     budget[seq.slot] = want
                     break
                 except OutOfPages:
+                    # Prefix-cache pages are the cheapest thing to give back.
+                    if self.engine.try_evict_prefix(
+                            self.engine.seq_replica.get(seq.seq_id, 0)):
+                        continue
                     if self.inflight:
                         # Stale host view may be hoarding reservations:
                         # sync before resorting to preemption.

@@ -204,6 +204,31 @@ class PageAllocator:
                 released.append(p)
         return released
 
+    # -------------------------------------------------- prefix-cache sharing
+
+    def ref_page(self, page: int) -> None:
+        """Take an extra reference on an allocated page (prefix cache)."""
+        assert self._refcount[page] >= 1
+        self._refcount[page] += 1
+
+    def unref_page(self, page: int) -> None:
+        """Drop a reference; frees the page when it was the last."""
+        self._refcount[page] -= 1
+        if self._refcount[page] == 0:
+            self._free.append(page)
+
+    def adopt(self, seq_id: int, pages: List[int], num_tokens: int) -> None:
+        """Start a sequence on EXISTING pages (prefix-cache hit): the pages
+        are shared read-only (refcount++); `num_tokens` must be page-aligned
+        so the sequence's first own write lands on a fresh page."""
+        if seq_id in self._tables:
+            raise ValueError(f"sequence {seq_id} already allocated")
+        assert num_tokens == len(pages) * self.page_size
+        for p in pages:
+            self._refcount[p] += 1
+        self._tables[seq_id] = list(pages)
+        self._lengths[seq_id] = num_tokens
+
     # ------------------------------------------------------------ copy-on-write
 
     def fork(self, parent_seq_id: int, child_seq_id: int) -> None:

@@ -38,7 +38,8 @@ def build_engine_config(args) -> EngineConfig:
         model=model,
         cache=CacheConfig(num_pages=args.num_pages, page_size=args.page_size,
                           max_pages_per_seq=args.max_pages_per_seq,
-                          kv_dtype=args.kv_dtype),
+                          kv_dtype=args.kv_dtype,
+                          enable_prefix_cache=args.prefix_caching),
         scheduler=SchedulerConfig(max_decode_slots=args.max_decode_slots,
                                   decode_chunk_steps=args.decode_chunk_steps,
                                   pipeline_depth=args.pipeline_depth,
@@ -64,6 +65,10 @@ def main(argv=None):
     p.add_argument("--num-pages", type=int, default=2048)
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--max-pages-per-seq", type=int, default=64)
+    p.add_argument("--prefix-caching", action="store_true",
+                   help="reuse KV pages across requests sharing a "
+                        "page-aligned prompt prefix (copy-on-write, "
+                        "LRU-evicted under pool pressure)")
     p.add_argument("--max-decode-slots", type=int, default=8)
     p.add_argument("--decode-chunk-steps", type=int, default=16)
     p.add_argument("--pipeline-depth", type=int, default=4,
