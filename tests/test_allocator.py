@@ -242,3 +242,88 @@ def test_convert_pool_roundtrip():
     # e4m3: 3 mantissa bits -> up to ~6% relative spacing near amax.
     np.testing.assert_allclose(np.asarray(back8.kv_pages[0]),
                                np.asarray(pool.kv_pages[0]), atol=2e-1)
+
+
+def test_native_matches_python_fuzz_windowed_and_shared():
+    """Randomized parity incl. the windowed ring and prefix-cache sharing
+    ops (ref/unref/adopt) — the round-2 surface."""
+    if not native_available():
+        pytest.skip("native allocator not built")
+    rng = np.random.default_rng(11)
+    py = PageAllocator(24, 4, 12, window_pages=3)
+    nat = NativePageAllocator(24, 4, 12, window_pages=3)
+    live, next_id = [], 1
+    for _ in range(500):
+        op = rng.integers(0, 6)
+        if op == 0:
+            sid, next_id = next_id, next_id + 1
+            n = int(rng.integers(1, 40))
+            r1 = e1 = None
+            try:
+                r1 = py.allocate(sid, n)
+            except Exception as e:
+                e1 = type(e)
+            try:
+                r2 = nat.allocate(sid, n)
+                assert e1 is None and r1 == r2
+                live.append(sid)
+            except Exception as e:
+                assert e1 is type(e)
+        elif op == 1 and live:
+            sid = live[int(rng.integers(0, len(live)))]
+            x1 = x2 = e1 = e2 = None
+            try:
+                x1 = py.append_token(sid)
+            except Exception as e:
+                e1 = type(e)
+            try:
+                x2 = nat.append_token(sid)
+            except Exception as e:
+                e2 = type(e)
+            assert e1 is e2 and x1 == x2
+        elif op == 2 and live:
+            sid = live.pop(int(rng.integers(0, len(live))))
+            assert sorted(py.free(sid)) == sorted(nat.free(sid))
+        elif op == 3 and live:
+            sid = live[int(rng.integers(0, len(live)))]
+            extra = int(rng.integers(1, 9))
+            r1 = e1 = None
+            try:
+                r1 = py.reserve(sid, extra)
+            except Exception as e:
+                e1 = type(e)
+            try:
+                r2 = nat.reserve(sid, extra)
+                assert e1 is None and r1 == r2
+            except Exception as e:
+                assert e1 is type(e)
+        elif op == 4 and live:
+            sid = live[int(rng.integers(0, len(live)))]
+            assert list(py.padded_table(sid)) == list(nat.padded_table(sid))
+            assert py.seq_len(sid) == nat.seq_len(sid)
+        elif op == 5 and live:
+            # adopt a prefix of a live seq's pages into a new seq
+            src = live[int(rng.integers(0, len(live)))]
+            pages = py.seq_pages(src)
+            k = int(rng.integers(1, max(2, len(set(pages[:3])) + 1)))
+            head = pages[:k]
+            if len(set(head)) != len(head):
+                continue
+            sid, next_id = next_id, next_id + 1
+            py.adopt(sid, head, k * 4)
+            nat.adopt(sid, head, k * 4)
+            live.append(sid)
+        assert py.num_free_pages == nat.num_free_pages
+    # deterministic reserve parity pass
+    for sid in list(live):
+        e1 = r1 = None
+        try:
+            r1 = py.reserve(sid, 6)
+        except Exception as e:
+            e1 = type(e)
+        try:
+            r2 = nat.reserve(sid, 6)
+            assert e1 is None and r1 == r2
+        except Exception as e:
+            assert e1 is type(e)
+        assert py.num_free_pages == nat.num_free_pages

@@ -202,8 +202,7 @@ class CacheConfig:
     head_pad_to: int = 128
     # Automatic prefix caching: requests sharing a page-aligned prompt
     # prefix reuse its KV pages copy-on-write instead of re-prefilling
-    # (LRU-evicted when the pool needs pages back). Host side is the Python
-    # allocator (refcount sharing), so enabling this selects it.
+    # (LRU-evicted when the pool needs pages back).
     enable_prefix_cache: bool = False
 
     @property

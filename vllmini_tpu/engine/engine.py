@@ -190,9 +190,7 @@ class LLMEngine:
         self.allocators = [
             make_allocator(config.cache.num_pages, config.cache.page_size,
                            config.cache.max_pages_per_seq,
-                           window_pages=self.window_pages,
-                           force_python=(True if config.cache.
-                                         enable_prefix_cache else None))
+                           window_pages=self.window_pages)
             for _ in range(self.dp)]
         self.allocator = self.allocators[0]  # dp==1 fast path / back-compat
         # Automatic prefix caching (one cache per data replica's pool).

@@ -294,19 +294,21 @@ def make_allocator(num_pages: int, page_size: int, pages_per_seq_max: int,
                    force_python: Optional[bool] = None):
     """Return the C++ allocator when the native library builds/loads, else the
     Python reference implementation. `VLLMINI_PYTHON_ALLOCATOR=1` forces
-    Python. Sliding-window ring allocation (`window_pages`) is currently
-    Python-only."""
+    Python. The C++ twin implements the full surface (windowed ring,
+    refcounted prefix-cache sharing) and is fuzz-checked against this
+    spec."""
     import os
 
     if force_python is None:
         force_python = os.environ.get("VLLMINI_PYTHON_ALLOCATOR") == "1"
-    if not force_python and window_pages is None:
+    if not force_python:
         try:
             from .native import NativePageAllocator, native_available
 
             if native_available():
                 return NativePageAllocator(num_pages, page_size,
-                                           pages_per_seq_max)
+                                           pages_per_seq_max,
+                                           window_pages=window_pages)
         except Exception:
             pass
     return PageAllocator(num_pages, page_size, pages_per_seq_max,

@@ -36,7 +36,7 @@ def _get_lib():
             _build()
         lib = ctypes.CDLL(_LIB)
         lib.pa_create.restype = ctypes.c_void_p
-        lib.pa_create.argtypes = [ctypes.c_int32] * 3
+        lib.pa_create.argtypes = [ctypes.c_int32] * 4
         lib.pa_destroy.argtypes = [ctypes.c_void_p]
         i32p = ctypes.POINTER(ctypes.c_int32)
         for name, res, args in [
@@ -65,6 +65,13 @@ def _get_lib():
              [ctypes.c_void_p, ctypes.c_int64, i32p]),
             ("pa_release_for_swap", ctypes.c_int32,
              [ctypes.c_void_p, ctypes.c_int64, i32p]),
+            ("pa_ref_page", ctypes.c_int32,
+             [ctypes.c_void_p, ctypes.c_int32]),
+            ("pa_unref_page", ctypes.c_int32,
+             [ctypes.c_void_p, ctypes.c_int32]),
+            ("pa_adopt", ctypes.c_int32,
+             [ctypes.c_void_p, ctypes.c_int64, i32p, ctypes.c_int32,
+              ctypes.c_int64]),
         ]:
             fn = getattr(lib, name)
             fn.restype = res
@@ -84,15 +91,18 @@ class NativePageAllocator:
     PageAllocator (the Python behavioral spec)."""
 
     def __init__(self, num_pages: int, page_size: int,
-                 pages_per_seq_max: int):
+                 pages_per_seq_max: int,
+                 window_pages: Optional[int] = None):
         lib = _get_lib()
         if lib is None:
             raise RuntimeError(f"native allocator unavailable: {_load_error}")
         self._lib = lib
-        self._h = lib.pa_create(num_pages, page_size, pages_per_seq_max)
+        self._h = lib.pa_create(num_pages, page_size, pages_per_seq_max,
+                                0 if window_pages is None else window_pages)
         self.num_pages = num_pages
         self.page_size = page_size
         self.pages_per_seq_max = pages_per_seq_max
+        self.window_pages = window_pages
         self._scratch = np.empty(pages_per_seq_max, np.int32)
 
     def __del__(self):
@@ -124,8 +134,10 @@ class NativePageAllocator:
         return -(-num_tokens // self.page_size)
 
     def phys_pages_needed(self, num_tokens: int) -> int:
-        # Windowed ring allocation is Python-only; native == logical.
-        return self.pages_needed(num_tokens)
+        n = self.pages_needed(num_tokens)
+        if self.window_pages is not None:
+            n = min(n, self.window_pages)
+        return n
 
     def can_allocate(self, num_tokens: int) -> bool:
         return bool(self._lib.pa_can_allocate(self._h, num_tokens))
@@ -199,3 +211,17 @@ class NativePageAllocator:
 
     def allocate_for_swap_in(self, seq_id: int, num_tokens: int) -> List[int]:
         return self.allocate(seq_id, num_tokens)
+
+    # -- prefix-cache sharing ------------------------------------------------
+    def ref_page(self, page: int) -> None:
+        self._check(self._lib.pa_ref_page(self._h, page), "ref_page")
+
+    def unref_page(self, page: int) -> None:
+        self._check(self._lib.pa_unref_page(self._h, page), "unref_page")
+
+    def adopt(self, seq_id: int, pages: List[int], num_tokens: int) -> None:
+        arr = np.asarray(pages, np.int32)
+        self._check(self._lib.pa_adopt(
+            self._h, seq_id,
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(pages), num_tokens), "adopt")

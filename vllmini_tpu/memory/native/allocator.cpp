@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -28,13 +29,14 @@ struct Allocator {
   int32_t num_pages;
   int32_t page_size;
   int32_t pages_per_seq_max;
+  int32_t window_pages;  // 0 = no sliding-window ring
   std::vector<int32_t> free_list;   // back = next to hand out
   std::vector<int32_t> refcount;
   std::unordered_map<int64_t, Seq> seqs;
 
-  Allocator(int32_t np, int32_t ps, int32_t ppsm)
+  Allocator(int32_t np, int32_t ps, int32_t ppsm, int32_t wp)
       : num_pages(np), page_size(ps), pages_per_seq_max(ppsm),
-        refcount(np, 0) {
+        window_pages(wp), refcount(np, 0) {
     free_list.reserve(np);
     for (int32_t i = np - 1; i >= 0; --i) free_list.push_back(i);
   }
@@ -43,11 +45,29 @@ struct Allocator {
     return (tokens + page_size - 1) / page_size;
   }
 
+  int64_t phys_pages_needed(int64_t tokens) const {
+    int64_t n = pages_needed(tokens);
+    if (window_pages > 0 && n > window_pages) n = window_pages;
+    return n;
+  }
+
   int32_t take_page() {
     int32_t p = free_list.back();
     free_list.pop_back();
     refcount[p] = 1;
     return p;
+  }
+
+  // Sliding-window ring reuse: the page `window_pages` logical slots back
+  // is entirely below the attention window by the time the next slot is
+  // written — reuse it unless it is COW/prefix-shared.
+  int32_t recycle_or_none(const Seq& s) const {
+    if (window_pages <= 0) return -1;
+    int64_t j = static_cast<int64_t>(s.pages.size());
+    if (j < window_pages) return -1;
+    int32_t cand = s.pages[j - window_pages];
+    if (refcount[cand] != 1) return -1;
+    return cand;
   }
 };
 
@@ -56,8 +76,9 @@ struct Allocator {
 extern "C" {
 
 void* pa_create(int32_t num_pages, int32_t page_size,
-                int32_t pages_per_seq_max) {
-  return new Allocator(num_pages, page_size, pages_per_seq_max);
+                int32_t pages_per_seq_max, int32_t window_pages) {
+  return new Allocator(num_pages, page_size, pages_per_seq_max,
+                       window_pages);
 }
 
 void pa_destroy(void* h) { delete static_cast<Allocator*>(h); }
@@ -68,7 +89,7 @@ int32_t pa_num_free(void* h) {
 
 int32_t pa_can_allocate(void* h, int64_t num_tokens) {
   auto* a = static_cast<Allocator*>(h);
-  return a->pages_needed(num_tokens) <=
+  return a->phys_pages_needed(num_tokens) <=
          static_cast<int64_t>(a->free_list.size());
 }
 
@@ -99,12 +120,17 @@ int32_t pa_allocate(void* h, int64_t seq_id, int64_t num_tokens,
   int64_t tokens = num_tokens < 1 ? 1 : num_tokens;
   int64_t n = a->pages_needed(tokens);
   if (n > a->pages_per_seq_max) return -3;
-  if (n > static_cast<int64_t>(a->free_list.size())) return -2;
+  int64_t phys = a->phys_pages_needed(tokens);
+  if (phys > static_cast<int64_t>(a->free_list.size())) return -2;
   Seq s;
-  for (int64_t i = 0; i < n; ++i) {
-    int32_t p = a->take_page();
+  std::vector<int32_t> owned;
+  for (int64_t i = 0; i < phys; ++i) owned.push_back(a->take_page());
+  // Windowed: logical slot j maps to ring slot j mod phys (the same
+  // pattern append-time recycling produces).
+  for (int64_t j = 0; j < n; ++j) {
+    int32_t p = owned[j % phys];
     s.pages.push_back(p);
-    if (out_pages) out_pages[i] = p;
+    if (out_pages) out_pages[j] = p;
   }
   s.length = num_tokens;
   a->seqs.emplace(seq_id, std::move(s));
@@ -122,13 +148,18 @@ int32_t pa_reserve(void* h, int64_t seq_id, int64_t extra,
   if (needed > a->pages_per_seq_max) return -3;
   int64_t missing = needed - static_cast<int64_t>(s.pages.size());
   if (missing <= 0) return 0;
-  if (missing > static_cast<int64_t>(a->free_list.size())) return -2;
-  for (int64_t i = 0; i < missing; ++i) {
-    int32_t p = a->take_page();
+  int32_t added = 0;
+  while (static_cast<int64_t>(s.pages.size()) < needed) {
+    int32_t p = a->recycle_or_none(s);
+    if (p < 0) {
+      if (a->free_list.empty()) return -2;
+      p = a->take_page();
+      if (out_new_pages) out_new_pages[added] = p;
+      ++added;
+    }
     s.pages.push_back(p);
-    if (out_new_pages) out_new_pages[i] = p;
   }
-  return static_cast<int32_t>(missing);
+  return added;
 }
 
 int32_t pa_advance(void* h, int64_t seq_id, int64_t n_tokens) {
@@ -153,9 +184,14 @@ int32_t pa_append_token(void* h, int64_t seq_id) {
   if (s.length == static_cast<int64_t>(s.pages.size()) * a->page_size) {
     if (static_cast<int32_t>(s.pages.size()) >= a->pages_per_seq_max)
       return -3;
-    if (a->free_list.empty()) return -2;
-    result = a->take_page();
-    s.pages.push_back(result);
+    int32_t recycled = a->recycle_or_none(s);
+    if (recycled >= 0) {
+      s.pages.push_back(recycled);
+    } else {
+      if (a->free_list.empty()) return -2;
+      result = a->take_page();
+      s.pages.push_back(result);
+    }
   }
   s.length += 1;
   return result;
@@ -167,7 +203,9 @@ int32_t pa_free_seq(void* h, int64_t seq_id, int32_t* out_released) {
   auto it = a->seqs.find(seq_id);
   if (it == a->seqs.end()) return -4;
   int32_t released = 0;
+  std::unordered_set<int32_t> seen;  // windowed tables repeat pages
   for (int32_t p : it->second.pages) {
+    if (!seen.insert(p).second) continue;
     if (--a->refcount[p] == 0) {
       a->free_list.push_back(p);
       if (out_released) out_released[released] = p;
@@ -185,7 +223,9 @@ int32_t pa_fork(void* h, int64_t parent, int64_t child) {
   Seq c;
   c.pages = it->second.pages;
   c.length = it->second.length;
-  for (int32_t p : c.pages) ++a->refcount[p];
+  std::unordered_set<int32_t> seen;
+  for (int32_t p : c.pages)
+    if (seen.insert(p).second) ++a->refcount[p];
   a->seqs.emplace(child, std::move(c));
   return 0;
 }
@@ -226,13 +266,50 @@ int32_t pa_release_for_swap(void* h, int64_t seq_id, int32_t* out_pages) {
   auto it = a->seqs.find(seq_id);
   if (it == a->seqs.end()) return -4;
   int32_t n = static_cast<int32_t>(it->second.pages.size());
+  std::unordered_set<int32_t> seen;
   for (int32_t i = 0; i < n; ++i) {
     int32_t p = it->second.pages[i];
     if (out_pages) out_pages[i] = p;
-    if (--a->refcount[p] == 0) a->free_list.push_back(p);
+    if (seen.insert(p).second && --a->refcount[p] == 0)
+      a->free_list.push_back(p);
   }
   a->seqs.erase(it);
   return n;
+}
+
+// ------------------------------------------------- prefix-cache sharing
+
+int32_t pa_ref_page(void* h, int32_t page) {
+  auto* a = static_cast<Allocator*>(h);
+  if (page < 0 || page >= a->num_pages || a->refcount[page] < 1) return -4;
+  ++a->refcount[page];
+  return 0;
+}
+
+int32_t pa_unref_page(void* h, int32_t page) {
+  auto* a = static_cast<Allocator*>(h);
+  if (page < 0 || page >= a->num_pages || a->refcount[page] < 1) return -4;
+  if (--a->refcount[page] == 0) a->free_list.push_back(page);
+  return 0;
+}
+
+// Start a sequence on EXISTING pages (prefix-cache hit); num_tokens must be
+// page-aligned (n_pages * page_size).
+int32_t pa_adopt(void* h, int64_t seq_id, const int32_t* pages,
+                 int32_t n_pages, int64_t num_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  if (a->seqs.count(seq_id)) return -4;
+  if (num_tokens != static_cast<int64_t>(n_pages) * a->page_size) return -3;
+  Seq s;
+  for (int32_t i = 0; i < n_pages; ++i) {
+    int32_t p = pages[i];
+    if (p < 0 || p >= a->num_pages || a->refcount[p] < 1) return -4;
+    s.pages.push_back(p);
+  }
+  for (int32_t p : s.pages) ++a->refcount[p];
+  s.length = num_tokens;
+  a->seqs.emplace(seq_id, std::move(s));
+  return 0;
 }
 
 }  // extern "C"
