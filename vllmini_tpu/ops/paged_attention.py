@@ -167,9 +167,12 @@ def _paged_attention_kernel(
     k_new_ref,         # [S, 1, row_width] VMEM or None: the fused current
     v_new_ref,         #   token's (pool-dtype) K/V row
     kv_pages_hbm_ref,  # [num_pages, 2, page_size, row_width] ANY
-    kv_scales_ref,     # [S, 2, num_q_heads, ctx_pad] f32 VMEM or None
-    #                     (pre-expanded to one row per QUERY head, so any
-    #                      heads-per-matmul grouping slices it directly)
+    kv_scales_ref,     # [S, 2, num_kv_heads, ctx_pad] bf16 VMEM or None
+    #                     (per KV head; quantized GQA runs hpm == 1 so the
+    #                      single head row broadcasts over the group —
+    #                      pre-expanding to query heads was tried and the
+    #                      4x-bigger per-step gather cost more than the
+    #                      matmul grouping saved, see trace notes)
     # outputs
     o_ref,             # [S, G, M, d]
     m_ref,             # [S, G, M] f32 or None (with lse outputs)
@@ -197,6 +200,8 @@ def _paged_attention_kernel(
     bT = pages_per_block * page_size     # tokens per compute block
     quantized = kv_scales_ref is not None
     fused = k_new_ref is not None
+    if quantized and group > 1:
+        assert hpm == 1  # scale rows broadcast over the group
 
     al_vec = jnp.stack([attend_lens_ref[seq0 + s] for s in range(S)])
     ws_vec = jnp.stack([win_starts_ref[seq0 + s] for s in range(S)])
@@ -309,8 +314,8 @@ def _paged_attention_kernel(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             if quantized:
-                # One scale row per QUERY row of this matmul: [S, M, bT].
-                ks_g = ks_blk[:, Gi * M:(Gi + 1) * M]
+                # [S, hpm, bT]; group > 1 implies hpm == 1 -> broadcasts.
+                ks_g = ks_blk[:, Gi * hpm:(Gi + 1) * hpm].astype(jnp.float32)
                 s_g = s_g * ks_g
             s_g = jnp.where(valid, s_g, mask_value)
 
@@ -319,7 +324,7 @@ def _paged_attention_kernel(
             p = jnp.exp(s_g - m_cur)                        # [S, M, bT] f32
             l_cur = alpha * l_prev[Gi] + p.sum(-1, keepdims=True)
             if quantized:
-                vs_g = vs_blk[:, Gi * M:(Gi + 1) * M]
+                vs_g = vs_blk[:, Gi * hpm:(Gi + 1) * hpm].astype(jnp.float32)
                 # Row (h, g) of the output only ever reads head h's lane
                 # block, so scaling p by v's per-(token, h) scale is exact
                 # on the diagonal blocks we keep.
@@ -464,8 +469,7 @@ def _paged_attention_call(
     inputs += [kv_pages]
     if quantized:
         ctx_pad = kv_scale_rows.shape[-1]
-        num_q_heads = G * M
-        scale_spec = pl.BlockSpec((spp, 2, num_q_heads, ctx_pad),
+        scale_spec = pl.BlockSpec((spp, 2, num_kv_heads, ctx_pad),
                                   lambda b, *_: (b, 0, 0, 0))
         in_specs += [scale_spec]
         inputs += [kv_scale_rows]
@@ -518,7 +522,7 @@ def _paged_attention_call(
 
 
 def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
-              quantized, ctx_pad, num_q_heads, fused):
+              quantized, ctx_pad, num_kv_heads, fused):
     """Seqs per program under the VMEM budget, computed from the actual
     scratch + double-buffered input-block footprint (ADVICE r1: no single
     fudged constant). Hard Mosaic scoped-VMEM limit is 16 MB; leave room
@@ -530,7 +534,7 @@ def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
     def footprint(s):
         bufs = 2 * s * pages_per_block * 2 * page_size * row_width * itemsize
         wb = s * 2 * page_size * row_width * itemsize if fused else 0
-        scales = 2 * s * 2 * num_q_heads * ctx_pad * 4 if quantized else 0
+        scales = 2 * s * 2 * num_kv_heads * ctx_pad * 2 if quantized else 0
         # Compute-dtype copies of the current block's K and V (the kernel
         # casts the gathered block to the matmul dtype; int8/fp8 pools pay
         # full bf16-width temporaries).
@@ -591,8 +595,13 @@ def paged_attention(
         sm_scale = d ** -0.5
 
     if heads_per_matmul is None:
-        heads_per_matmul = select_heads_per_matmul(num_kv_heads, group, d)
+        if quantized and group > 1:
+            heads_per_matmul = 1  # see kernel: scales broadcast over group
+        else:
+            heads_per_matmul = select_heads_per_matmul(num_kv_heads, group, d)
     hpm = heads_per_matmul
+    if quantized and group > 1:
+        assert hpm == 1, "quantized GQA requires heads_per_matmul == 1"
     G = num_kv_heads // hpm
     assert G == 1 or (hpm * d) % 128 == 0, (hpm, d)
 
@@ -657,17 +666,14 @@ def paged_attention(
 
     ctx_pad = pages_per_seq * page_size
     if quantized:
-        # [num_pages, 2, ps, H] -> [vB, 2, H_q, ctx_pad] (tokens on lanes),
-        # EXPANDED to one row per query head: the kernel's block-diagonal
-        # matmul rows are (kv_head, group) pairs, so per-q-head rows slice
-        # directly for ANY heads_per_matmul (the old per-kv-head rows forced
-        # hpm=1 under GQA, exploding the kernel into num_kv_heads tiny-op
-        # chains per block).
+        # [num_pages, 2, ps, H] -> [vB, 2, H, ctx_pad] (tokens on lanes).
+        # These rows are re-gathered per layer per step — keeping them at
+        # per-KV-head width AND bf16 bounds that cost (profiling showed the
+        # gather + its layout copy dominating the attention-side step time;
+        # bf16 scale rounding is ~0.4%, far below int8 payload noise).
         g = kv_scales[page_tables]           # [vB, pages, 2, ps, H]
         ksr = g.transpose(0, 2, 4, 1, 3).reshape(
-            vbatch, 2, num_kv_heads, ctx_pad)
-        if group > 1:
-            ksr = jnp.repeat(ksr, group, axis=2)  # [vB, 2, H_q, ctx_pad]
+            vbatch, 2, num_kv_heads, ctx_pad).astype(jnp.bfloat16)
     else:
         ksr = None
 
@@ -686,7 +692,7 @@ def paged_attention(
         seqs_per_program = _auto_spp(
             vbatch, ppb, page_size, row_width,
             jnp.dtype(kv_pages.dtype).itemsize, quantized, ctx_pad,
-            num_q_heads, fused)
+            num_kv_heads, fused)
     assert vbatch % seqs_per_program == 0
 
     need_lse = fused or P > 1
