@@ -161,3 +161,31 @@ def test_metrics_and_health(client):
     m = client.get("/metrics").json()
     assert m.get("finished_requests", 0) >= 1
     assert "free_pages" in m
+
+
+def test_openai_completions_endpoint(client):
+    """OpenAI-compatible /v1/completions: blocking envelope, n>1 via COW
+    forks, temperature=0 greedy, usage accounting."""
+    r = client.post("/v1/completions", json={
+        "prompt": "1 2 3 4 5", "max_tokens": 4, "temperature": 0})
+    assert r.status_code == 200
+    body = r.json()
+    assert body["object"] == "text_completion"
+    assert len(body["choices"]) == 1
+    c = body["choices"][0]
+    assert c["finish_reason"] in ("length", "stop")
+    assert len(c["text"].split()) <= 4
+    assert body["usage"]["prompt_tokens"] == 5
+    assert body["usage"]["completion_tokens"] == len(c["text"].split())
+
+    # n=2 with a fixed seed: two choices, deterministic across calls.
+    r1 = client.post("/v1/completions", json={
+        "prompt": "7 8 9", "max_tokens": 3, "temperature": 0.8,
+        "seed": 11, "n": 2})
+    r2 = client.post("/v1/completions", json={
+        "prompt": "7 8 9", "max_tokens": 3, "temperature": 0.8,
+        "seed": 11, "n": 2})
+    assert r1.status_code == 200 and r2.status_code == 200
+    t1 = [c["text"] for c in r1.json()["choices"]]
+    t2 = [c["text"] for c in r2.json()["choices"]]
+    assert len(t1) == 2 and t1 == t2

@@ -202,6 +202,83 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             scheduler.pop_finished(seq_id)
         return web.json_response({"ok": True})
 
+    async def completions(request: web.Request) -> web.Response:
+        """OpenAI-compatible `/v1/completions` (non-streaming): submit,
+        poll-wait for completion, return the standard envelope. The native
+        async surface (`/generate` + `/result`) remains the primary API;
+        this adapter exists so OpenAI-client tooling can point at the
+        server unchanged."""
+        import asyncio
+        import time as _time
+        import uuid
+
+        try:
+            body = await request.json()
+            prompt = body["prompt"]
+            if isinstance(prompt, list):
+                assert len(prompt) == 1 and isinstance(prompt[0], str)
+                prompt = prompt[0]
+            assert isinstance(prompt, str)
+            max_new = int(body.get("max_tokens", 16))
+            temperature = float(body.get("temperature", 1.0))
+            top_p = float(body.get("top_p", 1.0))
+            n = int(body.get("n", 1))
+            seed = body.get("seed")
+            timeout_s = float(body.get("timeout", 120.0))
+            assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
+            assert n >= 1
+        except Exception:
+            return _json_error(400, "malformed completions request")
+        stop = [eos_token_id] if eos_token_id is not None else []
+        sid, err = _submit(prompt, SamplingParams(
+            max_new_tokens=max_new, temperature=temperature, top_p=top_p,
+            greedy=(temperature == 0), stop_token_ids=tuple(stop),
+            seed=None if seed is None else int(seed), n=n))
+        if err is not None:
+            return err
+        with loop.lock:
+            group = list(scheduler.get(sid).fork_group) or [sid]
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            with loop.lock:
+                seqs = [scheduler.get(i) for i in group]
+                if all(sq is not None and sq.is_finished for sq in seqs):
+                    break
+                if any(sq is None for sq in seqs):
+                    return _json_error(500, "sequence evicted before fetch")
+            if _time.monotonic() > deadline:
+                return _json_error(504, "generation timed out")
+            await asyncio.sleep(0.01)
+        with loop.lock:
+            choices = []
+            prompt_tokens = len(tokenizer.encode(prompt))
+            completion_tokens = 0
+            for i, sq in enumerate(seqs):
+                gen = sq.output_ids
+                completion_tokens += len(gen)
+                reason = sq.finish_reason
+                choices.append({
+                    "index": i,
+                    "text": tokenizer.decode(gen) if gen else "",
+                    "finish_reason": ("stop" if reason is not None
+                                      and reason.value == "stop_token"
+                                      else "length"),
+                    "logprobs": None,
+                })
+                scheduler.pop_finished(sq.seq_id)
+        return web.json_response({
+            "id": f"cmpl-{uuid.uuid4().hex[:24]}",
+            "object": "text_completion",
+            "created": int(_time.time()),
+            "model": request.app.get("model_name", "vllmini-tpu"),
+            "choices": choices,
+            "usage": {
+                "prompt_tokens": prompt_tokens,
+                "completion_tokens": completion_tokens,
+                "total_tokens": prompt_tokens + completion_tokens,
+            },
+        })
+
     async def healthz(request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
 
@@ -216,6 +293,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
 
     app.router.add_post("/generate", generate)
     app.router.add_post("/v1/generate", generate_v1)
+    app.router.add_post("/v1/completions", completions)
     app.router.add_get("/result/{seq_id}", get_result)
     app.router.add_delete("/result/{seq_id}", delete_result)
     app.router.add_get("/healthz", healthz)
