@@ -189,3 +189,35 @@ def test_openai_completions_endpoint(client):
     t1 = [c["text"] for c in r1.json()["choices"]]
     t2 = [c["text"] for c in r2.json()["choices"]]
     assert len(t1) == 2 and t1 == t2
+
+
+def test_openai_completions_streaming(client):
+    """SSE streaming: data chunks concatenate to the non-streamed result and
+    terminate with [DONE]."""
+    with client.stream("POST", "/v1/completions", json={
+            "prompt": "2 4 6 8", "max_tokens": 5, "temperature": 0,
+            "stream": True}) as r:
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/event-stream")
+        chunks = []
+        finish = None
+        done = False
+        for line in r.iter_lines():
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            import json as _json
+            obj = _json.loads(payload)
+            c = obj["choices"][0]
+            chunks.append(c["text"])
+            if c["finish_reason"]:
+                finish = c["finish_reason"]
+    assert done and finish in ("length", "stop")
+    streamed = "".join(chunks)
+    # Same prompt non-streamed (greedy): identical text.
+    r2 = client.post("/v1/completions", json={
+        "prompt": "2 4 6 8", "max_tokens": 5, "temperature": 0})
+    assert r2.json()["choices"][0]["text"] == streamed

@@ -209,6 +209,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
         this adapter exists so OpenAI-client tooling can point at the
         server unchanged."""
         import asyncio
+        import json
         import time as _time
         import uuid
 
@@ -224,9 +225,11 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             top_p = float(body.get("top_p", 1.0))
             n = int(body.get("n", 1))
             seed = body.get("seed")
+            stream = bool(body.get("stream", False))
             timeout_s = float(body.get("timeout", 120.0))
             assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
             assert n >= 1
+            assert not (stream and n > 1), "stream supports n == 1"
         except Exception:
             return _json_error(400, "malformed completions request")
         stop = [eos_token_id] if eos_token_id is not None else []
@@ -239,6 +242,68 @@ def create_app(scheduler: Scheduler, tokenizer, *,
         with loop.lock:
             group = list(scheduler.get(sid).fork_group) or [sid]
         deadline = _time.monotonic() + timeout_s
+        cmpl_id = f"cmpl-{uuid.uuid4().hex[:24]}"
+        model_name = request.app.get("model_name", "vllmini-tpu")
+
+        if stream:
+            # SSE stream of incremental text deltas, OpenAI-style: one
+            # `data: {...}` chunk per new token batch, then `[DONE]`.
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache"})
+            await resp.prepare(request)
+            sent = 0
+            try:
+                while True:
+                    with loop.lock:
+                        sq = scheduler.get(sid)
+                        if sq is None:
+                            break
+                        toks = list(sq.output_ids)
+                        done = sq.is_finished
+                        reason = sq.finish_reason
+                    if len(toks) > sent:
+                        delta = tokenizer.decode(toks[sent:])
+                        if sent:
+                            delta = " " + delta
+                        sent = len(toks)
+                        chunk = {"id": cmpl_id, "object": "text_completion",
+                                 "created": int(_time.time()),
+                                 "model": model_name,
+                                 "choices": [{"index": 0, "text": delta,
+                                              "finish_reason": None,
+                                              "logprobs": None}]}
+                        await resp.write(
+                            b"data: " + json.dumps(chunk).encode()
+                            + b"\n\n")
+                    if done:
+                        fin = {"id": cmpl_id, "object": "text_completion",
+                               "created": int(_time.time()),
+                               "model": model_name,
+                               "choices": [{
+                                   "index": 0, "text": "",
+                                   "finish_reason": (
+                                       "stop" if reason is not None
+                                       and reason.value == "stop_token"
+                                       else "length"),
+                                   "logprobs": None}]}
+                        await resp.write(
+                            b"data: " + json.dumps(fin).encode() + b"\n\n")
+                        with loop.lock:
+                            scheduler.pop_finished(sid)
+                        break
+                    if _time.monotonic() > deadline:
+                        break
+                    await asyncio.sleep(0.01)
+                await resp.write(b"data: [DONE]\n\n")
+            finally:
+                with loop.lock:
+                    sq = scheduler.get(sid)
+                    if sq is not None and not sq.is_finished:
+                        scheduler.abort(sid)  # client gone / timed out
+            await resp.write_eof()
+            return resp
+
         while True:
             with loop.lock:
                 seqs = [scheduler.get(i) for i in group]
@@ -267,10 +332,10 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                 })
                 scheduler.pop_finished(sq.seq_id)
         return web.json_response({
-            "id": f"cmpl-{uuid.uuid4().hex[:24]}",
+            "id": cmpl_id,
             "object": "text_completion",
             "created": int(_time.time()),
-            "model": request.app.get("model_name", "vllmini-tpu"),
+            "model": model_name,
             "choices": choices,
             "usage": {
                 "prompt_tokens": prompt_tokens,
