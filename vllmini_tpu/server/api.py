@@ -252,7 +252,14 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                 "Content-Type": "text/event-stream",
                 "Cache-Control": "no-cache"})
             await resp.prepare(request)
-            sent = 0
+            # Incremental detokenization: BPE merges can span token
+            # boundaries, so decoding only the new suffix tokens diverges
+            # from `decode(all_tokens)` (ADVICE r2). Instead decode the full
+            # generated prefix each poll and emit the TEXT diff; hold back a
+            # trailing U+FFFD, which means a multi-byte codepoint is still
+            # incomplete under a byte-level BPE.
+            sent_toks = 0
+            sent_text = ""
             try:
                 while True:
                     with loop.lock:
@@ -262,20 +269,25 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                         toks = list(sq.output_ids)
                         done = sq.is_finished
                         reason = sq.finish_reason
-                    if len(toks) > sent:
-                        delta = tokenizer.decode(toks[sent:])
-                        if sent:
-                            delta = " " + delta
-                        sent = len(toks)
-                        chunk = {"id": cmpl_id, "object": "text_completion",
-                                 "created": int(_time.time()),
-                                 "model": model_name,
-                                 "choices": [{"index": 0, "text": delta,
-                                              "finish_reason": None,
-                                              "logprobs": None}]}
-                        await resp.write(
-                            b"data: " + json.dumps(chunk).encode()
-                            + b"\n\n")
+                    if toks and (len(toks) > sent_toks or done):
+                        full = tokenizer.decode(toks)
+                        upto = len(full)
+                        if not done and full.endswith("�"):
+                            upto -= 1
+                        delta = full[len(sent_text):upto]
+                        sent_toks = len(toks)
+                        if delta:
+                            sent_text = full[:upto]
+                            chunk = {"id": cmpl_id,
+                                     "object": "text_completion",
+                                     "created": int(_time.time()),
+                                     "model": model_name,
+                                     "choices": [{"index": 0, "text": delta,
+                                                  "finish_reason": None,
+                                                  "logprobs": None}]}
+                            await resp.write(
+                                b"data: " + json.dumps(chunk).encode()
+                                + b"\n\n")
                     if done:
                         fin = {"id": cmpl_id, "object": "text_completion",
                                "created": int(_time.time()),
@@ -312,6 +324,15 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                 if any(sq is None for sq in seqs):
                     return _json_error(500, "sequence evicted before fetch")
             if _time.monotonic() > deadline:
+                # Timed-out requests must not keep occupying decode slots
+                # and pool pages until natural completion (ADVICE r2).
+                with loop.lock:
+                    for i in group:
+                        sq = scheduler.get(i)
+                        if sq is not None and not sq.is_finished:
+                            scheduler.abort(i)
+                        if sq is not None:
+                            scheduler.pop_finished(i)
                 return _json_error(504, "generation timed out")
             await asyncio.sleep(0.01)
         with loop.lock:
