@@ -57,7 +57,7 @@ def build_quantized_llama(config, quant, seed=0):
             # Quantize the untied lm_head too (int8): >1 GB/step at bf16.
             head = quantize_params({**head, "blocks": []}, quant)
         qb = quantize_params({"blocks": part["blocks"]}, quant,
-                             include_lm_head=False)
+                             include_lm_head=False, model_config=config)
         jax.block_until_ready(qb["blocks"][0])
         blocks.append(qb["blocks"][0])
         del part

@@ -91,12 +91,53 @@ def main():
     base = perplexity(params, config, stream, window=WINDOW)
     print(f"{'weights bf16 (baseline)':34s} ppl={base:11.4f}")
     rows = []
+    diag = []  # shown, not gated: RTN ablation for comparison
     for wq in ("int8", "int4", "w8a8"):
-        qp = quantize_params(params, QuantConfig(weight_dtype=wq))
+        # model_config enables the SERVED int4 pipeline: data-free scale
+        # equalization + per-group MSE clip search (ops/quant_equalize.py).
+        qp = quantize_params(params, QuantConfig(weight_dtype=wq),
+                             model_config=config)
         p = perplexity(qp, config, stream, window=WINDOW)
         dn = math.log(p / base)
         rows.append((f"weights {wq}", p, dn))
         print(f"{'weights ' + wq:34s} ppl={p:11.4f}  dlogppl={dn:+9.2e}")
+    qp = quantize_params(params, QuantConfig(weight_dtype="int4",
+                                             equalize=False))
+    p = perplexity(qp, config, stream, window=WINDOW)
+    diag.append(("weights int4 RTN (ablation)", p, math.log(p / base)))
+    print(f"{'weights int4 RTN (ablation)':34s} ppl={p:11.4f}  "
+          f"dlogppl={math.log(p / base):+9.2e}")
+
+    # Outlier-injected weights (VERDICT r2 weak #3): random-init weights
+    # lack the activation/weight outliers that break low-bit quant on real
+    # checkpoints; spike every 17th input channel x7 to emulate them. The
+    # gate applies to these rows too.
+    def spike(x):
+        if isinstance(x, jax.Array) and x.ndim == 2 and min(x.shape) >= 64:
+            k = x.shape[0]
+            mask = (np.arange(k) % 17 == 0).astype(np.float32) * 6.0 + 1.0
+            return (x.astype(jnp.float32) * mask[:, None]).astype(x.dtype)
+        return x
+
+    oparams = dict(params)
+    oparams["blocks"] = [jax.tree_util.tree_map(spike, b)
+                         for b in params["blocks"]]
+    ostream = self_stream(oparams, config, STREAM_LEN, seed=11)
+    obase = perplexity(oparams, config, ostream, window=WINDOW)
+    print(f"{'outlier model bf16 (baseline)':34s} ppl={obase:11.4f}")
+    for wq in ("int8", "int4"):
+        qp = quantize_params(oparams, QuantConfig(weight_dtype=wq),
+                             model_config=config)
+        p = perplexity(qp, config, ostream, window=WINDOW)
+        dn = math.log(p / obase)
+        rows.append((f"outlier weights {wq}", p, dn))
+        print(f"{'outlier weights ' + wq:34s} ppl={p:11.4f}  "
+              f"dlogppl={dn:+9.2e}")
+    qp = quantize_params(oparams, QuantConfig(weight_dtype="int4",
+                                              equalize=False))
+    p = perplexity(qp, config, ostream, window=WINDOW)
+    print(f"{'outlier int4 RTN (ablation)':34s} ppl={p:11.4f}  "
+          f"dlogppl={math.log(p / obase):+9.2e}")
 
     cache_f = CacheConfig(page_size=32, kv_dtype=config.dtype)
     base_d = decode_perplexity(params, config, cache_f, stream,

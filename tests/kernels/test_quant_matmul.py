@@ -19,13 +19,29 @@ from vllmini_tpu.ops.quant_matmul import (
 def test_quantize_roundtrip_error(bits):
     key = jax.random.PRNGKey(0)
     w = jax.random.normal(key, (256, 128), jnp.float32)
-    qw = quantize_weight(w, bits=bits, group_size=128)
+    # Round-to-nearest: error bounded by scale/2 per element (scale=amax/qmax).
+    qw = quantize_weight(w, bits=bits, group_size=128, clip_search=False)
     deq = dequantize_weight(qw)
-    # Error bounded by scale/2 per element: scale = amax/qmax.
     qmax = 127.0 if bits == 8 else 7.0
     amax = np.abs(np.asarray(w)).reshape(2, 128, 128).max(axis=1)
     bound = (amax / qmax)[:, None, :].repeat(128, axis=1).reshape(256, 128)
     assert np.all(np.abs(np.asarray(deq) - np.asarray(w)) <= bound * 0.5 + 1e-6)
+
+
+def test_int4_clip_search_reduces_mse():
+    """The MSE-optimal clip search (served int4 default) trades bounded
+    outlier error for strictly lower squared error than plain RTN."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (512, 256), jnp.float32)
+    # Heavy-tailed rows so amax-clipping has something to win on.
+    w = w * (1.0 + 5.0 * (jax.random.uniform(
+        jax.random.PRNGKey(4), (512, 256)) > 0.99))
+    mse_rtn = float(jnp.mean((dequantize_weight(
+        quantize_weight(w, bits=4, group_size=128, clip_search=False)) - w
+    ) ** 2))
+    mse_clip = float(jnp.mean((dequantize_weight(
+        quantize_weight(w, bits=4, group_size=128, clip_search=True)) - w
+    ) ** 2))
+    assert mse_clip <= mse_rtn
 
 
 @pytest.mark.parametrize("bits", [8, 4])

@@ -1,0 +1,113 @@
+"""Engine integration of partitioned decode attention (paged_attention_v2
+analog): long-context low-batch decode through kv_partitions > 1 must match
+the fused single-program path token for token.
+
+Reference anchor: `attention_kernels.cu:529-669,845-928` (v2 grid split +
+reduce); VERDICT r2 weak #4 (kernel existed but was engine-orphaned).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllmini_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                SamplingParams, SchedulerConfig)
+from vllmini_tpu.engine.engine import LLMEngine
+from vllmini_tpu.engine.scheduler import Scheduler
+from vllmini_tpu.memory.kv_cache import create_kv_pool
+from vllmini_tpu.models.registry import get_family
+
+MODEL = ModelConfig(family="llama", vocab_size=128, hidden_size=64,
+                    num_layers=2, num_heads=8, num_kv_heads=4,
+                    intermediate_size=128, max_position_embeddings=4096,
+                    dtype="float32")
+
+
+def test_partitioned_decode_forward_matches_plain():
+    config = MODEL
+    family = get_family(config)
+    cache = CacheConfig(num_pages=64, page_size=4, max_pages_per_seq=16,
+                        kv_dtype="float32", head_pad_to=1)
+    params = family.init_params(config, jax.random.PRNGKey(0))
+    B = 2
+    toks = jnp.asarray([5, 9], jnp.int32)
+    seq_lens = jnp.asarray([37, 11], jnp.int32)
+    tables = jnp.arange(B * 16, dtype=jnp.int32).reshape(B, 16)
+    active = jnp.ones(B, bool)
+
+    outs = {}
+    for P in (1, 4):
+        pool = create_kv_pool(config, cache)
+        # Warm the pool with deterministic KV: replay earlier positions via
+        # the standalone write (positions < seq_len-1).
+        from vllmini_tpu.ops.kv_write import write_kv_decode
+        rng = np.random.default_rng(3)
+        for i in range(config.num_layers):
+            kv, _ = pool.layer(i)
+            for t in range(int(seq_lens.max()) - 1):
+                kn = jnp.asarray(rng.standard_normal(
+                    (B, 4, 8)), jnp.float32)
+                vn = jnp.asarray(rng.standard_normal(
+                    (B, 4, 8)), jnp.float32)
+                kv = write_kv_decode(
+                    kv, kn, vn, jnp.full(B, t, jnp.int32), tables,
+                    jnp.asarray([t < seq_lens[0] - 1, t < seq_lens[1] - 1]),
+                    interpret=True)
+            pool = pool.with_layer(i, kv, None)
+        logits, _ = family.decode_forward(
+            params, config, pool, toks, seq_lens - 1, seq_lens, tables,
+            active, interpret=True, kv_partitions=P)
+        outs[P] = np.asarray(logits, np.float32)
+    np.testing.assert_allclose(outs[4], outs[1], rtol=2e-5, atol=2e-5)
+
+
+def _generate(kv_partitions: int):
+    cache = CacheConfig(num_pages=2100, page_size=4, max_pages_per_seq=1024,
+                        kv_dtype="float32", head_pad_to=1)
+    config = EngineConfig(
+        model=MODEL, cache=cache,
+        scheduler=SchedulerConfig(max_decode_slots=2, decode_chunk_steps=4,
+                                  pipeline_depth=1, prefill_buckets=(16, 32),
+                                  kv_partitions=kv_partitions),
+        hf_model=None, seed=0)
+    engine = LLMEngine(config, interpret=True)
+    sched = Scheduler(engine)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 128, 12).tolist() for _ in range(2)]
+    ids = [sched.add_request(p, SamplingParams(max_new_tokens=10,
+                                               greedy=True))
+           for p in prompts]
+    for _ in range(60):
+        sched.step()
+        if all(sched.get(i).is_finished for i in ids):
+            break
+    return engine.kv_partitions, [sched.get(i).output_ids for i in ids]
+
+
+def test_engine_partitioned_generation_matches_plain():
+    kp, outs_p = _generate(kv_partitions=2)
+    assert kp == 2
+    kp1, outs_1 = _generate(kv_partitions=1)
+    assert kp1 == 1
+    assert outs_p == outs_1
+    assert all(len(o) == 10 for o in outs_1)
+
+
+def test_auto_rule_picks_partitions_for_low_batch_long_context():
+    cache = CacheConfig(num_pages=2100, page_size=4, max_pages_per_seq=1024,
+                        kv_dtype="float32", head_pad_to=1)
+    config = EngineConfig(
+        model=MODEL, cache=cache,
+        scheduler=SchedulerConfig(max_decode_slots=2, prefill_buckets=(16,)),
+        hf_model=None)
+    engine = LLMEngine(config, interpret=True)
+    assert engine.kv_partitions == 4  # 8 // batch 2
+    # Large batch -> no partitioning.
+    config2 = dataclasses.replace(
+        config, scheduler=SchedulerConfig(max_decode_slots=8,
+                                          prefill_buckets=(16,)))
+    engine2 = LLMEngine(config2, interpret=True)
+    assert engine2.kv_partitions == 1

@@ -254,6 +254,13 @@ class SchedulerConfig:
     # through a tunneled TPU) at the price of up to K-1 wasted steps after a
     # mid-chunk EOS and K-step admission latency for queued requests.
     decode_chunk_steps: int = 16
+    # KV partitions per sequence for decode attention (the reference's
+    # `paged_attention_v2` regime): each sequence's page table is split into
+    # this many grid programs with an LSE merge — long-context LOW-BATCH
+    # decode keeps the DMA pipeline full. 0 = auto (picked from batch size
+    # and max context at engine init), 1 = always the fused single-program
+    # path.
+    kv_partitions: int = 0
     # Decode chunks in flight before the scheduler blocks on a summary fetch.
     # Depth 2 hides the host<->device round trip behind device compute (the
     # fetch at tick t reads chunk t-1's state while chunk t runs); depth 1
@@ -286,6 +293,13 @@ class QuantConfig:
 
     weight_dtype: str = "none"  # "none" | "int8" | "int4" | "w8a8"
     group_size: int = 128  # per-group scales along the contraction dim
+    # Data-free scale equalization folded into norms/producers before
+    # quantizing (ops/quant_equalize.py); needs the model config at
+    # quantize_params time to know the fold map.
+    equalize: bool = True
+    # Per-(group, channel) MSE-optimal clip search (int4 only; int8's 255
+    # levels make plain round-to-nearest already near-optimal).
+    clip_search: bool = True
 
     @property
     def enabled(self) -> bool:
@@ -344,3 +358,6 @@ class EngineConfig:
     # hf model id used by the weight loader; None -> random init
     hf_model: Optional[str] = "gpt2"
     seed: int = 0
+    # Fuse QKV / gate-up projections into single matmuls at engine init
+    # (models/fuse.py) — numerically identical, fewer weight streams.
+    fuse_projections: bool = True

@@ -144,6 +144,11 @@ class LLMEngine:
         if params is None:
             params = self.family.init_params(
                 config.model, jax.random.PRNGKey(config.seed))
+        if config.fuse_projections:
+            # One QKV / gate-up matmul per block instead of 3 / 2 — fewer
+            # HBM weight streams and (quantized) kernel launches per step.
+            from ..models.fuse import fuse_params
+            params = fuse_params(params, config.model)
 
         # --- parallelism over a (dp, tp) mesh. TP: weights head-/channel-
         # sharded, KV pool head-lane-sharded, psum-combined row projections —
@@ -234,6 +239,19 @@ class LLMEngine:
         self.max_slots = config.scheduler.max_decode_slots
         self.pages_per_seq_max = config.cache.max_pages_per_seq
         self.chunk_steps = config.scheduler.decode_chunk_steps
+
+        # Decode KV partitioning (paged_attention_v2 analog): split each
+        # sequence over P grid programs + LSE merge when the batch alone
+        # can't keep the gather pipeline busy on long contexts. Auto rule:
+        # bring batch x P up to ~8 programs, only for >=2k contexts (below
+        # that the extra programs cost more than the overlap buys).
+        kp = config.scheduler.kv_partitions
+        if kp == 0:
+            if self.max_context >= 2048 and self.local_slots < 8:
+                kp = max(1, 8 // self.local_slots)
+            else:
+                kp = 1
+        self.kv_partitions = kp
 
         self.state = make_decode_state(self.max_slots, self.max_context)
         # Host mirror of device page tables (re-uploaded when changed).
@@ -386,7 +404,7 @@ class LLMEngine:
         return self.family.decode_forward(
             params, self.local_model, pool, state.last_token, positions,
             seq_lens, page_tables, state.active, interpret=self.interpret,
-            tp_axis=self._tp_axis)
+            tp_axis=self._tp_axis, kv_partitions=self.kv_partitions)
 
     def _chunk_impl(self, params, pool, state: DecodeState, page_tables,
                     step_budget, *, steps: int):
@@ -791,6 +809,47 @@ class LLMEngine:
         self._swapped.pop(seq_id, None)
         if slot >= 0:
             self.exec_clear_slot(slot)
+
+    def convert_kv_dtype(self, kv_dtype: str) -> dict:
+        """Re-precision the WARM KV cache in place — the serving surface of
+        `memory/kv_cache.convert_pool` (TPU analog of the reference's
+        `convert_fp8`, `cache_kernels.cu:322-392`). Running sequences keep
+        decoding over the converted pages (within quantization noise);
+        float -> int8/fp8 halves/quarters KV bytes without evicting anyone.
+
+        Caller must hold the engine lock and have drained in-flight chunks
+        (Scheduler.convert_kv_dtype does both). Multi-host replays this as a
+        command like any other device mutation."""
+        new_cache = dataclasses.replace(self.config.cache, kv_dtype=kv_dtype)
+        if jnp.dtype(new_cache.jnp_kv_dtype) == jnp.dtype(
+                self.config.cache.jnp_kv_dtype):
+            return {"kv_dtype": kv_dtype, "converted": False,
+                    "pool_bytes": self.pool.bytes()}
+        if self.tp > 1:
+            raise ValueError(
+                "convert_kv_dtype with tensor_parallel > 1 is unsupported "
+                "(per-shard lane padding)")
+        if self._swapped:
+            raise RuntimeError(
+                "cannot convert the pool while sequences are swapped out "
+                "(host blobs hold the old dtype); swap them in first")
+        if not self.interpret and (
+                self.config.cache.page_size % new_cache.sublane_tile):
+            raise ValueError(
+                f"page_size={self.config.cache.page_size} is not a multiple "
+                f"of {new_cache.sublane_tile} required for "
+                f"kv_dtype={kv_dtype} on TPU")
+        self._emit("convert_pool", kv_dtype=kv_dtype)
+        self.exec_convert_pool(kv_dtype)
+        self.metrics.counter("pool_conversions", 1)
+        return {"kv_dtype": kv_dtype, "converted": True,
+                "pool_bytes": self.pool.bytes()}
+
+    def exec_convert_pool(self, kv_dtype: str) -> None:
+        from ..memory.kv_cache import convert_pool
+        new_cache = dataclasses.replace(self.config.cache, kv_dtype=kv_dtype)
+        self.pool = convert_pool(self.pool, new_cache.jnp_kv_dtype)
+        self.config = dataclasses.replace(self.config, cache=new_cache)
 
     def swap_out(self, seq: Sequence) -> None:
         """Copy the sequence's KV pages to host RAM and release them.

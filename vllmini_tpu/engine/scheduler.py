@@ -56,7 +56,6 @@ class _InFlightChunk:
 class Scheduler:
     def __init__(self, engine: LLMEngine):
         self.engine = engine
-        self.config: EngineConfig = engine.config
         self.waiting: Deque[Sequence] = deque()
         self.swapped: Deque[Sequence] = deque()
         self.slots: List[Optional[Sequence]] = [None] * engine.max_slots
@@ -68,6 +67,19 @@ class Scheduler:
         self._max_total_tokens = engine.max_context
         # Finished-but-unfetched results, oldest first (bounded GC).
         self._finished_order: Deque[int] = deque()
+
+    @property
+    def config(self) -> EngineConfig:
+        # Live view: engine.config is rebuilt by convert_kv_dtype (frozen
+        # dataclasses), so holding a snapshot would go stale.
+        return self.engine.config
+
+    def convert_kv_dtype(self, kv_dtype: str) -> dict:
+        """Drain in-flight chunks, then re-precision the warm KV pool (see
+        LLMEngine.convert_kv_dtype). Safe mid-serving: running sequences
+        continue on the converted cache."""
+        self._drain_pipeline()
+        return self.engine.convert_kv_dtype(kv_dtype)
 
     # ------------------------------------------------------------------ intake
 

@@ -50,6 +50,55 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     return y
 
 
+def paged_decode_attention(pool, layer_idx: int, q, k, v, positions,
+                           seq_lens, page_tables, active, *,
+                           num_kv_heads: int, sliding_window=None,
+                           kv_partitions: int = 1, interpret: bool = False):
+    """One layer's decode attention over the paged pool, including the
+    current token's KV write. Returns (attn [B, H, d], pool).
+
+    kv_partitions == 1 (the hot path): the write is FUSED into the attention
+    kernel (page patched in VMEM, written back during compute) and this
+    step's self term merges outside from the raw values.
+    kv_partitions > 1 (long-context low-batch): the token is written first
+    via the standalone scatter, then attention runs split into that many
+    grid programs per sequence with an LSE renormalization merge — the
+    reference's `paged_attention_v2` regime (`attention_kernels.cu:529-669`).
+    """
+    from ..ops.kv_write import quantize_decode_tokens, write_kv_decode
+    from ..ops.paged_attention import paged_attention
+
+    kv, sc = pool.layer(layer_idx)
+    masked_lens = jnp.where(active, seq_lens, 0)
+    if kv_partitions > 1:
+        out = write_kv_decode(kv, k, v, positions, page_tables, active,
+                              kv_scales=sc, interpret=interpret)
+        if sc is not None:
+            kv, sc = out
+        else:
+            kv = out
+        attn = paged_attention(q, kv, masked_lens, page_tables,
+                               kv_scales=sc,
+                               sliding_window=sliding_window,
+                               num_kv_heads=num_kv_heads,
+                               kv_partitions=kv_partitions,
+                               interpret=interpret)
+    else:
+        if pool.quantized:
+            k_src, v_src, sc = quantize_decode_tokens(
+                k, v, positions, page_tables, active, sc, kv.dtype)
+        else:
+            k_src, v_src = k, v
+        attn, kv = paged_attention(q, kv, masked_lens, page_tables,
+                                   kv_scales=sc,
+                                   k_new=k_src, v_new=v_src,
+                                   k_new_raw=k, v_new_raw=v,
+                                   sliding_window=sliding_window,
+                                   num_kv_heads=num_kv_heads,
+                                   interpret=interpret)
+    return attn, pool.with_layer(layer_idx, kv, sc)
+
+
 def maybe_psum(x: jax.Array, axis: Optional[str]) -> jax.Array:
     """All-reduce partial sums across the tensor-parallel axis (no-op when
     unsharded). Used after row-parallel projections (attn out-proj, MLP

@@ -28,9 +28,9 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..memory.kv_cache import KVPool
 from ..ops.flash_attention import flash_attention_prefill
-from ..ops.kv_write import quantize_decode_tokens, write_kv_prefill
-from ..ops.paged_attention import paged_attention
-from .common import layer_norm, linear, maybe_psum
+from ..ops.kv_write import write_kv_prefill
+from .common import (layer_norm, linear, maybe_psum,
+                     paged_decode_attention)
 
 Params = Dict[str, Any]
 
@@ -207,6 +207,7 @@ def decode_forward(
     *,
     interpret: bool = False,
     tp_axis: str | None = None,
+    kv_partitions: int = 1,
 ):
     """One batched decode step; returns (logits [B, vocab] f32, pool)."""
     B = token_ids.shape[0]
@@ -220,25 +221,13 @@ def decode_forward(
         qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
         q, k, v = _split_qkv(qkv, H, Hkv, d)  # [B,H,d], [B,Hkv,d]
 
-        kv, sc = pool.layer(i)
         # The current token's KV write is FUSED into the attention kernel
-        # (patched into the gathered page in VMEM, written back while the
-        # kernel computes) — one launch per layer instead of two. Quantized
-        # pools pre-quantize here and scatter the scales separately (they sit
-        # below Mosaic DMA granularity).
-        if pool.quantized:
-            k_src, v_src, sc = quantize_decode_tokens(
-                k, v, positions, page_tables, active, sc, kv.dtype)
-        else:
-            k_src, v_src = k, v
-        masked_lens = jnp.where(active, seq_lens, 0)
-        attn, kv = paged_attention(q, kv, masked_lens, page_tables,
-                                   kv_scales=sc,
-                                   k_new=k_src, v_new=v_src,
-                                   k_new_raw=k, v_new_raw=v,
-                                   num_kv_heads=Hkv,
-                                   interpret=interpret)  # [B, H, d]
-        pool = _update_pool_layer(pool, i, kv, sc)
+        # (one launch per layer) on the hot path; kv_partitions > 1 takes
+        # the write-then-partitioned-attend path (see common.py).
+        attn, pool = paged_decode_attention(
+            pool, i, q, k, v, positions, seq_lens, page_tables, active,
+            num_kv_heads=Hkv, kv_partitions=kv_partitions,
+            interpret=interpret)
         x = x + maybe_psum(
             linear(attn.reshape(B, H * d), block["attn"]["c_proj_w"],
                    block["attn"]["c_proj_b"]), tp_axis)

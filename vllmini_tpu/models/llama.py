@@ -20,9 +20,9 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..memory.kv_cache import KVPool
 from ..ops.flash_attention import flash_attention_prefill
-from ..ops.kv_write import quantize_decode_tokens, write_kv_prefill
-from ..ops.paged_attention import paged_attention
-from .common import apply_rope, linear, maybe_psum, rms_norm, rope_table
+from ..ops.kv_write import write_kv_prefill
+from .common import (apply_rope, linear, maybe_psum, paged_decode_attention,
+                     rms_norm, rope_table)
 from .gpt2 import _gather_prefix_kv, _update_pool_layer
 
 Params = Dict[str, Any]
@@ -71,9 +71,32 @@ def init_params(config: ModelConfig, key: jax.Array) -> Params:
 
 
 def _mlp(block: Params, x: jax.Array) -> jax.Array:
-    gate = jax.nn.silu(linear(x, block["mlp"]["w_gate"]))
-    up = linear(x, block["mlp"]["w_up"])
-    return linear(gate * up, block["mlp"]["w_down"])
+    m = block["mlp"]
+    if "w_gateup" in m:  # fused layout (models/fuse.py): one weight stream
+        inter = m["w_down"].shape[0]
+        y = linear(x, m["w_gateup"])
+        gate, up = y[..., :inter], y[..., inter:]
+        return linear(jax.nn.silu(gate) * up, m["w_down"])
+    gate = jax.nn.silu(linear(x, m["w_gate"]))
+    up = linear(x, m["w_up"])
+    return linear(gate * up, m["w_down"])
+
+
+def _qkv(block: Params, h1: jax.Array, H: int, Hkv: int, d: int):
+    """Project to (q, k, v) [L, heads, d] — fused or per-weight layout."""
+    a = block["attn"]
+    L = h1.shape[0]
+    if "wqkv" in a:
+        y = linear(h1, a["wqkv"], a.get("bqkv"))
+        q = y[:, :H * d]
+        k = y[:, H * d:(H + Hkv) * d]
+        v = y[:, (H + Hkv) * d:]
+    else:
+        q = linear(h1, a["wq"], a.get("bq"))
+        k = linear(h1, a["wk"], a.get("bk"))
+        v = linear(h1, a["wv"], a.get("bv"))
+    return (q.reshape(L, H, d), k.reshape(L, Hkv, d),
+            v.reshape(L, Hkv, d))
 
 
 def _logits(params: Params, x: jax.Array) -> jax.Array:
@@ -113,10 +136,7 @@ def prefill_forward(
 
     for i, block in enumerate(params["blocks"]):
         h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
-        a = block["attn"]
-        q = linear(h1, a["wq"], a.get("bq")).reshape(L_pad, H, d)
-        k = linear(h1, a["wk"], a.get("bk")).reshape(L_pad, Hkv, d)
-        v = linear(h1, a["wv"], a.get("bv")).reshape(L_pad, Hkv, d)
+        q, k, v = _qkv(block, h1, H, Hkv, d)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
@@ -166,6 +186,7 @@ def decode_forward(
     *,
     interpret: bool = False,
     tp_axis: str | None = None,
+    kv_partitions: int = 1,
 ):
     B = token_ids.shape[0]
     H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
@@ -174,29 +195,14 @@ def decode_forward(
 
     for i, block in enumerate(params["blocks"]):
         h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
-        a = block["attn"]
-        q = linear(h1, a["wq"], a.get("bq")).reshape(B, H, d)
-        k = linear(h1, a["wk"], a.get("bk")).reshape(B, Hkv, d)
-        v = linear(h1, a["wv"], a.get("bv")).reshape(B, Hkv, d)
+        q, k, v = _qkv(block, h1, H, Hkv, d)
         q = apply_rope(q, cos[:, None, :], sin[:, None, :])
         k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
-        kv, sc = pool.layer(i)
-        # Fused write+attend: one kernel launch per layer (see gpt2.py).
-        if pool.quantized:
-            k_src, v_src, sc = quantize_decode_tokens(
-                k, v, positions, page_tables, active, sc, kv.dtype)
-        else:
-            k_src, v_src = k, v
-        masked_lens = jnp.where(active, seq_lens, 0)
-        attn, kv = paged_attention(q, kv, masked_lens, page_tables,
-                                   kv_scales=sc,
-                                   k_new=k_src, v_new=v_src,
-                                   k_new_raw=k, v_new_raw=v,
-                                   sliding_window=config.sliding_window,
-                                   num_kv_heads=Hkv,
-                                   interpret=interpret)
-        pool = _update_pool_layer(pool, i, kv, sc)
+        attn, pool = paged_decode_attention(
+            pool, i, q, k, v, positions, seq_lens, page_tables, active,
+            num_kv_heads=Hkv, sliding_window=config.sliding_window,
+            kv_partitions=kv_partitions, interpret=interpret)
         x = x + maybe_psum(
             linear(attn.reshape(B, H * d), block["attn"]["wo"]), tp_axis)
         h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)

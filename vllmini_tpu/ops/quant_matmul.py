@@ -36,8 +36,16 @@ from ..models.common import QuantizedWeight
 # ----------------------------------------------------------------- quantization
 
 def quantize_weight(w: jax.Array, bits: int = 8,
-                    group_size: int = 128) -> QuantizedWeight:
-    """Symmetric per-group (K) x per-channel (N) weight quantization."""
+                    group_size: int = 128,
+                    clip_search: bool | None = None) -> QuantizedWeight:
+    """Symmetric per-group (K) x per-channel (N) weight quantization.
+
+    `clip_search` (default on for int4): per-(group, channel) MSE-optimal
+    clipping — try shrunken scale candidates c*amax/qmax and keep the one
+    minimizing the squared dequant error. Plain round-to-nearest uses the
+    group amax as the clip point, which wastes half the int4 grid on a
+    single outlier; AWQ/GPTQ-family quantizers all ship some form of this.
+    """
     K, N = w.shape
     assert K % group_size == 0, (K, group_size)
     G = group_size
@@ -45,6 +53,22 @@ def quantize_weight(w: jax.Array, bits: int = 8,
     qmax = 127.0 if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(wf), axis=1)                      # [K/G, N]
     scales = jnp.maximum(amax / qmax, 1e-10)
+    if clip_search is None:
+        clip_search = bits == 4
+    if clip_search:
+        best_err = None
+        best_scales = scales
+        for c in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7):
+            s = jnp.maximum(scales * c, 1e-10)
+            q = jnp.clip(jnp.round(wf / s[:, None, :]), -qmax, qmax)
+            err = jnp.sum((wf - q * s[:, None, :]) ** 2, axis=1)  # [K/G, N]
+            if best_err is None:
+                best_err, best_scales = err, s
+            else:
+                take = err < best_err
+                best_err = jnp.where(take, err, best_err)
+                best_scales = jnp.where(take, s, best_scales)
+        scales = best_scales
     q = jnp.clip(jnp.round(wf / scales[:, None, :]), -qmax, qmax)
     q = q.astype(jnp.int8).reshape(K, N)
     if bits == 4:
@@ -74,22 +98,31 @@ def dequantize_weight(qw: QuantizedWeight) -> jax.Array:
 
 
 def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
-                    include_lm_head: bool = True):
+                    include_lm_head: bool = True, model_config=None):
     """Quantize every 2-D weight inside transformer blocks — plus an untied
     lm_head, which on a 128k-vocab model streams >1 GB/step at bf16
     (embeddings, norms, and biases stay full precision). weight_dtype="w8a8"
     additionally marks the weights for runtime int8 activation quantization
-    (BASELINE.md config 4's W8A8 mode)."""
+    (BASELINE.md config 4's W8A8 mode).
+
+    When `model_config` is given and quant.equalize is set, data-free scale
+    equalization (ops/quant_equalize.py) is folded in first — the int4
+    quality lever for the BASELINE ΔPPL gate."""
     if not quant.enabled:
         return params
     bits = 4 if quant.weight_dtype == "int4" else 8
     act_quant = quant.weight_dtype == "w8a8"
+    if model_config is not None and quant.equalize and bits == 4:
+        from .quant_equalize import equalize_params
+        params = equalize_params(params, model_config)
+
+    clip = quant.clip_search and bits == 4
 
     def maybe_quant(x):
         if (isinstance(x, jax.Array) and x.ndim == 2
                 and min(x.shape) >= min_dim
                 and x.shape[0] % quant.group_size == 0):
-            qw = quantize_weight(x, bits, quant.group_size)
+            qw = quantize_weight(x, bits, quant.group_size, clip_search=clip)
             if act_quant:
                 qw = QuantizedWeight(qvalues=qw.qvalues, scales=qw.scales,
                                      bits=8, group_size=qw.group_size,

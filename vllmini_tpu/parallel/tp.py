@@ -67,28 +67,38 @@ def local_model_config(config: ModelConfig, tp: int) -> ModelConfig:
     )
 
 
+def _fused_col_index(widths, tp: int) -> np.ndarray:
+    """Column permutation for a fused projection whose output is the concat
+    of segments with the given widths: a contiguous 1/tp slice of the
+    permuted weight holds (seg0_i | seg1_i | ...) for shard i."""
+    starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    cols = []
+    for i in range(tp):
+        for s, w in zip(starts, widths):
+            wl = w // tp
+            cols.append(s + np.arange(i * wl, (i + 1) * wl))
+    return np.concatenate(cols)
+
+
+def _permute_cols(w, idx: np.ndarray):
+    """Reorder output columns of a plain or weight-only-quantized weight
+    (column permutation commutes with per-group ROW quantization)."""
+    from ..models.common import QuantizedWeight
+
+    if isinstance(w, QuantizedWeight):
+        return dataclasses.replace(
+            w, qvalues=jnp.asarray(w.qvalues)[:, idx],
+            scales=jnp.asarray(w.scales)[:, idx])
+    return jnp.asarray(np.asarray(w)[:, idx])
+
+
 def _permute_gpt2_qkv(w, b: jax.Array, num_heads: int,
                       head_dim: int, tp: int):
     """Reorder fused-QKV output columns so a contiguous 1/tp slice holds
-    (q_i | k_i | v_i) for head group i. Works on plain and weight-only-
-    quantized weights (column permutation commutes with per-group row
-    quantization)."""
-    from ..models.common import QuantizedWeight
-
+    (q_i | k_i | v_i) for head group i."""
     h = num_heads * head_dim
-    hl = num_heads // tp * head_dim  # local q width
-    cols = []
-    for i in range(tp):
-        cols.append(np.arange(i * hl, (i + 1) * hl))            # q_i
-        cols.append(h + np.arange(i * hl, (i + 1) * hl))        # k_i
-        cols.append(2 * h + np.arange(i * hl, (i + 1) * hl))    # v_i
-    idx = np.concatenate(cols)
-    if isinstance(w, QuantizedWeight):
-        w = dataclasses.replace(w, qvalues=jnp.asarray(w.qvalues)[:, idx],
-                                scales=jnp.asarray(w.scales)[:, idx])
-    else:
-        w = jnp.asarray(np.asarray(w)[:, idx])
-    return w, jnp.asarray(np.asarray(b)[idx])
+    idx = _fused_col_index([h, h, h], tp)
+    return _permute_cols(w, idx), jnp.asarray(np.asarray(b)[idx])
 
 
 def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
@@ -176,27 +186,58 @@ def shard_params_llama(params: Dict[str, Any], config: ModelConfig,
         "blocks": [],
     }
     colb = NamedSharding(mesh, P(MODEL_AXIS))  # column-parallel bias
+    tp = mesh.shape[MODEL_AXIS]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
     for blk in params["blocks"]:
-        attn = {
-            "wq": put(blk["attn"]["wq"], col),
-            "wk": put(blk["attn"]["wk"], col),
-            "wv": put(blk["attn"]["wv"], col),
-            "wo": put(blk["attn"]["wo"], row),
-        }
-        for b in ("bq", "bk", "bv"):  # Qwen2-style QKV biases
-            if b in blk["attn"]:
-                attn[b] = put(blk["attn"][b], colb)
+        attn = _shard_fused_attn(blk["attn"], H, Hkv, d, tp, put, col, colb,
+                                 row)
+        m = blk["mlp"]
+        if "w_gateup" in m:  # fused gate|up (models/fuse.py)
+            gu = m["w_gateup"]
+            if tp > 1:
+                inter = config.mlp_size
+                gu = _permute_cols(gu, _fused_col_index([inter, inter], tp))
+            mlp = {"w_gateup": put(gu, col), "w_down": put(m["w_down"], row)}
+        else:
+            mlp = {
+                "w_gate": put(m["w_gate"], col),
+                "w_up": put(m["w_up"], col),
+                "w_down": put(m["w_down"], row),
+            }
         out["blocks"].append({
             "input_norm": put(blk["input_norm"], rep),
             "post_attn_norm": put(blk["post_attn_norm"], rep),
             "attn": attn,
-            "mlp": {
-                "w_gate": put(blk["mlp"]["w_gate"], col),
-                "w_up": put(blk["mlp"]["w_up"], col),
-                "w_down": put(blk["mlp"]["w_down"], row),
-            },
+            "mlp": mlp,
         })
     return out
+
+
+def _shard_fused_attn(a, H: int, Hkv: int, d: int, tp: int, put, col, colb,
+                      row):
+    """Shard a llama-style attention dict in either layout (fused wqkv from
+    models/fuse.py, or separate wq/wk/wv)."""
+    if "wqkv" in a:
+        w, b = a["wqkv"], a.get("bqkv")
+        if tp > 1:
+            idx = _fused_col_index([H * d, Hkv * d, Hkv * d], tp)
+            w = _permute_cols(w, idx)
+            if b is not None:
+                b = jnp.asarray(np.asarray(b)[idx])
+        attn = {"wqkv": put(w, col), "wo": put(a["wo"], row)}
+        if b is not None:
+            attn["bqkv"] = put(b, colb)
+        return attn
+    attn = {
+        "wq": put(a["wq"], col),
+        "wk": put(a["wk"], col),
+        "wv": put(a["wv"], col),
+        "wo": put(a["wo"], row),
+    }
+    for b in ("bq", "bk", "bv"):  # Qwen2-style QKV biases
+        if b in a:
+            attn[b] = put(a[b], colb)
+    return attn
 
 
 def shard_params_mixtral(params: Dict[str, Any], config: ModelConfig,
@@ -215,16 +256,15 @@ def shard_params_mixtral(params: Dict[str, Any], config: ModelConfig,
         "lm_head": put(params.get("lm_head"), rep),
         "blocks": [],
     }
+    colb = NamedSharding(mesh, P(MODEL_AXIS))
+    tp = mesh.shape[MODEL_AXIS]
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
     for blk in params["blocks"]:
         out["blocks"].append({
             "input_norm": put(blk["input_norm"], rep),
             "post_attn_norm": put(blk["post_attn_norm"], rep),
-            "attn": {
-                "wq": put(blk["attn"]["wq"], col),
-                "wk": put(blk["attn"]["wk"], col),
-                "wv": put(blk["attn"]["wv"], col),
-                "wo": put(blk["attn"]["wo"], row),
-            },
+            "attn": _shard_fused_attn(blk["attn"], H, Hkv, d, tp, put, col,
+                                      colb, row),
             "moe": {
                 "router": put(blk["moe"]["router"], rep),
                 "w_gate": put(blk["moe"]["w_gate"], ep),
@@ -285,7 +325,7 @@ def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
 
 def make_tp_decode_fn(family, config: ModelConfig, mesh: Mesh, params,
                       *, quantized_pool: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, kv_partitions: int = 1):
     """Build a jitted shard_map'd batched decode step.
 
     Signature: (params, pool, token_ids, positions, seq_lens, page_tables,
@@ -309,7 +349,8 @@ def make_tp_decode_fn(family, config: ModelConfig, mesh: Mesh, params,
         logits, pool = family.decode_forward(
             params, local_cfg, pool, token_ids, positions, seq_lens,
             page_tables, active, interpret=interpret,
-            tp_axis=MODEL_AXIS if tp > 1 else None)
+            tp_axis=MODEL_AXIS if tp > 1 else None,
+            kv_partitions=kv_partitions)
         return logits, pool
 
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

@@ -377,6 +377,27 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             snap["free_pages"] = scheduler.engine.num_free_pages
         return web.json_response(snap)
 
+    async def convert_kv(request: web.Request) -> web.Response:
+        """Admin: re-precision the warm KV cache in place (e.g. bf16 -> int8
+        halves KV bytes without evicting any sequence). Body:
+        {"kv_dtype": "int8" | "bfloat16" | "float32" | "fp8_e4m3" | ...}."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _json_error(400, "invalid JSON body")
+        kv_dtype = body.get("kv_dtype")
+        if not isinstance(kv_dtype, str):
+            return _json_error(400, "missing 'kv_dtype'")
+        with loop.lock:
+            try:
+                info = scheduler.convert_kv_dtype(kv_dtype)
+            except (ValueError, TypeError) as e:
+                return _json_error(400, str(e))
+            except RuntimeError as e:
+                return _json_error(409, str(e))
+        return web.json_response(info)
+
+    app.router.add_post("/admin/convert_kv", convert_kv)
     app.router.add_post("/generate", generate)
     app.router.add_post("/v1/generate", generate_v1)
     app.router.add_post("/v1/completions", completions)

@@ -139,7 +139,8 @@ def main(argv=None):
 
             params = get_family(config.model).init_params(
                 config.model, jax.random.PRNGKey(config.seed))
-        params = quantize_params(params, config.quant)
+        params = quantize_params(params, config.quant,
+                                 model_config=config.model)
 
     engine = LLMEngine(config, params)
 
