@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -34,6 +35,9 @@ def _flash_kernel(
     #                         of q row 0 (chunked prefill: the chunk's
     #                         queries attend over the pool-resident prefix
     #                         rows 0..q_off-1 + the chunk itself)
+    slopes_ref,             # scalar prefetch: [H] int32 — per-q-head ALiBi
+    #                         slopes BITCAST to i32 (zeros when disabled;
+    #                         scalar memory is integer-typed)
     q_ref,                  # [1, block_q, head_dim]
     k_ref,                  # [1, block_kv, head_dim]
     v_ref,
@@ -45,6 +49,7 @@ def _flash_kernel(
     causal: bool,
     mask_value: float,
     sliding_window: int | None = None,
+    use_alibi: bool = False,
 ):
     i = pl.program_id(1)   # q block
     j = pl.program_id(2)   # kv block
@@ -53,6 +58,10 @@ def _flash_kernel(
     num_kv_blocks = pl.num_programs(2)
     seq_len = seq_len_ref[0]
     q_off = q_off_ref[0]
+    if use_alibi:
+        # Scalar memory is integer-typed; the slope arrives bitcast.
+        slope = jax.lax.bitcast_convert_type(
+            slopes_ref[pl.program_id(0)], jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -81,6 +90,10 @@ def _flash_kernel(
         row = (q_off + i * block_q
                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
         col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if use_alibi:
+            # slope_h * (k_pos - q_pos), <= 0 under the causal mask
+            # (`attention_kernels.cu:154-155` builds the same bias).
+            s = s + slope * (col - row).astype(jnp.float32)
         mask = col < seq_len
         if causal:
             mask = jnp.logical_and(mask, col <= row)
@@ -110,7 +123,7 @@ def _flash_kernel(
 
 
 def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
-                     sliding_window=None, q_offset=0):
+                     sliding_window=None, q_offset=0, alibi_slopes=None):
     """Dense fallback/oracle: [h, Lq, d] x [kvh, Lk, d] -> [h, Lq, d]."""
     num_q_heads, Lq, head_dim = q.shape
     num_kv_heads, Lk = k.shape[0], k.shape[1]
@@ -121,6 +134,10 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
     s = jnp.einsum("hgqd,hkd->hgqk", qf, kf) * sm_scale
     row = q_offset + jnp.arange(Lq)[:, None]
     col = jnp.arange(Lk)[None, :]
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            num_kv_heads, group, 1, 1)
+        s = s + slopes * (col - row)[None, None].astype(jnp.float32)
     mask = col < seq_len
     if causal:
         mask = jnp.logical_and(mask, col <= row)
@@ -135,7 +152,7 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "block_q", "block_kv", "interpret",
-                     "sliding_window"),
+                     "sliding_window", "alibi_slopes"),
 )
 def flash_attention_prefill(
     q: jax.Array,   # [num_q_heads, Lq, head_dim]
@@ -147,6 +164,7 @@ def flash_attention_prefill(
     sm_scale: float | None = None,
     causal: bool = True,
     sliding_window: int | None = None,
+    alibi_slopes: tuple | None = None,  # [H_q] static per-head slopes
     block_q: int = 128,
     block_kv: int = 128,
     interpret: bool = False,
@@ -161,23 +179,32 @@ def flash_attention_prefill(
         seq_len = jnp.int32(Lk)
     seq_len = jnp.asarray(seq_len, jnp.int32).reshape(1)
     q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    if alibi_slopes is not None:
+        assert len(alibi_slopes) == num_q_heads
+        # Scalar memory is integer-typed: ship the slopes bitcast to i32.
+        slopes_i32 = jnp.asarray(
+            np.asarray(alibi_slopes, np.float32).view(np.int32))
+    else:
+        slopes_i32 = jnp.zeros(num_q_heads, jnp.int32)
 
     if (Lq % block_q != 0 or Lk % block_kv != 0
             or Lq < block_q or Lk < block_kv):
         return _dense_reference(q, k, v, seq_len[0], sm_scale, causal,
                                 DEFAULT_MASK_VALUE,
                                 sliding_window=sliding_window,
-                                q_offset=q_off[0])
+                                q_offset=q_off[0],
+                                alibi_slopes=alibi_slopes)
 
     grid = (num_q_heads, Lq // block_q, Lk // block_kv)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, causal=causal,
         mask_value=DEFAULT_MASK_VALUE, sliding_window=sliding_window,
+        use_alibi=alibi_slopes is not None,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, head_dim),
@@ -201,4 +228,4 @@ def flash_attention_prefill(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(seq_len, q_off, q, k, v)
+    )(seq_len, q_off, slopes_i32, q, k, v)

@@ -53,6 +53,7 @@ import functools
 import os
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -68,6 +69,23 @@ def align_row_width(num_kv_heads: int, head_dim: int, shards: int = 1) -> int:
     assert num_kv_heads % shards == 0
     per = (num_kv_heads // shards) * head_dim
     return shards * ((per + 127) // 128 * 128)
+
+
+def default_alibi_slopes(num_heads: int) -> tuple:
+    """Standard ALiBi geometric slopes (Press et al.; the HF/BLOOM
+    construction for non-power-of-two head counts)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    n2 = 2 ** int(math.floor(math.log2(num_heads)))
+    slopes = pow2_slopes(n2)
+    if n2 != num_heads:
+        extra = pow2_slopes(2 * n2)[0::2][: num_heads - n2]
+        slopes += extra
+    return tuple(slopes)
 
 
 def select_heads_per_matmul(num_kv_heads: int, group: int,
@@ -162,6 +180,9 @@ def _paged_attention_kernel(
     #                    window / partition start), 0 otherwise
     write_pos_ref,     # [batch] i32 — current-token position for the fused
     #                    write, or -1 to skip (also the inactive marker)
+    alibi_ctr_ref,     # [batch] i32 — the current token's position in THIS
+    #                    partition's local coordinates (ALiBi bias anchor;
+    #                    unused when alibi_slopes is None)
     # inputs
     q_ref,             # [S, G, M, Kd] VMEM, pre-scaled block-diagonal q
     k_new_ref,         # [S, 1, row_width] VMEM or None: the fused current
@@ -173,6 +194,8 @@ def _paged_attention_kernel(
     #                      pre-expanding to query heads was tried and the
     #                      4x-bigger per-step gather cost more than the
     #                      matmul grouping saved, see trace notes)
+    alibi_rows_ref,    # [G, M, 1] f32 VMEM or None: per-q-bd-row ALiBi
+    #                     slopes (row m of group Gi = q-head Gi*M + m)
     # outputs
     o_ref,             # [S, G, M, d]
     m_ref,             # [S, G, M] f32 or None (with lse outputs)
@@ -205,6 +228,9 @@ def _paged_attention_kernel(
 
     al_vec = jnp.stack([attend_lens_ref[seq0 + s] for s in range(S)])
     ws_vec = jnp.stack([win_starts_ref[seq0 + s] for s in range(S)])
+    use_alibi = alibi_rows_ref is not None
+    if use_alibi:
+        ac_vec = [alibi_ctr_ref[seq0 + s] for s in range(S)]
     max_len = jnp.max(al_vec)
     if fused:
         # Loop far enough to gather every member's CURRENT page too: it is
@@ -289,6 +315,13 @@ def _paged_attention_kernel(
             return (pos < al_vec[s]) & (pos >= ws_vec[s])
         valid = member_mask(_valid)
 
+        if use_alibi:
+            # Per-token distance to the current position, [S, 1, bT] f32;
+            # the per-row slope folds in per head group below.
+            rel_f = jnp.concatenate(
+                [(pos - ac_vec[s]).astype(jnp.float32)[None]
+                 for s in range(S)], axis=0)
+
         if quantized:
             if kv_scales_ref.shape[-1] == bT:
                 # One block covers the whole table: a static full read (the
@@ -317,6 +350,13 @@ def _paged_attention_kernel(
                 # [S, hpm, bT]; group > 1 implies hpm == 1 -> broadcasts.
                 ks_g = ks_blk[:, Gi * hpm:(Gi + 1) * hpm].astype(jnp.float32)
                 s_g = s_g * ks_g
+            if use_alibi:
+                # ALiBi: slope_h * (pos - cur), <= 0 for attendable tokens
+                # (`attention_kernels.cu:154-155,297`); the fused self term
+                # merges outside with bias slope*(cur-cur) = 0 — exact.
+                # q_bd row m of group Gi is q-head Gi*M + m (see
+                # _build_q_blockdiag's (G, hpm, group) reshape).
+                s_g = s_g + alibi_rows_ref[Gi] * rel_f
             s_g = jnp.where(valid, s_g, mask_value)
 
             m_cur = jnp.maximum(m_prev[Gi], s_g.max(-1, keepdims=True))
@@ -408,14 +448,14 @@ def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
     static_argnames=("num_kv_heads", "head_dim", "sm_scale",
                      "pages_per_compute_block", "mask_value", "interpret",
                      "seqs_per_program", "heads_per_matmul", "return_lse",
-                     "fused_write"),
+                     "fused_write", "alibi_slopes"),
 )
 def _paged_attention_call(
-    q_bd, attend_lens, page_tables, win_starts, write_pos,
+    q_bd, attend_lens, page_tables, win_starts, write_pos, alibi_ctr,
     kv_pages, k_new, v_new, kv_scale_rows,
     *, num_kv_heads, head_dim, sm_scale, pages_per_compute_block,
     mask_value, interpret, seqs_per_program, heads_per_matmul,
-    return_lse, fused_write,
+    return_lse, fused_write, alibi_slopes=None,
 ):
     B, G, M, Kd = q_bd.shape
     num_pages, _, page_size, row_width = kv_pages.shape
@@ -434,8 +474,9 @@ def _paged_attention_call(
         lse=return_lse,
     )
     quantized = kv_scale_rows is not None
+    use_alibi = alibi_slopes is not None
 
-    def entry(al_ref, pt_ref, ws_ref, wp_ref, q_ref, *rest):
+    def entry(al_ref, pt_ref, ws_ref, wp_ref, ac_ref, q_ref, *rest):
         rest = list(rest)
         knr = vnr = None
         if fused_write:
@@ -444,6 +485,7 @@ def _paged_attention_call(
         ksr = None
         if quantized:
             ksr = rest.pop(0)
+        alr = rest.pop(0) if use_alibi else None
         o_ref = rest.pop(0)
         mr = lr = None
         if return_lse:
@@ -456,8 +498,8 @@ def _paged_attention_call(
         if fused_write:
             kwb = rest.pop(0)
         kb, gs, ws = rest
-        kernel(al_ref, pt_ref, ws_ref, wp_ref, q_ref, knr, vnr,
-               kv_hbm, ksr, o_ref, mr, lr, kb, kwb, gs, ws)
+        kernel(al_ref, pt_ref, ws_ref, wp_ref, ac_ref, q_ref, knr, vnr,
+               kv_hbm, ksr, alr, o_ref, mr, lr, kb, kwb, gs, ws)
 
     in_specs = [pl.BlockSpec((spp, G, M, Kd), lambda b, *_: (b, 0, 0, 0))]
     inputs = [q_bd]
@@ -473,6 +515,11 @@ def _paged_attention_call(
                                   lambda b, *_: (b, 0, 0, 0))
         in_specs += [scale_spec]
         inputs += [kv_scale_rows]
+    if use_alibi:
+        # Tiny whole-array block: row m of group Gi = q-head Gi*M + m.
+        rows = np.asarray(alibi_slopes, np.float32).reshape(G, M, 1)
+        in_specs += [pl.BlockSpec((G, M, 1), lambda b, *_: (0, 0, 0))]
+        inputs += [jnp.asarray(rows)]
 
     scratch = []
     if fused_write:
@@ -496,15 +543,15 @@ def _paged_attention_call(
     if fused_write:
         out_specs += [pl.BlockSpec(memory_space=pl.ANY)]
         out_shape += [jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype)]
-        # operand index (incl. 4 scalar-prefetch): q=4, k_new=5, v_new=6,
-        # kv_pages=7 -> the trailing output.
+        # operand index (incl. 5 scalar-prefetch): q=5, k_new=6, v_new=7,
+        # kv_pages=8 -> the trailing output.
         n_lse = 2 if return_lse else 0
-        io_aliases = {7: 1 + n_lse}
+        io_aliases = {8: 1 + n_lse}
 
     call = pl.pallas_call(
         entry,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=in_specs,
             out_specs=tuple(out_specs),
@@ -518,7 +565,8 @@ def _paged_attention_call(
         ),
         interpret=interpret,
     )
-    return call(attend_lens, page_tables, win_starts, write_pos, *inputs)
+    return call(attend_lens, page_tables, win_starts, write_pos, alibi_ctr,
+                *inputs)
 
 
 def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
@@ -562,6 +610,7 @@ def paged_attention(
     k_new_raw: jax.Array | None = None,  # unquantized current K/V for the
     v_new_raw: jax.Array | None = None,  #   self term (default k_new/v_new)
     sliding_window: int | None = None,
+    alibi_slopes=None,                   # [H_q] per-q-head ALiBi slopes
     kv_partitions: int = 1,
     seqs_per_program: int | None = None,
     heads_per_matmul: int | None = None,
@@ -593,6 +642,11 @@ def paged_attention(
     quantized = kv_scales is not None
     if sm_scale is None:
         sm_scale = d ** -0.5
+    if alibi_slopes is not None:
+        # Static per call: baked into the kernel as per-row constants
+        # (`attention_kernels.cu:154-155,297` keeps them in registers).
+        alibi_slopes = tuple(float(x) for x in np.asarray(alibi_slopes))
+        assert len(alibi_slopes) == num_q_heads
 
     if heads_per_matmul is None:
         if quantized and group > 1:
@@ -649,6 +703,9 @@ def paged_attention(
         pages_per_seq = pages_local
         vbatch = batch * P
         q_v = jnp.repeat(q, P, axis=0)
+        # ALiBi anchor in partition-local coordinates: local_pos - ctr ==
+        # global_pos - (seq_len - 1).
+        alibi_ctr = sl_rep - 1 - p_idx * part_tokens
     else:
         attend_lens = seq_lens - 1 if fused else seq_lens
         attend_lens = jnp.maximum(attend_lens, 0)
@@ -658,6 +715,7 @@ def paged_attention(
             win_starts = jnp.zeros_like(attend_lens)
         vbatch = batch
         q_v = q
+        alibi_ctr = seq_lens - 1
 
     write_pos = (jnp.where(seq_lens > 0, seq_lens - 1, -1)
                  if fused else jnp.full(vbatch, -1, jnp.int32))
@@ -698,11 +756,13 @@ def paged_attention(
     need_lse = fused or P > 1
     result = _paged_attention_call(
         q_bd, attend_lens, page_tables, win_starts, write_pos,
+        alibi_ctr.astype(jnp.int32),
         kv_pages, kn1, vn1, ksr,
         num_kv_heads=num_kv_heads, head_dim=d, sm_scale=sm_scale,
         pages_per_compute_block=ppb, mask_value=mask_value,
         interpret=interpret, seqs_per_program=seqs_per_program,
-        heads_per_matmul=hpm, return_lse=need_lse, fused_write=fused)
+        heads_per_matmul=hpm, return_lse=need_lse, fused_write=fused,
+        alibi_slopes=alibi_slopes)
 
     result = list(result) if isinstance(result, (tuple, list)) else [result]
     o = result.pop(0).reshape(vbatch, num_q_heads, d)
@@ -763,7 +823,7 @@ def unpack_pages(kv_pages: jax.Array, num_kv_heads: int,
 
 def paged_attention_reference(
     q, kv_pages, seq_lens, page_tables, *, num_kv_heads,
-    sm_scale=None, kv_scales=None, sliding_window=None,
+    sm_scale=None, kv_scales=None, sliding_window=None, alibi_slopes=None,
 ):
     """Naive jnp oracle (gather pages, full softmax). O(batch*ctx)."""
     batch, num_q_heads, d = q.shape
@@ -791,6 +851,10 @@ def paged_attention_reference(
     qf = q.reshape(batch, num_kv_heads, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhtd->bhgt", qf, k) * sm_scale
     pos = jnp.arange(max_ctx)[None, None, None, :]
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            1, num_kv_heads, group, 1)
+        s = s + slopes * (pos - (seq_lens[:, None, None, None] - 1))
     mask = pos < seq_lens[:, None, None, None]
     if sliding_window is not None:
         mask &= pos >= (seq_lens[:, None, None, None] - sliding_window)
