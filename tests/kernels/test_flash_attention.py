@@ -44,3 +44,53 @@ def test_short_prompt_dense_fallback():
     # Row 0 attends only to itself -> equals v row 0.
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(v[:, 0]),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("num_q_heads,num_kv_heads,window", [
+    (2, 2, None),   # MHA
+    (4, 2, None),   # GQA
+    (4, 2, 100),    # GQA + sliding window
+])
+def test_flash_batch_matches_per_seq(num_q_heads, num_kv_heads, window):
+    """Burst-prefill kernel: B prompts with different true lengths in one
+    launch == B separate single-prompt launches (row for row)."""
+    from vllmini_tpu.ops.flash_attention import flash_attention_prefill_batch
+
+    B, L, head_dim = 3, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (B, num_q_heads, L, head_dim))
+    k = jax.random.normal(ks[1], (B, num_kv_heads, L, head_dim))
+    v = jax.random.normal(ks[2], (B, num_kv_heads, L, head_dim))
+    seq_lens = jnp.asarray([256, 130, 5], jnp.int32)
+
+    out = flash_attention_prefill_batch(q, k, v, seq_lens,
+                                        sliding_window=window,
+                                        interpret=True)
+    assert out.shape == q.shape
+    for b in range(B):
+        ref = flash_attention_prefill(q[b], k[b], v[b], seq_lens[b],
+                                      sliding_window=window, interpret=True)
+        sl = int(seq_lens[b])
+        np.testing.assert_allclose(np.asarray(out[b, :, :sl]),
+                                   np.asarray(ref[:, :sl]),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_flash_batch_zero_length_row_is_inert():
+    """A padding row (seq_len 0, as the engine emits for burst row-bucket
+    padding) must not poison other rows with NaN/Inf."""
+    from vllmini_tpu.ops.flash_attention import flash_attention_prefill_batch
+
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (2, 2, 128, 64))
+    k = jax.random.normal(ks[1], (2, 2, 128, 64))
+    v = jax.random.normal(ks[2], (2, 2, 128, 64))
+    out = flash_attention_prefill_batch(q, k, v,
+                                        jnp.asarray([100, 0], jnp.int32),
+                                        interpret=True)
+    ref = flash_attention_prefill(q[0], k[0], v[0], jnp.int32(100),
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0, :, :100]),
+                               np.asarray(ref[:, :100]),
+                               atol=2e-5, rtol=2e-5)
+    assert np.isfinite(np.asarray(out[0, :, :100])).all()

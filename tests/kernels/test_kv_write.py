@@ -135,3 +135,59 @@ def test_copy_and_swap_pages():
     cleared = pages.at[jnp.array([2, 3])].set(0.0)
     restored = scatter_pages(cleared, jnp.array([2, 3]), dense)
     np.testing.assert_allclose(np.asarray(restored), np.asarray(pages))
+
+
+def test_prefill_batch_matches_serial():
+    """Burst write: B prompts in one flat page loop == B serial
+    write_kv_prefill calls, padding pages to the trash page."""
+    from vllmini_tpu.ops.kv_write import write_kv_prefill_batch
+
+    kvh, npages, psize, hd = 2, 16, 4, 8
+    W = 128
+    B, L = 3, 12
+    key = jax.random.PRNGKey(3)
+    k_new = jax.random.normal(key, (B, L, kvh, hd))
+    v_new = k_new * 2.0 - 1.0
+    seq_lens = jnp.asarray([12, 7, 0], jnp.int32)
+    # Disjoint tables; row 2 is a padding row (all-sentinel).
+    sentinel = npages - 1  # trash
+    page_tables = jnp.asarray([[0, 1, 2, -1], [3, 4, sentinel, sentinel],
+                               [sentinel] * 4], jnp.int32)
+
+    out = write_kv_prefill_batch(jnp.zeros((npages, 2, psize, W)),
+                                 k_new, v_new, page_tables, seq_lens)
+    ref = jnp.zeros((npages, 2, psize, W))
+    for b in range(2):
+        ref = write_kv_prefill(ref, k_new[b], v_new[b], page_tables[b],
+                               seq_lens[b], 0)
+    # Trash page contents differ (scratch); everything else must match.
+    np.testing.assert_array_equal(np.asarray(out[:sentinel]),
+                                  np.asarray(ref[:sentinel]))
+
+
+def test_prefill_batch_quantized_matches_serial():
+    from vllmini_tpu.ops.kv_write import write_kv_prefill_batch
+
+    kvh, npages, psize, hd = 2, 12, 4, 8
+    W = 128
+    B, L = 2, 8
+    key = jax.random.PRNGKey(4)
+    k_new = jax.random.normal(key, (B, L, kvh, hd))
+    v_new = k_new + 0.5
+    seq_lens = jnp.asarray([8, 5], jnp.int32)
+    page_tables = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+
+    pool = jnp.zeros((npages, 2, psize, W), jnp.int8)
+    scales = jnp.zeros((npages, 2, psize, kvh), jnp.float32)
+    out, out_sc = write_kv_prefill_batch(pool, k_new, v_new, page_tables,
+                                         seq_lens, kv_scales=scales)
+    ref, ref_sc = jnp.zeros_like(pool), jnp.zeros_like(scales)
+    for b in range(B):
+        ref, ref_sc = write_kv_prefill(ref, k_new[b], v_new[b],
+                                       page_tables[b], seq_lens[b], 0,
+                                       kv_scales=ref_sc)
+    trash = npages - 1
+    np.testing.assert_array_equal(np.asarray(out[:trash]),
+                                  np.asarray(ref[:trash]))
+    np.testing.assert_array_equal(np.asarray(out_sc[:trash]),
+                                  np.asarray(ref_sc[:trash]))

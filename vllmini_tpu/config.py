@@ -280,6 +280,14 @@ class SchedulerConfig:
     # `max_finished` (oldest first). <=0 disables either limit.
     finished_ttl_s: float = 600.0
     max_finished: int = 4096
+    # Burst prefill: up to this many waiting prompts are admitted in ONE
+    # batched device call (the reference's worst serving bottleneck is
+    # strictly serial per-prompt prefill on the event loop,
+    # `vllmini/server.py:81`). Bursts are padded up to a power-of-two row
+    # count to bound compile shapes. 1 disables batching (serial prefill).
+    # Prompts with a prefix-cache hit, fork groups (n>1), and prompts
+    # longer than the largest prefill bucket always take the serial path.
+    prefill_burst: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

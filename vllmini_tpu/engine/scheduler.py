@@ -155,17 +155,20 @@ class Scheduler:
         return None
 
     def _find_group_slots(self, need: int, num_tokens: int,
-                          extra_pages: int = 0):
+                          extra_pages: int = 0, earmark=None):
         """`need` free slots within ONE data replica whose allocator has
-        pages for the prompt plus `extra_pages` (COW fork copies)."""
+        pages for the prompt plus `extra_pages` (COW fork copies).
+        `earmark[r]` holds pages already claimed by a pending (not yet
+        allocated) prefill burst in replica r."""
         L = self.engine.local_slots
         for r in range(self.engine.dp):
             free = [i for i in range(r * L, (r + 1) * L)
                     if self.slots[i] is None][:need]
             if len(free) < need:
                 continue
+            claimed = extra_pages + (earmark[r] if earmark else 0)
             if not self.engine.ensure_pages(r, num_tokens,
-                                            extra_pages=extra_pages):
+                                            extra_pages=claimed):
                 continue
             return free
         return None
@@ -207,6 +210,44 @@ class Scheduler:
         self._admission_counter += 1
         seq.admission_index = self._admission_counter
         self.slots[slot] = seq
+
+    def _flush_burst(self, burst: List) -> bool:
+        """Admit the collected burst in one batched prefill device call
+        (singletons fall back to serial `_admit`). On OutOfPages the whole
+        burst is requeued at the head of `waiting` (FCFS order preserved)
+        and False is returned."""
+        if not burst:
+            return True
+        items = list(burst)
+        burst.clear()
+        if len(items) == 1:
+            seq, slot = items[0]
+            self.slots[slot] = None  # _admit re-marks it
+            try:
+                self._admit(seq, slot, from_swap=False)
+            except OutOfPages:
+                self.waiting.appendleft(seq)
+                if self.engine.alloc_of_seq(seq.seq_id).has_seq(seq.seq_id):
+                    self.engine.free_sequence(seq)
+                seq.slot = None
+                return False
+            return True
+        try:
+            self.engine.prefill_burst(items)
+        except OutOfPages:
+            # prefill_burst rolled back its allocations; release the
+            # tentative slot marks and requeue in arrival order.
+            for s, slot in reversed(items):
+                self.slots[slot] = None
+                s.slot = None
+                self.waiting.appendleft(s)
+            return False
+        for seq, slot in items:
+            seq.state = SequenceState.RUNNING
+            self._admission_counter += 1
+            seq.admission_index = self._admission_counter
+            self.slots[slot] = seq
+        return True
 
     def _preempt_newest(self, exclude: Optional[Sequence] = None) -> bool:
         """Preempt the most-recently-admitted running sequence. Returns False if
@@ -316,15 +357,39 @@ class Scheduler:
             self._admit(seq, slot, from_swap=True)
 
         # 2. Admit new requests into free slots (a fork group needs its
-        #    slots — and pool pages — in ONE data replica).
+        #    slots — and pool pages — in ONE data replica). Eligible simple
+        #    prompts are COLLECTED and admitted in one batched prefill call
+        #    (burst admission, engine.prefill_burst); fork groups, prefix-
+        #    cache hits, and prompts needing chunking flush the pending
+        #    burst first (FCFS order preserved) and go serial.
+        burst: List = []
+        earmark = [0] * self.engine.dp  # pages claimed by pending burst
+        admit_ok = True
         while self.waiting:
             seq = self.waiting[0]
             need = 1 + len(seq.fork_children)
             free = self._find_group_slots(need, len(seq.prompt_ids),
-                                          extra_pages=need - 1)
+                                          extra_pages=need - 1,
+                                          earmark=earmark)
             if free is None:
                 break
             self.waiting.popleft()
+            replica = self.engine.replica_of_slot(free[0])
+            if (need == 1 and len(burst) < self.engine.burst_max
+                    and self.engine.burst_eligible(seq, replica)):
+                self.slots[free[0]] = seq  # reserve; state set at flush
+                burst.append((seq, free[0]))
+                earmark[replica] += self.engine.allocators[
+                    replica].phys_pages_needed(len(seq.prompt_ids))
+                continue
+            nb = len(burst)
+            if not self._flush_burst(burst):
+                # Burst items were requeued at the head; the current seq
+                # arrived after them, so it re-enters behind them.
+                self.waiting.insert(nb, seq)
+                admit_ok = False
+                break
+            earmark = [0] * self.engine.dp
             try:
                 self._admit(seq, free[0], from_swap=False,
                             fork_slots=free[1:])
@@ -338,6 +403,8 @@ class Scheduler:
                         self.engine.free_sequence(s)
                     s.slot = None
                 break
+        if admit_ok:
+            self._flush_burst(burst)
 
         # 3. Reserve page headroom for the chunk about to be dispatched PLUS
         #    everything still in flight; preempt on exhaustion.

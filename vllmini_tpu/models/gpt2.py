@@ -104,13 +104,15 @@ def _gather_prefix_kv(pool: KVPool, layer: int, page_table: jax.Array,
 
 def _split_qkv(qkv: jax.Array, num_heads: int, num_kv_heads: int,
                head_dim: int):
-    """[T, h + 2*kv_h*d] -> q [T, H, d], k [T, Hkv, d], v [T, Hkv, d]."""
-    T = qkv.shape[0]
+    """[..., h + 2*kv_h*d] -> q [..., H, d], k/v [..., Hkv, d] (any leading
+    shape: decode [B, ...], prefill [L, ...], burst prefill [B, L, ...])."""
+    lead = qkv.shape[:-1]
     q_size = num_heads * head_dim
     kv_size = num_kv_heads * head_dim
-    q = qkv[:, :q_size].reshape(T, num_heads, head_dim)
-    k = qkv[:, q_size:q_size + kv_size].reshape(T, num_kv_heads, head_dim)
-    v = qkv[:, q_size + kv_size:].reshape(T, num_kv_heads, head_dim)
+    q = qkv[..., :q_size].reshape(*lead, num_heads, head_dim)
+    k = qkv[..., q_size:q_size + kv_size].reshape(*lead, num_kv_heads,
+                                                  head_dim)
+    v = qkv[..., q_size + kv_size:].reshape(*lead, num_kv_heads, head_dim)
     return q, k, v
 
 
@@ -118,6 +120,40 @@ def _mlp(block: Params, x: jax.Array) -> jax.Array:
     h = linear(x, block["mlp"]["c_fc_w"], block["mlp"]["c_fc_b"])
     h = jax.nn.gelu(h, approximate=True)  # HF gelu_new
     return linear(h, block["mlp"]["c_proj_w"], block["mlp"]["c_proj_b"])
+
+
+def untie_lm_head(params: Params, pad_to: int = 128) -> Params:
+    """Split the tied wte head into an explicit `lm_head` [h, vocab_padded]
+    so `quantize_params` can quantize it (the logits matmul streams the
+    whole table every step — 77 MB/step at bf16 for GPT-2's 50k vocab —
+    while the embedding GATHER reads only a few rows and stays bf16).
+    The vocab dim is zero-padded to a lane multiple so the fused dequant
+    kernel applies (`quantized_matmul` falls back to full dequant on ragged
+    N); `_logits` slices the pad back off before sampling."""
+    if params.get("lm_head") is not None:
+        return params
+    head = params["wte"].T  # [h, vocab]
+    pad = (-head.shape[1]) % pad_to
+    if pad:
+        head = jnp.pad(head, ((0, 0), (0, pad)))
+    return {**params, "lm_head": head}
+
+
+def _logits(params: Params, x: jax.Array) -> jax.Array:
+    """Final projection; supports the tied wte head (reference behavior,
+    `vllmini/model/gpt2.py` lm_head=wte) and an untied — possibly
+    quantized, possibly vocab-padded — `lm_head` (see `untie_lm_head`)."""
+    vocab = params["wte"].shape[0]
+    lm = params.get("lm_head")
+    if lm is not None:
+        from .common import QuantizedWeight
+        if isinstance(lm, QuantizedWeight):
+            from ..ops.quant_matmul import quantized_matmul
+            y = quantized_matmul(x, lm, out_dtype=jnp.float32)
+        else:
+            y = jnp.dot(x, lm, preferred_element_type=jnp.float32)
+        return y[..., :vocab]
+    return jnp.dot(x, params["wte"].T, preferred_element_type=jnp.float32)
 
 
 def prefill_forward(
@@ -187,12 +223,69 @@ def prefill_forward(
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
                    config.layer_norm_eps)
     if return_all_logits:
-        logits = jnp.dot(x, params["wte"].T,
-                         preferred_element_type=jnp.float32)
+        logits = _logits(params, x)
     else:
-        logits = jnp.dot(x[seq_len - 1], params["wte"].T,
-                         preferred_element_type=jnp.float32)
+        logits = _logits(params, x[seq_len - 1])
     return logits, pool
+
+
+def prefill_batch_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B, L_pad] int32
+    seq_lens: jax.Array,     # [B] int32 true prompt lengths
+    page_tables: jax.Array,  # [B, pages_per_seq_max] int32
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+):
+    """Burst prefill: B fresh prompts in ONE forward (batched flash kernel +
+    flat batched KV write). Returns (last-position logits [B, vocab], pool).
+    Rows with seq_len 0 are inactive (KV lands on the trash page, logits are
+    garbage — the engine masks their slot inserts)."""
+    from ..ops.flash_attention import flash_attention_prefill_batch
+    from ..ops.kv_write import write_kv_prefill_batch
+
+    B, L_pad = token_ids.shape
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    positions = jnp.arange(L_pad, dtype=jnp.int32)
+    safe_pos = jnp.minimum(positions, config.max_position_embeddings - 1)
+    x = params["wte"][token_ids] + params["wpe"][safe_pos]  # [B, L, h]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = layer_norm(x, block["ln_1"]["g"], block["ln_1"]["b"],
+                        config.layer_norm_eps)
+        qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
+        q, k, v = _split_qkv(qkv, H, Hkv, d)                # [B, L, heads, d]
+
+        if pool is not None:
+            kv, sc = pool.layer(i)
+            out = write_kv_prefill_batch(kv, k, v, page_tables, seq_lens,
+                                         kv_scales=sc)
+            if pool.quantized:
+                kv, sc = out
+            else:
+                kv = out
+            pool = _update_pool_layer(pool, i, kv, sc)
+
+        attn = flash_attention_prefill_batch(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), seq_lens, causal=True,
+            interpret=interpret,
+        ).transpose(0, 2, 1, 3).reshape(B, L_pad, H * d)
+        x = x + maybe_psum(
+            linear(attn, block["attn"]["c_proj_w"],
+                   block["attn"]["c_proj_b"]), tp_axis)
+
+        h2 = layer_norm(x, block["ln_2"]["g"], block["ln_2"]["b"],
+                        config.layer_norm_eps)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
+
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
+                   config.layer_norm_eps)
+    last = x[jnp.arange(B), jnp.maximum(seq_lens - 1, 0)]   # [B, h]
+    return _logits(params, last), pool
 
 
 def decode_forward(
@@ -238,5 +331,5 @@ def decode_forward(
 
     x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
                    config.layer_norm_eps)
-    logits = jnp.dot(x, params["wte"].T, preferred_element_type=jnp.float32)
+    logits = _logits(params, x)
     return logits, pool

@@ -83,20 +83,21 @@ def _mlp(block: Params, x: jax.Array) -> jax.Array:
 
 
 def _qkv(block: Params, h1: jax.Array, H: int, Hkv: int, d: int):
-    """Project to (q, k, v) [L, heads, d] — fused or per-weight layout."""
+    """Project to (q, k, v) [..., heads, d] — fused or per-weight layout;
+    any leading shape (decode [B, h], prefill [L, h], burst [B, L, h])."""
     a = block["attn"]
-    L = h1.shape[0]
+    lead = h1.shape[:-1]
     if "wqkv" in a:
         y = linear(h1, a["wqkv"], a.get("bqkv"))
-        q = y[:, :H * d]
-        k = y[:, H * d:(H + Hkv) * d]
-        v = y[:, (H + Hkv) * d:]
+        q = y[..., :H * d]
+        k = y[..., H * d:(H + Hkv) * d]
+        v = y[..., (H + Hkv) * d:]
     else:
         q = linear(h1, a["wq"], a.get("bq"))
         k = linear(h1, a["wk"], a.get("bk"))
         v = linear(h1, a["wv"], a.get("bv"))
-    return (q.reshape(L, H, d), k.reshape(L, Hkv, d),
-            v.reshape(L, Hkv, d))
+    return (q.reshape(*lead, H, d), k.reshape(*lead, Hkv, d),
+            v.reshape(*lead, Hkv, d))
 
 
 def _logits(params: Params, x: jax.Array) -> jax.Array:
@@ -172,6 +173,61 @@ def prefill_forward(
     if return_all_logits:
         return _logits(params, x), pool
     return _logits(params, x[seq_len - 1]), pool
+
+
+def prefill_batch_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B, L_pad] int32
+    seq_lens: jax.Array,     # [B] int32 true prompt lengths
+    page_tables: jax.Array,  # [B, pages_per_seq_max] int32
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+):
+    """Burst prefill: B fresh prompts in ONE forward (batched flash kernel +
+    flat batched KV write). Returns (last-position logits [B, vocab], pool).
+    Rows with seq_len 0 are inactive (KV to trash, logits garbage — the
+    engine masks their inserts)."""
+    from ..ops.flash_attention import flash_attention_prefill_batch
+    from ..ops.kv_write import write_kv_prefill_batch
+
+    B, L_pad = token_ids.shape
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    positions = jnp.arange(L_pad, dtype=jnp.int32)
+    cos, sin = rope_table(positions, d, config.rope_theta)  # [L, d/2]
+    x = params["embed"][token_ids]                          # [B, L, h]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        q, k, v = _qkv(block, h1, H, Hkv, d)                # [B, L, heads, d]
+        q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
+        k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
+
+        if pool is not None:
+            kv, sc = pool.layer(i)
+            out = write_kv_prefill_batch(kv, k, v, page_tables, seq_lens,
+                                         kv_scales=sc)
+            if pool.quantized:
+                kv, sc = out
+            else:
+                kv = out
+            pool = _update_pool_layer(pool, i, kv, sc)
+
+        attn = flash_attention_prefill_batch(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), seq_lens, causal=True,
+            sliding_window=config.sliding_window,
+            interpret=interpret,
+        ).transpose(0, 2, 1, 3).reshape(B, L_pad, H * d)
+        x = x + maybe_psum(linear(attn, block["attn"]["wo"]), tp_axis)
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    last = x[jnp.arange(B), jnp.maximum(seq_lens - 1, 0)]   # [B, h]
+    return _logits(params, last), pool
 
 
 def decode_forward(

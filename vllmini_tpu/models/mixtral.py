@@ -180,6 +180,63 @@ def prefill_forward(
     return _logits(params, x[seq_len - 1]), pool
 
 
+def prefill_batch_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B, L_pad] int32
+    seq_lens: jax.Array,     # [B] int32 true prompt lengths
+    page_tables: jax.Array,  # [B, pages_per_seq_max] int32
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+):
+    """Burst prefill (see `llama.prefill_batch_forward`); the MoE runs on
+    the flattened [B*L] token axis — routing is per-token, so batching is
+    free."""
+    from ..ops.flash_attention import flash_attention_prefill_batch
+    from ..ops.kv_write import write_kv_prefill_batch
+
+    B, L_pad = token_ids.shape
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    positions = jnp.arange(L_pad, dtype=jnp.int32)
+    cos, sin = rope_table(positions, d, config.rope_theta)
+    x = params["embed"][token_ids]                          # [B, L, h]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        q, k, v = _qkv(block, h1, H, Hkv, d)
+        q = apply_rope(q, cos[None, :, None, :], sin[None, :, None, :])
+        k = apply_rope(k, cos[None, :, None, :], sin[None, :, None, :])
+
+        if pool is not None:
+            kv, sc = pool.layer(i)
+            out = write_kv_prefill_batch(kv, k, v, page_tables, seq_lens,
+                                         kv_scales=sc)
+            if pool.quantized:
+                kv, sc = out
+            else:
+                kv = out
+            pool = _update_pool_layer(pool, i, kv, sc)
+
+        attn = flash_attention_prefill_batch(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), seq_lens, causal=True,
+            sliding_window=config.sliding_window,
+            interpret=interpret,
+        ).transpose(0, 2, 1, 3).reshape(B, L_pad, H * d)
+        x = x + maybe_psum(linear(attn, block["attn"]["wo"]), tp_axis)
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        moe_out = _moe(block, h2.reshape(B * L_pad, -1), config,
+                       tp_axis).reshape(B, L_pad, -1)
+        x = x + maybe_psum(moe_out, tp_axis)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    from .llama import _logits
+    last = x[jnp.arange(B), jnp.maximum(seq_lens - 1, 0)]   # [B, h]
+    return _logits(params, last), pool
+
+
 def decode_forward(
     params: Params,
     config: ModelConfig,

@@ -50,18 +50,22 @@ def _flash_kernel(
     mask_value: float,
     sliding_window: int | None = None,
     use_alibi: bool = False,
+    batched: bool = False,
 ):
-    i = pl.program_id(1)   # q block
-    j = pl.program_id(2)   # kv block
-    block_q = q_ref.shape[1]
-    block_kv = k_ref.shape[1]
-    num_kv_blocks = pl.num_programs(2)
-    seq_len = seq_len_ref[0]
+    # Batched (burst prefill) grids lead with a prompt axis; per-prompt true
+    # length comes from seq_len_ref[b] and q_off is 0 (fresh prompts only).
+    off = 1 if batched else 0
+    h = pl.program_id(off)      # q head
+    i = pl.program_id(off + 1)  # q block
+    j = pl.program_id(off + 2)  # kv block
+    block_q = q_ref.shape[-2]
+    block_kv = k_ref.shape[-2]
+    num_kv_blocks = pl.num_programs(off + 2)
+    seq_len = seq_len_ref[pl.program_id(0)] if batched else seq_len_ref[0]
     q_off = q_off_ref[0]
     if use_alibi:
         # Scalar memory is integer-typed; the slope arrives bitcast.
-        slope = jax.lax.bitcast_convert_type(
-            slopes_ref[pl.program_id(0)], jnp.float32)
+        slope = jax.lax.bitcast_convert_type(slopes_ref[h], jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -80,8 +84,9 @@ def _flash_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0].astype(jnp.float32) * sm_scale
-        k = k_ref[0].astype(jnp.float32)
+        q = q_ref[...].reshape(block_q, q_ref.shape[-1]).astype(
+            jnp.float32) * sm_scale
+        k = k_ref[...].reshape(block_kv, k_ref.shape[-1]).astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -109,7 +114,8 @@ def _flash_kernel(
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scratch[...], l_scratch[...] = m_next, l_next
 
-        v = v_ref[0].astype(jnp.float32)
+        v = v_ref[...].reshape(block_kv, v_ref.shape[-1]).astype(
+            jnp.float32)
         acc_scratch[...] = alpha * acc_scratch[...] + jax.lax.dot_general(
             p, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -119,7 +125,8 @@ def _flash_kernel(
     def _():
         l = l_scratch[...]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[...] / l).astype(o_ref.dtype)
+        o_ref[...] = (acc_scratch[...] / l).astype(
+            o_ref.dtype).reshape(o_ref.shape)
 
 
 def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
@@ -147,6 +154,90 @@ def _dense_reference(q, k, v, seq_len, sm_scale, causal, mask_value,
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("hgqk,hkd->hgqd", p, vf)
     return o.reshape(num_q_heads, Lq, head_dim).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "causal", "block_q", "block_kv", "interpret",
+                     "sliding_window", "alibi_slopes"),
+)
+def flash_attention_prefill_batch(
+    q: jax.Array,    # [B, num_q_heads, Lq, head_dim]
+    k: jax.Array,    # [B, num_kv_heads, Lq, head_dim]
+    v: jax.Array,
+    seq_lens: jax.Array,  # [B] int32 true prompt lengths
+    *,
+    sm_scale: float | None = None,
+    causal: bool = True,
+    sliding_window: int | None = None,
+    alibi_slopes: tuple | None = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-prompt burst prefill: B fresh prompts (q_offset 0), one kernel
+    launch, per-prompt length masking via seq_lens. The reference's worst
+    serving bottleneck is prefill serialization on the event loop
+    (`/root/reference/vllmini/server.py:81`); this is the kernel-level half
+    of the batched-admission answer (engine half: `prefill_burst`)."""
+    B, num_q_heads, Lq, head_dim = q.shape
+    num_kv_heads, Lk = k.shape[1], k.shape[2]
+    assert num_q_heads % num_kv_heads == 0
+    group = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim ** -0.5
+    seq_lens = jnp.asarray(seq_lens, jnp.int32)
+    q_off = jnp.zeros(1, jnp.int32)
+    if alibi_slopes is not None:
+        assert len(alibi_slopes) == num_q_heads
+        slopes_i32 = jnp.asarray(
+            np.asarray(alibi_slopes, np.float32).view(np.int32))
+    else:
+        slopes_i32 = jnp.zeros(num_q_heads, jnp.int32)
+
+    if (Lq % block_q != 0 or Lk % block_kv != 0
+            or Lq < block_q or Lk < block_kv):
+        dense = jax.vmap(
+            lambda qb, kb, vb, sl: _dense_reference(
+                qb, kb, vb, sl, sm_scale, causal, DEFAULT_MASK_VALUE,
+                sliding_window=sliding_window, alibi_slopes=alibi_slopes))
+        return dense(q, k, v, seq_lens)
+
+    grid = (B, num_q_heads, Lq // block_q, Lk // block_kv)
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, causal=causal,
+        mask_value=DEFAULT_MASK_VALUE, sliding_window=sliding_window,
+        use_alibi=alibi_slopes is not None, batched=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim),
+                             lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim),
+                             lambda b, h, i, j, *_: (b, h // group, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, head_dim),
+                                   lambda b, h, i, j, *_: (b, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, num_q_heads, Lq, head_dim),
+                                       q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seq_lens, q_off, slopes_i32, q, k, v)
 
 
 @functools.partial(

@@ -287,6 +287,71 @@ def write_kv_prefill(
     return kv_pages
 
 
+def write_kv_prefill_batch(
+    kv_pages: jax.Array,       # [num_pages, 2, page_size, row_width]
+    k_new: jax.Array,          # [B, L_padded, num_kv_heads, head_dim]
+    v_new: jax.Array,
+    page_tables: jax.Array,    # [B, pages_per_seq_max] int32
+    seq_lens: jax.Array,       # [B] int32 — true token count per prompt
+    kv_scales: Optional[jax.Array] = None,
+):
+    """Batched-prompt variant of `write_kv_prefill` (burst admission): B
+    fresh prompts (start_pos 0) land in one flat page loop — one device op
+    instead of B. Padding rows/pages go to the trash page as usual."""
+    B, L = k_new.shape[0], k_new.shape[1]
+    num_pages, _, page_size, row_width = kv_pages.shape
+    H, d = k_new.shape[2], k_new.shape[3]
+    kv_dtype = kv_pages.dtype
+
+    if kv_scales is not None:
+        k_src, k_s = _quantize_tokens(k_new, kv_dtype)
+        v_src, v_s = _quantize_tokens(v_new, kv_dtype)
+    else:
+        k_src = k_new.astype(kv_dtype)
+        v_src = v_new.astype(kv_dtype)
+        k_s = v_s = None
+
+    n_logical = page_tables.shape[1]
+    L_pad = -(-L // page_size) * page_size
+
+    def pad_tokens(x):
+        return jnp.pad(x, ((0, 0), (0, L_pad - L)) +
+                       ((0, 0),) * (x.ndim - 2))
+
+    def rows(x):  # [B, L_pad, H, d] -> [B, n_pg, page_size, row_width]
+        flat = x.reshape(B, L_pad, H * d)
+        if H * d < row_width:
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, row_width - H * d)))
+        return flat.reshape(B, -1, page_size, row_width)
+
+    kv_pg = jnp.stack([rows(pad_tokens(k_src)), rows(pad_tokens(v_src))],
+                      axis=2)                  # [B, n_pg, 2, ps, W]
+    if k_s is not None:
+        sc_pg = jnp.stack(
+            [pad_tokens(k_s).reshape(B, -1, page_size, H),
+             pad_tokens(v_s).reshape(B, -1, page_size, H)], axis=2)
+    n_pg = kv_pg.shape[1]
+    trash = num_pages - 1
+
+    def body(j, carry):
+        kv, sc = carry
+        b, p = j // n_pg, j % n_pg
+        page = jnp.clip(page_tables[b, jnp.minimum(p, n_logical - 1)],
+                        0, trash)
+        page = jnp.where((p * page_size) < seq_lens[b], page, trash)
+        start = (page, 0, 0, 0)
+        kv = jax.lax.dynamic_update_slice(kv, kv_pg[b, p][None], start)
+        if sc is not None:
+            sc = jax.lax.dynamic_update_slice(sc, sc_pg[b, p][None], start)
+        return kv, sc
+
+    kv_pages, kv_scales = jax.lax.fori_loop(
+        0, B * n_pg, body, (kv_pages, kv_scales))
+    if kv_scales is not None:
+        return kv_pages, kv_scales
+    return kv_pages
+
+
 def copy_pages(
     pages: jax.Array,        # [num_pages, ...] (data or scales)
     src_indices: jax.Array,  # [n] int32

@@ -115,6 +115,8 @@ def shard_params_gpt2(params: Dict[str, Any], config: ModelConfig,
         "wte": put(params["wte"], rep),
         "wpe": put(params["wpe"], rep),
         "ln_f": jax.tree_util.tree_map(lambda x: put(x, rep), params["ln_f"]),
+        # Untied (possibly quantized) head from gpt2.untie_lm_head.
+        "lm_head": put(params.get("lm_head"), rep),
         "blocks": [],
     }
     H, d = config.num_heads, config.head_size

@@ -139,6 +139,12 @@ def main(argv=None):
 
             params = get_family(config.model).init_params(
                 config.model, jax.random.PRNGKey(config.seed))
+        if config.model.family == "gpt2":
+            # Tied-head models: split the head off the embedding table so it
+            # quantizes too (the logits matmul streams the whole table every
+            # step; the embedding gather stays full precision).
+            from ..models.gpt2 import untie_lm_head
+            params = untie_lm_head(params)
         params = quantize_params(params, config.quant,
                                  model_config=config.model)
 
