@@ -84,20 +84,29 @@ def main():
     chunk = int(os.environ.get("VLLMINI_BENCH_CHUNK", "16"))
     depth = int(os.environ.get("VLLMINI_BENCH_DEPTH", "4"))
     ps = int(os.environ.get("VLLMINI_BENCH_PS", "32"))
+    tp = int(os.environ.get("VLLMINI_BENCH_TP", "1"))  # docs/RUNBOOK_v5e8.md
+    # VLLMINI_BENCH_SPEC=S enables n-gram speculative decoding (S drafts per
+    # step, bit-identical output). Greedy decode on random-init weights
+    # settles into cycles, so this measures the FAVORABLE-acceptance regime —
+    # the acceptance rate is reported alongside so the number reads honestly.
+    spec = int(os.environ.get("VLLMINI_BENCH_SPEC", "0"))
     params = None
     if model_name == "llama3-8b":
         # BASELINE config 3 on one chip: INT4 weight-only + INT8 paged KV
         # (8B bf16 would not fit 16 GB HBM; int4 payload+scales ~5 GB).
+        # Config 4 on a v5e-8: VLLMINI_BENCH_WQ=w8a8 VLLMINI_BENCH_KV=fp8
+        # VLLMINI_BENCH_TP=8 (see docs/RUNBOOK_v5e8.md).
         model = ModelConfig.llama3_8b(dtype="bfloat16")
         quant = QuantConfig(weight_dtype=os.environ.get(
             "VLLMINI_BENCH_WQ", "int4"))
-        kv_dtype = "int8"
-        ps = max(ps, 32)  # int8 sublane tile
+        kv_dtype = os.environ.get("VLLMINI_BENCH_KV", "int8")
+        ps = max(ps, 32)  # int8/fp8 sublane tile
         cache = CacheConfig(num_pages=max(256, slots * 1024 // ps),
                             page_size=ps, max_pages_per_seq=1024 // ps,
                             kv_dtype=kv_dtype)
         params = build_quantized_llama(model, quant)
-        desc = f"llama3-8b {quant.weight_dtype} weights, paged KV int8"
+        desc = (f"llama3-8b {quant.weight_dtype} weights, "
+                f"paged KV {kv_dtype}")
     elif model_name == "gpt2-int8":
         # VERDICT r3 #3: the headline model with quantized weights + KV —
         # int8 blocks, int8 untied lm_head (the tied wte head streams
@@ -140,13 +149,16 @@ def main():
             max_pages_per_seq=1024 // ps,
             kv_dtype="bfloat16" if on_tpu else "float32")
         desc = "gpt2-124m bf16, paged KV bf16"
+    from vllmini_tpu.config import ParallelConfig
     config = EngineConfig(
         model=model,
         cache=cache,
         scheduler=SchedulerConfig(max_decode_slots=slots,
                                   decode_chunk_steps=chunk,
                                   pipeline_depth=depth,
-                                  prefill_buckets=(64, 128, 256)),
+                                  prefill_buckets=(64, 128, 256),
+                                  speculative_tokens=spec),
+        parallel=ParallelConfig(tensor_parallel=tp),
         hf_model=None,
     )
     engine = LLMEngine(config, params=params)
@@ -220,7 +232,10 @@ def main():
     kv_item = jnp.dtype(config.cache.jnp_kv_dtype).itemsize
     ctx = prompt_len + chunk * (warm_chunks + windows * bench_chunks // 2)
     kv_bytes = (2 * m.num_layers * m.kv_heads * m.head_size * ctx * kv_item)
-    step_bytes = weight_bytes + slots * kv_bytes
+    # Under TP both weights and the (head-lane-sharded) KV pool split across
+    # chips; the per-chip stream sets the step floor (all-reduces ride ICI in
+    # parallel and are not charged to HBM — see docs/RUNBOOK_v5e8.md).
+    step_bytes = (weight_bytes + slots * kv_bytes) / max(1, tp)
     roofline_step_s = step_bytes / bw
     roofline_tok_s = slots / roofline_step_s
 
@@ -238,6 +253,8 @@ def main():
         "steps_per_s": round(steps_s_med, 2),
         "chunk_steps": chunk,
     }
+    if spec:
+        result.update(engine.spec_stats())
     print(json.dumps(result))
 
 

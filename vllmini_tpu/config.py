@@ -288,6 +288,18 @@ class SchedulerConfig:
     # Prompts with a prefix-cache hit, fork groups (n>1), and prompts
     # longer than the largest prefill bucket always take the serial path.
     prefill_burst: int = 8
+    # Speculative decoding (n-gram / prompt-lookup drafting): each decode
+    # step drafts up to `speculative_tokens` continuations by matching the
+    # last `speculative_ngram` committed tokens against the sequence's own
+    # history (device-resident, no host sync, no draft model) and verifies
+    # draft + bonus token in ONE weight stream. Output is BIT-IDENTICAL to
+    # plain decoding (greedy and seeded sampling alike): a draft is accepted
+    # only when it equals the token the verifier sampled at that position.
+    # 0 disables. Weight-bound decode (large model, small batch) gains up to
+    # (1 + accepted)/step; adversarial text degenerates to 1 token/step
+    # plus the (cheap, batched) rejected-verify work.
+    speculative_tokens: int = 0
+    speculative_ngram: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -75,6 +75,12 @@ class DecodeState:
     top_ks: jax.Array        # [B] i32
     top_ps: jax.Array        # [B] f32
     seeds: jax.Array         # [B] u32 — per-request RNG stream seed
+    # Committed token history (prompt + generated), device-resident so the
+    # speculative n-gram proposer never syncs with the host. Only the first
+    # tokens_in_kv entries are meaningful.
+    token_buf: jax.Array     # [B, CAP] i32
+    spec_emitted: jax.Array  # [B] i32 — tokens emitted by spec steps
+    spec_steps: jax.Array    # [B] i32 — spec verify steps taken
 
 
 def make_decode_state(batch: int, out_cap: int) -> DecodeState:
@@ -95,7 +101,51 @@ def make_decode_state(batch: int, out_cap: int) -> DecodeState:
         top_ks=z(),
         top_ps=jnp.ones(batch, jnp.float32),
         seeds=jnp.zeros(batch, jnp.uint32),
+        token_buf=jnp.zeros((batch, out_cap), jnp.int32),
+        spec_emitted=z(),
+        spec_steps=z(),
     )
+
+
+def _propose_ngram(token_buf: jax.Array, T: jax.Array, last_token: jax.Array,
+                   *, n: int, S: int) -> jax.Array:
+    """Prompt-lookup drafting, fully on device: for each row, find the most
+    recent earlier occurrence of the current n-gram suffix (the last n-1
+    committed tokens + the pending `last_token`) in the row's own history
+    and propose the S tokens that followed it.
+
+    Draft QUALITY is free to be garbage — acceptance compares each draft
+    against the token the verifier actually samples, so a bad draft only
+    costs the (batched) rejected verify work, never correctness. Returns
+    [B, S] token ids (0-filled when no match)."""
+    B, cap = token_buf.shape
+    idx = jnp.arange(cap, dtype=jnp.int32)[None]            # [1, cap]
+    m = jnp.ones((B, cap), bool)
+    for k in range(n):
+        if k == 0:
+            s_k = last_token                                # suffix end
+        else:
+            s_k = token_buf[jnp.arange(B), jnp.clip(T - k, 0, cap - 1)]
+        if k:
+            shifted = jnp.pad(token_buf, ((0, 0), (k, 0)))[:, :cap]
+        else:
+            shifted = token_buf
+        m &= shifted == s_k[:, None]
+    valid = (idx >= n - 1) & (idx <= T[:, None] - 1) & (T[:, None] >= n)
+    # Prefer the most recent match whose FULL S-token continuation is
+    # committed history: on a self-similar stream the most recent match sits
+    # at T-1 and its continuation is the unwritten region (all zeros — the
+    # exact case drafting exists for would propose nothing). Fall back to
+    # any match (partial continuation, tail masked to 0).
+    p_full = jnp.max(jnp.where(m & valid & (idx <= T[:, None] - 1 - S),
+                               idx, -1), axis=1)            # [B]
+    p_any = jnp.max(jnp.where(m & valid, idx, -1), axis=1)  # [B]
+    p = jnp.where(p_full >= 0, p_full, p_any)
+    gather = p[:, None] + 1 + jnp.arange(S, dtype=jnp.int32)[None]
+    drafts = jnp.take_along_axis(token_buf, jnp.clip(gather, 0, cap - 1),
+                                 axis=1)
+    committed = gather <= T[:, None] - 1
+    return jnp.where((p[:, None] >= 0) & committed, drafts, 0)
 
 
 class SwappedKV:
@@ -216,6 +266,22 @@ class LLMEngine:
         if bm >= 2:
             self.burst_buckets.append(bm)
 
+        # Speculative decoding (n-gram drafting, SchedulerConfig docs): each
+        # chunk step verifies 1 + speculative_tokens positions in one weight
+        # stream; output is bit-identical to plain decoding.
+        self.spec_tokens = config.scheduler.speculative_tokens
+        self.spec_ngram = max(1, config.scheduler.speculative_ngram)
+        if self.spec_tokens > 0 and self.family.decode_verify_forward is None:
+            raise ValueError(
+                f"family {self.family.name} has no decode_verify_forward; "
+                "set speculative_tokens=0")
+        if self.spec_tokens > config.cache.page_size:
+            # write_kv_spec patches at most TWO pages per sequence, which
+            # holds iff S+1 consecutive positions span <= 2 pages.
+            raise ValueError(
+                f"speculative_tokens ({self.spec_tokens}) must be <= "
+                f"page_size ({config.cache.page_size})")
+
         # Sliding-window models get a RING allocator: pages fully below the
         # window are recycled, so steady-state usage per sequence is bounded
         # however long the generation. The ring must be wide enough that no
@@ -224,11 +290,16 @@ class LLMEngine:
         # prefill writes a whole chunk (chunk_pages pages) before gathering
         # the pool-resident prefix, so the ring is sized
         # ceil(window/ps) + chunk_pages (ADVICE r2: the +1 ring aliased
-        # chunk writes onto live prefix pages).
+        # chunk writes onto live prefix pages). A speculative step writes
+        # up to spec_tokens positions past the committed length — widen the
+        # ring by the extra page that can touch.
         window = config.model.sliding_window
+        spec_ring_extra = (-(-self.spec_tokens // ps)
+                           if self.spec_tokens else 0)
         self.window_pages = (
             -(-window // config.cache.page_size)
-            + max(1, self.prefill_chunk // ps) if window else None)
+            + max(1 + spec_ring_extra, self.prefill_chunk // ps)
+            if window else None)
         self.allocators = [
             make_allocator(config.cache.num_pages, config.cache.page_size,
                            config.cache.max_pages_per_seq,
@@ -287,8 +358,10 @@ class LLMEngine:
         # per-chunk snapshot after later chunks are dispatched (pipelining).
         # `slot` is a traced scalar: one compile per prompt bucket, not per
         # bucket x slot (which made first-token latency scale with slot count).
+        chunk_impl = (self._chunk_spec_impl if self.spec_tokens
+                      else self._chunk_impl)
         if self.mesh is None:
-            self._chunk_fn = jax.jit(self._chunk_impl, donate_argnums=(1,),
+            self._chunk_fn = jax.jit(chunk_impl, donate_argnums=(1,),
                                      static_argnames=("steps",))
             self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,),
                                        static_argnames=("prefix_tokens",))
@@ -317,7 +390,7 @@ class LLMEngine:
             def chunk_sharded(params, pool, state, tables, budget, *,
                               steps: int):
                 inner = jax.shard_map(
-                    lambda *a: self._chunk_impl(*a, steps=steps),
+                    lambda *a: chunk_impl(*a, steps=steps),
                     mesh=self.mesh,
                     in_specs=(pspecs, poolspecs, stspecs, tspec, bspec),
                     out_specs=(poolspecs, stspecs),
@@ -338,7 +411,7 @@ class LLMEngine:
                                               slot_base=base,
                                               prefix_tokens=prefix_tokens)
                 # operand 2 of *rest is the per-replica table row [dp, pps].
-                rspecs = (P(), P(), tspec) + (P(),) * 8
+                rspecs = (P(), P(), tspec) + (P(),) * 9
                 inner = jax.shard_map(
                     inner_fn,
                     mesh=self.mesh,
@@ -365,7 +438,7 @@ class LLMEngine:
                                                     *rest, slot_base=base)
                 # operand 2 of *rest is the per-replica table block
                 # [dp, B, pps]; everything else is replicated.
-                rspecs = (P(), P(), P(DATA_AXIS, None, None)) + (P(),) * 8
+                rspecs = (P(), P(), P(DATA_AXIS, None, None)) + (P(),) * 9
                 inner = jax.shard_map(
                     inner_fn,
                     mesh=self.mesh,
@@ -484,10 +557,96 @@ class LLMEngine:
             body, (pool, state, step_budget), None, length=steps)
         return pool, state
 
+    def _chunk_spec_impl(self, params, pool, state: DecodeState, page_tables,
+                         step_budget, *, steps: int):
+        """Speculative-decoding chunk: each iteration drafts S tokens per
+        slot by n-gram lookup over the slot's own (device-resident) token
+        history, verifies fed-token + drafts in ONE weight stream, and
+        commits the accepted prefix plus the bonus sample. Bit-identical to
+        `_chunk_impl`'s output for greedy AND seeded sampling: position i's
+        sample uses the same (seed, position) fold, and a draft is accepted
+        only when it EQUALS that sample — so the committed stream is exactly
+        the serial one, just produced up to S+1 tokens per weight stream.
+        Reference has no analog; vLLM ships this as ngram/prompt-lookup
+        speculative decoding."""
+        S, n = self.spec_tokens, self.spec_ngram
+        S1 = S + 1
+
+        def body(carry, _):
+            pool, st, budget = carry
+            can_step = st.active & (budget > 0)
+            B = st.last_token.shape[0]
+            ar = jnp.arange(B)
+            T = st.tokens_in_kv
+            drafts = _propose_ngram(st.token_buf, T, st.last_token,
+                                    n=n, S=S)                    # [B, S]
+            fed = jnp.concatenate([st.last_token[:, None], drafts],
+                                  axis=1)                        # [B, S1]
+            positions = T[:, None] + jnp.arange(S1, dtype=jnp.int32)
+            logits, pool = self.family.decode_verify_forward(
+                params, self.local_model, pool, fed, positions, page_tables,
+                can_step, interpret=self.interpret, tp_axis=self._tp_axis)
+            V = logits.shape[-1]
+            g = sample_tokens(
+                logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
+                positions.reshape(-1), jnp.repeat(st.temps, S1),
+                jnp.repeat(st.top_ks, S1),
+                jnp.repeat(st.top_ps, S1)).reshape(B, S1)
+
+            steps_allowed = jnp.minimum(budget, S1)
+            out_buf, token_buf = st.out_buf, st.token_buf
+            out_count, tokens_in_kv = st.out_count, st.tokens_in_kv
+            last_token = st.last_token
+            finished_any = jnp.zeros(B, bool)
+            emitted_total = jnp.zeros(B, jnp.int32)
+            cont = can_step
+            for i in range(S1):
+                emit = cont & (i < steps_allowed)
+                gi = g[:, i]
+                is_stop = jnp.any(gi[:, None] == st.stop_tokens, axis=1)
+                store = emit & ~is_stop
+                oidx = jnp.minimum(out_count, out_buf.shape[1] - 1)
+                out_buf = out_buf.at[ar, oidx].set(
+                    jnp.where(store, gi, out_buf[ar, oidx]))
+                out_count = out_count + store.astype(jnp.int32)
+                # Fed token i is committed at position T+i.
+                tidx = jnp.clip(T + i, 0, token_buf.shape[1] - 1)
+                token_buf = token_buf.at[ar, tidx].set(
+                    jnp.where(emit, fed[:, i], token_buf[ar, tidx]))
+                tokens_in_kv = tokens_in_kv + emit.astype(jnp.int32)
+                last_token = jnp.where(emit, gi, last_token)
+                hit_max = out_count >= st.max_new
+                hit_cap = (tokens_in_kv + 1) > st.total_cap
+                fin = emit & (is_stop | hit_max | hit_cap)
+                finished_any |= fin
+                emitted_total = emitted_total + emit.astype(jnp.int32)
+                if i + 1 < S1:
+                    cont = emit & ~fin & (fed[:, i + 1] == gi)
+
+            st = dataclasses.replace(
+                st, last_token=last_token, tokens_in_kv=tokens_in_kv,
+                active=st.active & ~finished_any, out_buf=out_buf,
+                out_count=out_count, token_buf=token_buf,
+                spec_emitted=st.spec_emitted + emitted_total,
+                spec_steps=st.spec_steps + can_step.astype(jnp.int32))
+            return pool, st, budget - emitted_total
+
+        # while_loop, not scan: a verify step can emit up to S+1 tokens, so
+        # the chunk's token budget may be spent in far fewer iterations —
+        # once nothing can step, further iterations would still stream all
+        # weights just to mask their effects.
+        def cond(carry):
+            _, st, budget = carry
+            return jnp.any(st.active & (budget > 0))
+
+        pool, state, _ = jax.lax.while_loop(
+            cond, lambda c: body(c, None), (pool, state, step_budget))
+        return pool, state
+
     def _prefill_impl(self, params, pool, state: DecodeState, token_ids,
                       seq_len, page_table, seeds, temp, top_k, top_p,
-                      max_new, stop_tokens, total_cap, slots, slot_base=0,
-                      prefix_tokens: int = 0):
+                      max_new, stop_tokens, total_cap, slots, all_tokens,
+                      slot_base=0, prefix_tokens: int = 0):
         """Run the prompt once; insert into `slots` (F of them — slot 0 is
         the parent, the rest are COW forks for n-best sampling), each with
         its own first token sampled from the SHARED prefill logits under its
@@ -540,13 +699,15 @@ class LLMEngine:
                 top_ks=upd(state.top_ks, top_k),
                 top_ps=upd(state.top_ps, top_p),
                 seeds=upd(state.seeds, seeds[i]),
+                token_buf=state.token_buf.at[slot].set(jnp.where(
+                    valid, all_tokens, state.token_buf[slot])),
             )
         return pool, state
 
     def _prefill_batch_impl(self, params, pool, state: DecodeState,
                             token_ids, seq_lens, page_tables, seeds, temps,
                             top_ks, top_ps, max_news, stop_tokens,
-                            total_cap, slots, slot_base=0):
+                            total_cap, slots, all_tokens, slot_base=0):
         """Burst prefill: B fresh prompts (no prefix, no forks) in ONE
         device call — batched flash kernel, flat batched KV write, one
         sampling call. Rows with slot -1 are padding (seq_len 0, sentinel
@@ -591,6 +752,8 @@ class LLMEngine:
                 top_ks=upd(state.top_ks, top_ks[b]),
                 top_ps=upd(state.top_ps, top_ps[b]),
                 seeds=upd(state.seeds, seeds[b]),
+                token_buf=state.token_buf.at[slot].set(jnp.where(
+                    valid, all_tokens[b], state.token_buf[slot])),
             )
         return pool, state
 
@@ -720,12 +883,19 @@ class LLMEngine:
             alloc.fork(seq.seq_id, child.seq_id)
             self.seq_replica[child.seq_id] = replica
             child.rng_seed = int(seeds[1 + i])
+        # Full committed-token row for the device-resident history buffer
+        # (speculative n-gram drafting reads it; one small upload per
+        # prefill either way).
+        all_tokens = np.zeros(self.max_context, np.int32)
+        all_tokens[:min(L, self.max_context)] = \
+            seq.prompt_ids[:self.max_context]
         kw = dict(slots=slots, padded=padded, length=rem,
                   table_row=table_row, prefix_tokens=start,
                   temp=np.float32(0.0 if s.greedy else s.temperature),
                   top_k=np.int32(s.top_k), top_p=np.float32(s.top_p),
                   max_new=np.int32(remaining), stops=stops,
-                  total_cap=np.int32(total_cap), seeds=seeds)
+                  total_cap=np.int32(total_cap), seeds=seeds,
+                  all_tokens=all_tokens)
         self._emit("prefill", **kw)
         self.exec_prefill(**kw)
         seq.tokens_in_kv = L
@@ -763,7 +933,7 @@ class LLMEngine:
         return jnp.asarray(rows)
 
     def exec_prefill(self, slots, padded, length, table_row, temp, top_k,
-                     top_p, max_new, stops, total_cap, seeds,
+                     top_p, max_new, stops, total_cap, seeds, all_tokens,
                      prefix_tokens=0) -> None:
         self._tables_host[int(slots[0])] = table_row
         self._tables_dirty = True
@@ -776,6 +946,7 @@ class LLMEngine:
             jnp.float32(temp), jnp.int32(top_k), jnp.float32(top_p),
             jnp.int32(max_new), jnp.asarray(stops),
             jnp.int32(total_cap), jnp.asarray(slots, jnp.int32),
+            jnp.asarray(all_tokens),
             prefix_tokens=int(prefix_tokens))
 
     def exec_prefill_chunk(self, padded, length, table_row, prefix_tokens,
@@ -842,6 +1013,7 @@ class LLMEngine:
         lens = np.zeros(B, np.int32)
         tables = np.full((B, self.pages_per_seq_max), sentinel, np.int32)
         slots_arr = np.full(B, -1, np.int32)
+        all_tokens = np.zeros((B, self.max_context), np.int32)
         seeds = np.zeros(B, np.uint32)
         temps = np.zeros(B, np.float32)
         top_ks = np.zeros(B, np.int32)
@@ -854,6 +1026,8 @@ class LLMEngine:
             L = len(seq.prompt_ids)
             padded[b, :L] = seq.prompt_ids
             lens[b] = L
+            all_tokens[b, :min(L, self.max_context)] = \
+                seq.prompt_ids[:self.max_context]
             tables[b] = self.alloc_of_slot(slot).padded_table(seq.seq_id)
             slots_arr[b] = slot
             s = seq.sampling
@@ -870,7 +1044,7 @@ class LLMEngine:
         kw = dict(padded=padded, lens=lens, tables=tables, slots=slots_arr,
                   seeds=seeds, temps=temps, top_ks=top_ks, top_ps=top_ps,
                   max_news=max_news, stops=stops,
-                  total_cap=np.int32(total_cap))
+                  total_cap=np.int32(total_cap), all_tokens=all_tokens)
         self._emit("prefill_burst", **kw)
         self.exec_prefill_burst(**kw)
         for seq, slot in items:
@@ -898,8 +1072,8 @@ class LLMEngine:
         return jnp.asarray(rows)
 
     def exec_prefill_burst(self, padded, lens, tables, slots, seeds, temps,
-                           top_ks, top_ps, max_news, stops,
-                           total_cap) -> None:
+                           top_ks, top_ps, max_news, stops, total_cap,
+                           all_tokens) -> None:
         for b in range(len(slots)):
             if slots[b] >= 0:
                 self._tables_host[int(slots[b])] = tables[b]
@@ -910,7 +1084,8 @@ class LLMEngine:
             jnp.asarray(seeds, jnp.uint32), jnp.asarray(temps),
             jnp.asarray(top_ks), jnp.asarray(top_ps),
             jnp.asarray(max_news), jnp.asarray(stops),
-            jnp.int32(total_cap), jnp.asarray(slots, jnp.int32))
+            jnp.int32(total_cap), jnp.asarray(slots, jnp.int32),
+            jnp.asarray(all_tokens))
 
     def exec_cow(self, src: int, dst: int, replica: int = 0) -> None:
         """Device-side page duplication for copy-on-write (the TPU
@@ -977,6 +1152,19 @@ class LLMEngine:
              st.last_token))
         return StateSummary(np.asarray(tk), np.asarray(ac), np.asarray(oc),
                             np.asarray(ob), np.asarray(lt))
+
+    def spec_stats(self) -> dict:
+        """Speculative-decoding acceptance counters (lifetime, all slots).
+        One small device_get; {} when drafting is disabled."""
+        if self.spec_tokens <= 0:
+            return {}
+        em, st = jax.device_get((self.state.spec_emitted,
+                                 self.state.spec_steps))
+        emitted, steps = int(np.sum(em)), int(np.sum(st))
+        return {"spec_tokens_emitted": emitted,
+                "spec_verify_steps": steps,
+                "spec_tokens_per_step":
+                    round(emitted / steps, 3) if steps else 0.0}
 
     def sync_slot(self, seq: Sequence) -> None:
         """Pull one slot's device state into the host Sequence (used before
@@ -1131,7 +1319,11 @@ class LLMEngine:
         gen = seq.generated_ids()
         out_buf_row = np.zeros(self.state.out_buf.shape[1], np.int32)
         out_buf_row[: len(gen)] = gen
+        all_ids = seq.all_token_ids()[: self.max_context]
+        token_row = np.zeros(self.state.token_buf.shape[1], np.int32)
+        token_row[: len(all_ids)] = all_ids
         kw = dict(
+            token_row=token_row,
             seq_id=seq.seq_id, slot=slot, pages=pages,
             replica=np.int32(self.replica_of_slot(slot)),
             table_row=alloc.padded_table(seq.seq_id),
@@ -1151,7 +1343,7 @@ class LLMEngine:
 
     def exec_swap_in(self, seq_id, slot, pages, table_row, last_token,
                      tokens_in_kv, out_buf_row, out_count, max_new, stops,
-                     total_cap, temp, top_k, top_p, seed,
+                     total_cap, temp, top_k, top_p, seed, token_row,
                      replica=0) -> None:
         sw = self._swapped.pop(seq_id)
         idx = jnp.asarray(self._globalize_pages(pages, int(replica)),
@@ -1190,6 +1382,7 @@ class LLMEngine:
             top_ks=st.top_ks.at[slot].set(jnp.int32(top_k)),
             top_ps=st.top_ps.at[slot].set(jnp.float32(top_p)),
             seeds=st.seeds.at[slot].set(jnp.uint32(seed)),
+            token_buf=st.token_buf.at[slot].set(jnp.asarray(token_row)),
         )
         self._tables_host[slot] = table_row
         self._tables_dirty = True

@@ -99,6 +99,39 @@ def paged_decode_attention(pool, layer_idx: int, q, k, v, positions,
     return attn, pool.with_layer(layer_idx, kv, sc)
 
 
+def paged_spec_attention(pool, layer_idx: int, q, k, v, positions,
+                         page_tables, active, *, num_kv_heads: int,
+                         sliding_window=None, interpret: bool = False):
+    """Speculative-verify attention: S1 consecutive tokens per sequence.
+
+    q/k/v: [B, S1, H(kv), d]; positions: [B, S1] (consecutive per row).
+    All S1 tokens' K/V are written first (`write_kv_spec` — multi-token page
+    RMW), then each token attends as its own VIRTUAL batch row over the
+    shared page table with seq_len = position + 1: causality within the
+    draft run falls out of the per-row length, and the weight-streaming
+    matmuls outside process B*S1 tokens in one pass — the speculative win
+    on a weight-bound decode step. Returns (attn [B, S1, H, d], pool)."""
+    from ..ops.kv_write import write_kv_spec
+    from ..ops.paged_attention import paged_attention
+
+    B, S1, H, d = q.shape
+    kv, sc = pool.layer(layer_idx)
+    out = write_kv_spec(kv, k, v, positions[:, 0], page_tables, active,
+                        kv_scales=sc, interpret=interpret)
+    if sc is not None:
+        kv, sc = out
+    else:
+        kv = out
+    lens = jnp.where(active[:, None], positions + 1, 0).reshape(-1)
+    attn = paged_attention(q.reshape(B * S1, H, d), kv, lens,
+                           jnp.repeat(page_tables, S1, axis=0),
+                           kv_scales=sc,
+                           sliding_window=sliding_window,
+                           num_kv_heads=num_kv_heads,
+                           interpret=interpret)
+    return attn.reshape(B, S1, H, d), pool.with_layer(layer_idx, kv, sc)
+
+
 def maybe_psum(x: jax.Array, axis: Optional[str]) -> jax.Array:
     """All-reduce partial sums across the tensor-parallel axis (no-op when
     unsharded). Used after row-parallel projections (attn out-proj, MLP

@@ -333,3 +333,44 @@ def decode_forward(
                    config.layer_norm_eps)
     logits = _logits(params, x)
     return logits, pool
+
+
+def decode_verify_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B, S1] — fed token + S drafts
+    positions: jax.Array,    # [B, S1] — consecutive per row
+    page_tables: jax.Array,  # [B, pages_per_seq_max]
+    active: jax.Array,       # [B] bool
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+):
+    """Speculative-decoding verify (see llama.decode_verify_forward)."""
+    from .common import paged_spec_attention
+
+    B, S1 = token_ids.shape
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    safe_pos = jnp.clip(positions, 0, config.max_position_embeddings - 1)
+    x = params["wte"][token_ids] + params["wpe"][safe_pos]  # [B, S1, h]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = layer_norm(x, block["ln_1"]["g"], block["ln_1"]["b"],
+                        config.layer_norm_eps)
+        qkv = linear(h1, block["attn"]["c_attn_w"], block["attn"]["c_attn_b"])
+        q, k, v = _split_qkv(qkv, H, Hkv, d)                # [B, S1, heads, d]
+
+        attn, pool = paged_spec_attention(
+            pool, i, q, k, v, positions, page_tables, active,
+            num_kv_heads=Hkv, interpret=interpret)
+        x = x + maybe_psum(
+            linear(attn.reshape(B, S1, H * d), block["attn"]["c_proj_w"],
+                   block["attn"]["c_proj_b"]), tp_axis)
+        h2 = layer_norm(x, block["ln_2"]["g"], block["ln_2"]["b"],
+                        config.layer_norm_eps)
+        x = x + maybe_psum(_mlp(block, h2), tp_axis)
+
+    x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"],
+                   config.layer_norm_eps)
+    return _logits(params, x), pool

@@ -274,3 +274,49 @@ def decode_forward(
     x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
     from .llama import _logits
     return _logits(params, x), pool
+
+
+def decode_verify_forward(
+    params: Params,
+    config: ModelConfig,
+    pool: KVPool,
+    token_ids: jax.Array,    # [B, S1]
+    positions: jax.Array,    # [B, S1]
+    page_tables: jax.Array,  # [B, pages_per_seq_max]
+    active: jax.Array,       # [B] bool
+    *,
+    interpret: bool = False,
+    tp_axis: str | None = None,
+):
+    """Speculative-decoding verify (see llama.decode_verify_forward);
+    the MoE routes on the flattened [B*S1] token axis."""
+    from .common import paged_spec_attention
+
+    B, S1 = token_ids.shape
+    H, Hkv, d = config.num_heads, config.kv_heads, config.head_size
+    cos, sin = rope_table(positions.reshape(-1), d, config.rope_theta)
+    cos = cos.reshape(B, S1, 1, -1)
+    sin = sin.reshape(B, S1, 1, -1)
+    x = params["embed"][token_ids]
+
+    for i, block in enumerate(params["blocks"]):
+        h1 = rms_norm(x, block["input_norm"], config.layer_norm_eps)
+        q, k, v = _qkv(block, h1, H, Hkv, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn, pool = paged_spec_attention(
+            pool, i, q, k, v, positions, page_tables, active,
+            num_kv_heads=Hkv, sliding_window=config.sliding_window,
+            interpret=interpret)
+        x = x + maybe_psum(
+            linear(attn.reshape(B, S1, H * d), block["attn"]["wo"]),
+            tp_axis)
+        h2 = rms_norm(x, block["post_attn_norm"], config.layer_norm_eps)
+        moe_out = _moe(block, h2.reshape(B * S1, -1), config,
+                       tp_axis).reshape(B, S1, -1)
+        x = x + maybe_psum(moe_out, tp_axis)
+
+    x = rms_norm(x, params["norm_f"], config.layer_norm_eps)
+    from .llama import _logits
+    return _logits(params, x), pool

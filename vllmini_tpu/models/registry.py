@@ -24,22 +24,26 @@ class ModelFamily:
     # Burst admission: B fresh prompts in one device call (None -> the
     # engine falls back to serial prefill for this family).
     prefill_batch_forward: Callable[..., Any] | None = None
+    # Speculative decoding: score S1 tokens per sequence in one weight
+    # stream (None -> speculative_tokens unsupported for this family).
+    decode_verify_forward: Callable[..., Any] | None = None
 
 
 _FAMILIES = {
     "gpt2": ModelFamily(
         "gpt2", gpt2.init_params, gpt2.prefill_forward, gpt2.decode_forward,
         gpt2_params_from_state_dict, gpt2.prefill_batch_forward,
+        gpt2.decode_verify_forward,
     ),
     "llama": ModelFamily(
         "llama", llama.init_params, llama.prefill_forward,
         llama.decode_forward, llama_params_from_state_dict,
-        llama.prefill_batch_forward,
+        llama.prefill_batch_forward, llama.decode_verify_forward,
     ),
     "mixtral": ModelFamily(
         "mixtral", mixtral.init_params, mixtral.prefill_forward,
         mixtral.decode_forward, mixtral_params_from_state_dict,
-        mixtral.prefill_batch_forward,
+        mixtral.prefill_batch_forward, mixtral.decode_verify_forward,
     ),
 }
 

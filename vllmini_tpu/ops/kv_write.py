@@ -207,6 +207,163 @@ def write_kv_decode(
     return kv_pages
 
 
+def _spec_write_kernel(pages_ref, offsets_ref, k_new, v_new,
+                       kv_in, kv_out, kv_buf, sem, *,
+                       group: int, s1: int):
+    """RMW write of S1 CONSECUTIVE tokens per sequence (speculative-decode
+    verify). Consecutive positions span at most two pages, so each sequence
+    pulls (up to) two pages whole, patches every token routed to each page,
+    and pushes both back — unlike `_decode_write_kernel`, two tokens landing
+    in the SAME page both survive (that kernel gives each token a private
+    page copy; last writeback would win)."""
+    del kv_in  # aliased with the output
+    g = pl.program_id(0)
+
+    def copies(direction_in: bool):
+        out = []
+        for b in range(group):
+            for p in range(2):
+                page = pages_ref[g * group + b, p]
+                src, dst = kv_out.at[page], kv_buf.at[b, p]
+                if direction_in:
+                    out.append(pltpu.make_async_copy(src, dst, sem))
+                else:
+                    out.append(pltpu.make_async_copy(dst, src, sem))
+        return out
+
+    for c in copies(True):
+        c.start()
+    for c in copies(True):
+        c.wait()
+
+    page_size, row_width = kv_buf.shape[3], kv_buf.shape[4]
+    row = jax.lax.broadcasted_iota(jnp.int32, (page_size, row_width), 0)
+    for b in range(group):
+        for p in range(2):
+            for j in range(s1):
+                # offsets_ref[b, j] encodes (page-select p, row offset) as
+                # p * page_size + offset; invalid tokens carry -1.
+                hit = row == (offsets_ref[g * group + b, j] - p * page_size)
+                kv_buf[b, p, 0] = jnp.where(hit, k_new[b, j],
+                                            kv_buf[b, p, 0])
+                kv_buf[b, p, 1] = jnp.where(hit, v_new[b, j],
+                                            kv_buf[b, p, 1])
+
+    for c in copies(False):
+        c.start()
+    for c in copies(False):
+        c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_kv_spec_rows(kv_pages, k_rows, v_rows, pages, offsets,
+                        *, interpret: bool = False):
+    batch, s1 = k_rows.shape[0], k_rows.shape[1]
+    _, _, page_size, row_width = kv_pages.shape
+    # Per-program footprint: group * 2 pages * 2 planes (plus payload rows).
+    itemsize = jnp.dtype(kv_pages.dtype).itemsize
+    group = batch
+    while group > 1 and (group * 2 * 2 * page_size * row_width * itemsize
+                         > 8 * 1024 * 1024):
+        group //= 2
+    while batch % group != 0:
+        group -= 1
+    kernel = functools.partial(_spec_write_kernel, group=group, s1=s1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch // group,),
+            in_specs=[pl.BlockSpec((group, s1, row_width),
+                                   lambda i, *_: (i, 0, 0))] * 2 +
+                     [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((group, 2, 2, page_size, row_width),
+                           kv_pages.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
+        # operands (incl. 2 scalar-prefetch): pages, offsets, k_rows,
+        # v_rows, kv_pages (idx 4) -> aliased output.
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=interpret,
+    )(pages, offsets, k_rows, v_rows, kv_pages)
+
+
+def write_kv_spec(
+    kv_pages: jax.Array,       # [num_pages, 2, page_size, row_width]
+    k_new: jax.Array,          # [batch, S1, num_kv_heads, head_dim]
+    v_new: jax.Array,
+    start_positions: jax.Array,  # [batch] i32 — position of token 0
+    page_tables: jax.Array,    # [batch, pages_per_seq_max] i32
+    active: jax.Array,         # [batch] bool
+    kv_scales: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Scatter S1 consecutive tokens per sequence (speculative verify: the
+    fed token + S drafts at positions start..start+S1-1). Tokens whose
+    position falls outside the sequence's mapped pages are silently dropped
+    (their logits are discarded by acceptance truncation anyway); inactive
+    rows write nothing. Returns kv_pages or (kv_pages, kv_scales)."""
+    num_pages, _, page_size, row_width = kv_pages.shape
+    B, S1 = k_new.shape[0], k_new.shape[1]
+    n_logical = page_tables.shape[1]
+    trash = num_pages - 1
+    kv_dtype = kv_pages.dtype
+
+    if kv_scales is not None:
+        k_src, k_s = _quantize_tokens(k_new, kv_dtype)  # [B,S1,h,d],[B,S1,h]
+        v_src, v_s = _quantize_tokens(v_new, kv_dtype)
+    else:
+        k_src = k_new.astype(kv_dtype)
+        v_src = v_new.astype(kv_dtype)
+        k_s = v_s = None
+
+    pos = start_positions[:, None] + jnp.arange(S1, dtype=jnp.int32)  # [B,S1]
+    logical = pos // page_size
+    offset = pos % page_size
+    raw = jnp.take_along_axis(
+        page_tables, jnp.clip(logical, 0, n_logical - 1), axis=1)  # [B, S1]
+    valid = (active[:, None] & (logical < n_logical)
+             & (raw >= 0) & (raw < trash))
+
+    # Each row touches at most two distinct pages (consecutive positions):
+    # buffer 0 holds token 0's page, buffer 1 the following page (trash when
+    # unused). Encoded offset = sel * page_size + offset; -1 drops the token.
+    sel = (logical != logical[:, :1]).astype(jnp.int32)          # [B, S1]
+    page0 = jnp.where(valid[:, 0], raw[:, 0], trash)
+    first_sel1 = sel.astype(bool) & ~jnp.concatenate(
+        [jnp.zeros((B, 1), bool), sel[:, :-1].astype(bool)], axis=1)
+    page1 = jnp.where(
+        jnp.any(first_sel1 & valid, axis=1),
+        jnp.sum(jnp.where(first_sel1 & valid, raw, 0), axis=1), trash)
+    pages = jnp.stack([page0, page1], axis=1).astype(jnp.int32)  # [B, 2]
+    enc_off = jnp.where(valid, sel * page_size + offset, -1).astype(jnp.int32)
+
+    def rows(x):  # [B, S1, h, d] -> [B, S1, row_width]
+        flat = x.reshape(B, S1, -1)
+        if flat.shape[-1] < row_width:
+            flat = jnp.pad(flat, ((0, 0), (0, 0),
+                                  (0, row_width - flat.shape[-1])))
+        return flat
+
+    kv_pages = _write_kv_spec_rows(kv_pages, rows(k_src), rows(v_src),
+                                   pages, enc_off, interpret=interpret)
+    if kv_scales is not None:
+        sc_page = jnp.where(valid, raw, trash).reshape(-1)
+        sc_off = offset.reshape(-1)
+        kv_scales = kv_scales.at[sc_page, :, sc_off].set(
+            jnp.stack([k_s.reshape(B * S1, -1),
+                       v_s.reshape(B * S1, -1)], axis=1))
+        return kv_pages, kv_scales
+    return kv_pages
+
+
 def write_kv_prefill(
     kv_pages: jax.Array,      # [num_pages, 2, page_size, row_width]
     k_new: jax.Array,         # [chunk_len_padded, num_kv_heads, head_dim]

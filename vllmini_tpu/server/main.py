@@ -43,7 +43,9 @@ def build_engine_config(args) -> EngineConfig:
         scheduler=SchedulerConfig(max_decode_slots=args.max_decode_slots,
                                   decode_chunk_steps=args.decode_chunk_steps,
                                   pipeline_depth=args.pipeline_depth,
-                                  preemption_mode=args.preemption),
+                                  preemption_mode=args.preemption,
+                                  speculative_tokens=args.speculative_tokens,
+                                  speculative_ngram=args.speculative_ngram),
         quant=QuantConfig(weight_dtype=args.weight_dtype),
         parallel=ParallelConfig(tensor_parallel=args.tensor_parallel,
                                 data_parallel=args.data_parallel),
@@ -73,6 +75,11 @@ def main(argv=None):
     p.add_argument("--decode-chunk-steps", type=int, default=16)
     p.add_argument("--pipeline-depth", type=int, default=4,
                    help="decode chunks in flight (1 = synchronous ticks)")
+    p.add_argument("--speculative-tokens", type=int, default=0,
+                   help="n-gram speculative decoding: drafts per decode step "
+                        "(0 disables; output stays bit-identical)")
+    p.add_argument("--speculative-ngram", type=int, default=3,
+                   help="suffix n-gram length used for prompt-lookup drafts")
     p.add_argument("--preemption", default="swap",
                    choices=["swap", "recompute"])
     p.add_argument("--tensor-parallel", type=int, default=1)
