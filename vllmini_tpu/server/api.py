@@ -216,34 +216,60 @@ def create_app(scheduler: Scheduler, tokenizer, *,
         try:
             body = await request.json()
             prompt = body["prompt"]
-            if isinstance(prompt, list):
-                assert len(prompt) == 1 and isinstance(prompt[0], str)
-                prompt = prompt[0]
-            assert isinstance(prompt, str)
+            # OpenAI accepts one string or a list of strings (M prompts x n
+            # completions -> M*n choices, prompt-major indices).
+            prompts = prompt if isinstance(prompt, list) else [prompt]
+            assert prompts and all(isinstance(p, str) for p in prompts)
             max_new = int(body.get("max_tokens", 16))
             temperature = float(body.get("temperature", 1.0))
             top_p = float(body.get("top_p", 1.0))
             n = int(body.get("n", 1))
             seed = body.get("seed")
+            echo = bool(body.get("echo", False))
+            stop_strs = body.get("stop") or []
+            if isinstance(stop_strs, str):
+                stop_strs = [stop_strs]
+            assert (isinstance(stop_strs, list) and len(stop_strs) <= 4
+                    and all(isinstance(s, str) and s for s in stop_strs))
             stream = bool(body.get("stream", False))
             timeout_s = float(body.get("timeout", 120.0))
             assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
             assert n >= 1
             assert not (stream and n > 1), "stream supports n == 1"
+            assert not (stream and len(prompts) > 1), \
+                "stream supports a single prompt"
         except Exception:
             return _json_error(400, "malformed completions request")
         stop = [eos_token_id] if eos_token_id is not None else []
-        sid, err = _submit(prompt, SamplingParams(
+        sampling = SamplingParams(
             max_new_tokens=max_new, temperature=temperature, top_p=top_p,
             greedy=(temperature == 0), stop_token_ids=tuple(stop),
-            seed=None if seed is None else int(seed), n=n))
-        if err is not None:
-            return err
+            seed=None if seed is None else int(seed), n=n)
+        sids = []
+        for p in prompts:
+            sid, err = _submit(p, sampling)
+            if err is not None:
+                with loop.lock:  # roll back earlier prompts of the batch
+                    for s in sids:
+                        scheduler.abort(s)
+                        scheduler.pop_finished(s)
+                return err
+            sids.append(sid)
+        sid = sids[0]
         with loop.lock:
-            group = list(scheduler.get(sid).fork_group) or [sid]
+            # choice order: prompt-major, then the n fork completions.
+            group = [i for s in sids
+                     for i in (list(scheduler.get(s).fork_group) or [s])]
         deadline = _time.monotonic() + timeout_s
         cmpl_id = f"cmpl-{uuid.uuid4().hex[:24]}"
         model_name = request.app.get("model_name", "vllmini-tpu")
+
+        def find_stop(text: str):
+            """Earliest stop-string hit in `text` -> index or None (stop
+            sequences are excluded from the returned text, OpenAI-style)."""
+            hits = [text.find(s) for s in stop_strs]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else None
 
         if stream:
             # SSE stream of incremental text deltas, OpenAI-style: one
@@ -260,6 +286,18 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             # incomplete under a byte-level BPE.
             sent_toks = 0
             sent_text = ""
+            # While a stop string could still be completing across chunk
+            # boundaries, hold back its longest proper prefix.
+            holdback = max((len(s) - 1 for s in stop_strs), default=0)
+            stopped = False
+            if echo:
+                first = {"id": cmpl_id, "object": "text_completion",
+                         "created": int(_time.time()), "model": model_name,
+                         "choices": [{"index": 0, "text": prompts[0],
+                                      "finish_reason": None,
+                                      "logprobs": None}]}
+                await resp.write(b"data: " + json.dumps(first).encode()
+                                 + b"\n\n")
             try:
                 while True:
                     with loop.lock:
@@ -274,6 +312,13 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                         upto = len(full)
                         if not done and full.endswith("�"):
                             upto -= 1
+                        hit = find_stop(full[:upto]) if stop_strs else None
+                        if hit is not None:
+                            upto, done, stopped = hit, True, True
+                            with loop.lock:
+                                scheduler.abort(sid)
+                        elif not done:
+                            upto = max(len(sent_text), upto - holdback)
                         delta = full[len(sent_text):upto]
                         sent_toks = len(toks)
                         if delta:
@@ -295,8 +340,9 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                                "choices": [{
                                    "index": 0, "text": "",
                                    "finish_reason": (
-                                       "stop" if reason is not None
-                                       and reason.value == "stop_token"
+                                       "stop" if stopped
+                                       or (reason is not None
+                                           and reason.value == "stop_token")
                                        else "length"),
                                    "logprobs": None}]}
                         await resp.write(
@@ -316,6 +362,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             await resp.write_eof()
             return resp
 
+        stopped: set = set()  # seq ids truncated by a stop string
         while True:
             with loop.lock:
                 seqs = [scheduler.get(i) for i in group]
@@ -323,6 +370,17 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                     break
                 if any(sq is None for sq in seqs):
                     return _json_error(500, "sequence evicted before fetch")
+                if stop_strs:
+                    # Early abort: stop decoding a sequence as soon as its
+                    # text contains a stop string (the final truncation
+                    # below re-scans, so pipeline-lag extra tokens are fine).
+                    for i, sq in zip(group, seqs):
+                        if (i not in stopped and not sq.is_finished
+                                and sq.output_ids and find_stop(
+                                    tokenizer.decode(sq.output_ids))
+                                is not None):
+                            stopped.add(i)
+                            scheduler.abort(i)
             if _time.monotonic() > deadline:
                 # Timed-out requests must not keep occupying decode slots
                 # and pool pages until natural completion (ADVICE r2).
@@ -337,17 +395,22 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             await asyncio.sleep(0.01)
         with loop.lock:
             choices = []
-            prompt_tokens = len(tokenizer.encode(prompt))
+            prompt_tokens = sum(len(tokenizer.encode(p)) for p in prompts)
             completion_tokens = 0
             for i, sq in enumerate(seqs):
                 gen = sq.output_ids
                 completion_tokens += len(gen)
                 reason = sq.finish_reason
+                text = tokenizer.decode(gen) if gen else ""
+                hit = find_stop(text) if stop_strs else None
+                if hit is not None:
+                    text = text[:hit]
                 choices.append({
                     "index": i,
-                    "text": tokenizer.decode(gen) if gen else "",
-                    "finish_reason": ("stop" if reason is not None
-                                      and reason.value == "stop_token"
+                    "text": (prompts[i // n] + text) if echo else text,
+                    "finish_reason": ("stop" if hit is not None
+                                      or (reason is not None
+                                          and reason.value == "stop_token")
                                       else "length"),
                     "logprobs": None,
                 })
@@ -375,6 +438,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             snap["num_waiting"] = len(scheduler.waiting)
             snap["num_swapped"] = len(scheduler.swapped)
             snap["free_pages"] = scheduler.engine.num_free_pages
+            snap.update(scheduler.engine.spec_stats())
         return web.json_response(snap)
 
     async def convert_kv(request: web.Request) -> web.Response:
