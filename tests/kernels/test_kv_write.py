@@ -103,7 +103,7 @@ def test_quantized_prefill_roundtrip():
     kvh, npages, psize, hd = 1, 4, 4, 16
     W = 128
     kv_pages = jnp.zeros((npages, 2, psize, W), jnp.int8)
-    kv_scales = jnp.zeros((npages, 2, psize, kvh), jnp.float32)
+    kv_scales = jnp.zeros((npages, 2, kvh, psize), jnp.bfloat16)
     L = 8
     key = jax.random.PRNGKey(2)
     k_new = jax.random.normal(key, (L, kvh, hd))
@@ -116,10 +116,10 @@ def test_quantized_prefill_roundtrip():
     for t in range(L):
         pg, off = int(page_table[t // psize]), t % psize
         deq = _row(kv_out, 0, pg, off, kvh, hd).astype(np.float32) * \
-            np.asarray(sc_out[pg, 0, off])[:, None]
+            np.asarray(sc_out[pg, 0, :, off], np.float32)[:, None]
         np.testing.assert_allclose(deq, np.asarray(k_new[t]), atol=2e-2)
         deq_v = _row(kv_out, 1, pg, off, kvh, hd).astype(np.float32) * \
-            np.asarray(sc_out[pg, 1, off])[:, None]
+            np.asarray(sc_out[pg, 1, :, off], np.float32)[:, None]
         np.testing.assert_allclose(deq_v, np.asarray(v_new[t]), atol=2e-2)
 
 
@@ -178,7 +178,7 @@ def test_prefill_batch_quantized_matches_serial():
     page_tables = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
 
     pool = jnp.zeros((npages, 2, psize, W), jnp.int8)
-    scales = jnp.zeros((npages, 2, psize, kvh), jnp.float32)
+    scales = jnp.zeros((npages, 2, kvh, psize), jnp.bfloat16)
     out, out_sc = write_kv_prefill_batch(pool, k_new, v_new, page_tables,
                                          seq_lens, kv_scales=scales)
     ref, ref_sc = jnp.zeros_like(pool), jnp.zeros_like(scales)

@@ -39,12 +39,15 @@ def _quant_tokenmajor(kv, H, d):
     P, _, ps, W = kv.shape
     x = kv[..., :H * d].reshape(P, 2, ps, H, d)
     amax = jnp.max(jnp.abs(x), axis=-1)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    qv = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
+    # bf16-rounded scale + [P, 2, H, ps] token-on-lanes layout (the pool
+    # contract, see memory/kv_cache.create_kv_pool).
+    scale = jnp.maximum(amax / 127.0, 1e-8).astype(jnp.bfloat16)
+    qv = jnp.clip(jnp.round(x / scale.astype(jnp.float32)[..., None]),
+                  -127, 127)
     flat = qv.reshape(P, 2, ps, H * d)
     if W > H * d:
         flat = jnp.pad(flat, ((0, 0),) * 3 + ((0, W - H * d),))
-    return flat.astype(jnp.int8), scale.astype(jnp.float32)
+    return flat.astype(jnp.int8), scale.transpose(0, 1, 3, 2)
 
 
 @pytest.mark.parametrize(

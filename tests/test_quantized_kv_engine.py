@@ -4,6 +4,7 @@ Covers the north-star quantized-cache path through prefill, chunked decode,
 swap-preemption, all with per-token scales maintained alongside the pool.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -52,6 +53,20 @@ def test_quantized_kv_generation_completes(kv_dtype):
     # Scales got populated for used pages.
     pool = s.engine.pool
     assert float(np.abs(np.asarray(pool.kv_scales)).sum()) > 0
+
+
+def test_float16_kv_generation_completes():
+    """fp16 cache option (the reference's dtype, `kv_cache.py:13-14`) —
+    unquantized path, no scale pool."""
+    s = make_sched("float16")
+    a = s.add_request([1, 2, 3, 4, 5], SamplingParams(max_new_tokens=5,
+                                                      greedy=True))
+    s.run_to_completion(max_steps=60)
+    seq = s.get(a)
+    assert seq.state == SequenceState.FINISHED
+    assert len(seq.generated_ids()) == 5
+    assert s.engine.pool.kv_scales is None
+    assert s.engine.pool.kv_pages[0].dtype == jnp.float16
 
 
 def test_quantized_kv_close_to_fp32():

@@ -196,7 +196,10 @@ class CacheConfig:
     num_pages: int = 1024
     page_size: int = 16
     max_pages_per_seq: int = 16
-    kv_dtype: str = "bfloat16"  # "bfloat16"|"float32"|"int8"|"fp8_e4m3"|"fp8_e5m2"
+    # "bfloat16"|"float16"|"float32"|"int8"|"fp8_e4m3"|"fp8_e5m2" — float16
+    # matches the reference's cache dtype (`kv_cache.py:13-14`); bf16 is the
+    # right TPU default (same bytes, no overflow cliffs).
+    kv_dtype: str = "bfloat16"
     # Deprecated (token-major pool rows are 128-aligned by construction, with
     # no per-head lane padding); accepted so older configs keep loading.
     head_pad_to: int = 128

@@ -18,7 +18,8 @@ Reference counterpart: the two global cache tensors in `KVCache`
 - one page table per sequence serves all layers (same page index in every
   layer's array);
 - optional int8/fp8 payload with per-token-per-head fp32 scales stored
-  alongside (`[num_pages, 2, page_size, num_kv_heads]`) — the north-star
+  alongside (`[num_pages, 2, num_kv_heads, page_size]` bf16, tokens on
+  lanes) — the north-star
   quantized cache; the reference's fp8 machinery is `quantization/fp8/**` +
   `convert_fp8`.
 
@@ -52,7 +53,8 @@ class KVPool:
 
     `kv_pages` holds `num_layers` arrays of shape
     [num_pages, 2, page_size, row_width] (K plane 0, V plane 1);
-    `kv_scales` (quantized pools) [num_pages, 2, page_size, num_kv_heads].
+    `kv_scales` (quantized pools) [num_pages, 2, num_kv_heads, page_size]
+    bf16 (tokens on lanes — what the decode kernel consumes).
     `num_kv_heads`/`head_dim` are static pytree metadata: the row layout
     folds heads into lanes, so they are not derivable from shapes (row_width
     may carry per-shard alignment padding).
@@ -135,21 +137,24 @@ def convert_pool(pool: KVPool, target_dtype) -> KVPool:
             flat = jnp.pad(flat, ((0, 0),) * 3 + ((0, W - H * d),))
         return flat
 
-    def quantize(x):  # -> (q [P, 2, ps, W], scale [P, 2, ps, H])
+    def quantize(x):  # -> (q [P, 2, ps, W], scale [P, 2, H, ps])
         W = x.shape[3]
         xh = split_heads(x).astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xh), axis=-1)
+        amax = jnp.max(jnp.abs(xh), axis=-1)          # [P, 2, ps, H]
         qmax = 127.0 if target == jnp.int8 else float(jnp.finfo(target).max)
-        scale = jnp.maximum(amax / qmax, 1e-8)
-        q = xh / scale[..., None]
+        # bf16-rounded scale FIRST so dequant-by-stored-scale is exact up to
+        # payload rounding (matches `kv_write._quantize_tokens`).
+        scale = jnp.maximum(amax / qmax, 1e-8).astype(jnp.bfloat16)
+        q = xh / scale.astype(jnp.float32)[..., None]
         if target == jnp.int8:
             q = jnp.clip(jnp.round(q), -qmax, qmax)
         return (merge_heads(q, W).astype(target),
-                scale.astype(jnp.float32))
+                scale.transpose(0, 1, 3, 2))          # [P, 2, H, ps]
 
     def dequantize(x, s):
         W = x.shape[3]
-        y = split_heads(x).astype(jnp.float32) * s[..., None]
+        y = (split_heads(x).astype(jnp.float32)
+             * s.transpose(0, 1, 3, 2).astype(jnp.float32)[..., None])
         return merge_heads(y, W).astype(target)
 
     if target in quant_targets:
@@ -185,7 +190,10 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     """
     W = align_row_width(model.kv_heads, model.head_size, shards)
     shape = (cache.num_pages + 1, 2, cache.page_size, W)
-    scale_shape = (cache.num_pages + 1, 2, cache.page_size, model.kv_heads)
+    # Scales live heads-on-sublanes x TOKENS-ON-LANES bf16 — the layout the
+    # decode attention kernel consumes, so the per-step gather never lane-
+    # transposes (and bf16 halves its traffic vs f32).
+    scale_shape = (cache.num_pages + 1, 2, model.kv_heads, cache.page_size)
     dtype = cache.jnp_kv_dtype
     L = model.num_layers
 
@@ -198,6 +206,6 @@ def create_kv_pool(model: ModelConfig, cache: CacheConfig,
     kv_pages = [_zeros(shape, dtype) for _ in range(L)]
     kv_scales = None
     if cache.quantized:
-        kv_scales = [_zeros(scale_shape, jnp.float32) for _ in range(L)]
+        kv_scales = [_zeros(scale_shape, jnp.bfloat16) for _ in range(L)]
     return KVPool(kv_pages, kv_scales,
                   num_kv_heads=model.kv_heads, head_dim=model.head_size)

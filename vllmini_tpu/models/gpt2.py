@@ -95,8 +95,9 @@ def _gather_prefix_kv(pool: KVPool, layer: int, page_table: jax.Array,
     g = kv[pages]                                   # [n, 2, ps, W]
     x = g[..., :H * d].reshape(n, 2, ps, H, d)
     if sc is not None:
-        scales = sc[pages]                          # [n, 2, ps, H]
-        x = x.astype(jnp.float32) * scales[..., None]
+        scales = sc[pages]                          # [n, 2, H, ps]
+        x = (x.astype(jnp.float32)
+             * scales.transpose(0, 1, 3, 2).astype(jnp.float32)[..., None])
     k = x[:, 0].reshape(n * ps, H, d).astype(dtype)
     v = x[:, 1].reshape(n * ps, H, d).astype(dtype)
     return k, v

@@ -40,18 +40,21 @@ from jax.experimental.pallas import tpu as pltpu
 def _quantize_tokens(x: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
     """Per-token-per-head symmetric quantization along the last axis.
 
-    x: [..., head_dim] float -> (q: [..., head_dim] `dtype`, scale: [...] f32)
-    """
+    x: [..., head_dim] float -> (q: [..., head_dim] `dtype`, scale: [...]
+    bf16). The scale is rounded to bf16 FIRST and the payload divides by the
+    rounded value, so dequant-by-stored-scale reproduces pure payload
+    rounding error — the scale pool stores bf16 (it rides per decode step
+    into the attention kernel; bf16 halves that traffic)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     if dtype == jnp.int8:
         qmax = 127.0
     else:  # fp8 variants
         qmax = float(jnp.finfo(dtype).max)
-    scale = jnp.maximum(amax / qmax, 1e-8)
-    q = x.astype(jnp.float32) / scale[..., None]
+    scale = jnp.maximum(amax / qmax, 1e-8).astype(jnp.bfloat16)
+    q = x.astype(jnp.float32) / scale[..., None].astype(jnp.float32)
     if dtype == jnp.int8:
         q = jnp.clip(jnp.round(q), -qmax, qmax)
-    return q.astype(dtype), scale.astype(jnp.float32)
+    return q.astype(dtype), scale
 
 
 def widen_rows(x: jax.Array, row_width: int) -> jax.Array:
@@ -149,7 +152,7 @@ def quantize_decode_tokens(
     positions: jax.Array,      # [batch] int32
     page_tables: jax.Array,    # [batch, pages_per_seq_max] int32
     active: jax.Array,         # [batch] bool
-    kv_scales: jax.Array,      # [num_pages, 2, page_size, num_kv_heads] f32
+    kv_scales: jax.Array,      # [num_pages, 2, num_kv_heads, page_size] bf16
     kv_dtype,
 ):
     """Quantize one decode token per sequence and scatter its scales.
@@ -159,12 +162,12 @@ def quantize_decode_tokens(
     pool (below DMA granularity) is updated here with one XLA scatter.
     Returns (k_q, v_q, kv_scales).
     """
-    num_pages, page_size = kv_scales.shape[0], kv_scales.shape[2]
+    num_pages, page_size = kv_scales.shape[0], kv_scales.shape[3]
     k_q, k_s = _quantize_tokens(k_new, kv_dtype)   # [b,h,d], [b,h]
     v_q, v_s = _quantize_tokens(v_new, kv_dtype)
     page_idx, offset = _token_pages(positions, page_tables, active,
                                     num_pages, page_size)
-    kv_scales = kv_scales.at[page_idx, :, offset].set(
+    kv_scales = kv_scales.at[page_idx, :, :, offset].set(
         jnp.stack([k_s, v_s], axis=1))
     return k_q, v_q, kv_scales
 
@@ -201,7 +204,7 @@ def write_kv_decode(
         widen_rows(v_src, row_width), page_idx, offset, interpret=interpret)
 
     if kv_scales is not None:
-        kv_scales = kv_scales.at[page_idx, :, offset].set(
+        kv_scales = kv_scales.at[page_idx, :, :, offset].set(
             jnp.stack([k_s, v_s], axis=1))
         return kv_pages, kv_scales
     return kv_pages
@@ -357,7 +360,7 @@ def write_kv_spec(
     if kv_scales is not None:
         sc_page = jnp.where(valid, raw, trash).reshape(-1)
         sc_off = offset.reshape(-1)
-        kv_scales = kv_scales.at[sc_page, :, sc_off].set(
+        kv_scales = kv_scales.at[sc_page, :, :, sc_off].set(
             jnp.stack([k_s.reshape(B * S1, -1),
                        v_s.reshape(B * S1, -1)], axis=1))
         return kv_pages, kv_scales
@@ -416,9 +419,12 @@ def write_kv_prefill(
     kv_pg = jnp.stack([rows(pad_tokens(k_src)), rows(pad_tokens(v_src))],
                       axis=1)
     if k_s is not None:
+        # Scale pool layout is [P, 2, H, ps] — heads on sublanes, tokens on
+        # lanes (the layout the decode attention kernel consumes directly).
         sc_pg = jnp.stack(
-            [pad_tokens(k_s).reshape(-1, page_size, H),
-             pad_tokens(v_s).reshape(-1, page_size, H)], axis=1)
+            [pad_tokens(k_s).reshape(-1, page_size, H).transpose(0, 2, 1),
+             pad_tokens(v_s).reshape(-1, page_size, H).transpose(0, 2, 1)],
+            axis=1)
     n_chunk_pages = kv_pg.shape[0]
 
     trash = num_pages - 1
@@ -485,8 +491,10 @@ def write_kv_prefill_batch(
                       axis=2)                  # [B, n_pg, 2, ps, W]
     if k_s is not None:
         sc_pg = jnp.stack(
-            [pad_tokens(k_s).reshape(B, -1, page_size, H),
-             pad_tokens(v_s).reshape(B, -1, page_size, H)], axis=2)
+            [pad_tokens(k_s).reshape(B, -1, page_size, H)
+             .transpose(0, 1, 3, 2),
+             pad_tokens(v_s).reshape(B, -1, page_size, H)
+             .transpose(0, 1, 3, 2)], axis=2)    # [B, n_pg, 2, H, ps]
     n_pg = kv_pg.shape[1]
     trash = num_pages - 1
 

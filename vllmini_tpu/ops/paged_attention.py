@@ -604,7 +604,7 @@ def paged_attention(
     num_kv_heads: int,
     sm_scale: float | None = None,
     pages_per_compute_block: int | None = None,
-    kv_scales: jax.Array | None = None,  # [num_pages, 2, page_size, H] f32
+    kv_scales: jax.Array | None = None,  # [num_pages, 2, H, page_size] bf16
     k_new: jax.Array | None = None,      # [batch, H, d] pool-dtype payload:
     v_new: jax.Array | None = None,      #   fuse the current token's write
     k_new_raw: jax.Array | None = None,  # unquantized current K/V for the
@@ -724,14 +724,15 @@ def paged_attention(
 
     ctx_pad = pages_per_seq * page_size
     if quantized:
-        # [num_pages, 2, ps, H] -> [vB, 2, H, ctx_pad] (tokens on lanes).
-        # These rows are re-gathered per layer per step — keeping them at
-        # per-KV-head width AND bf16 bounds that cost (profiling showed the
-        # gather + its layout copy dominating the attention-side step time;
-        # bf16 scale rounding is ~0.4%, far below int8 payload noise).
-        g = kv_scales[page_tables]           # [vB, pages, 2, ps, H]
-        ksr = g.transpose(0, 2, 4, 1, 3).reshape(
-            vbatch, 2, num_kv_heads, ctx_pad).astype(jnp.bfloat16)
+        # [num_pages, 2, H, ps] -> [vB, 2, H, ctx_pad]. The pool stores
+        # scales TOKEN-ON-LANES bf16 (the exact layout the kernel consumes),
+        # so this per-layer-per-step transform is a gather + sublane-block
+        # shuffle of the page axis — no lane transpose and half the bytes of
+        # the round-2 f32 [ps, H]-major pool, whose gather + relayout copy
+        # dominated the attention-side step time.
+        g = kv_scales[page_tables]           # [vB, pages, 2, H, ps]
+        ksr = g.transpose(0, 2, 3, 1, 4).reshape(
+            vbatch, 2, num_kv_heads, ctx_pad)
     else:
         ksr = None
 
@@ -838,9 +839,10 @@ def paged_attention_reference(
     gathered_k = k_hm[:, page_tables]    # [H, B, pages, ps, d]
     gathered_v = v_hm[:, page_tables]
     if kv_scales is not None:
-        sc = kv_scales[page_tables]      # [B, pages, 2, ps, H]
-        ks = sc[:, :, 0].transpose(3, 0, 1, 2)[..., None]
-        vs = sc[:, :, 1].transpose(3, 0, 1, 2)[..., None]
+        sc = kv_scales[page_tables].astype(
+            jnp.float32)                 # [B, pages, 2, H, ps]
+        ks = sc[:, :, 0].transpose(2, 0, 1, 3)[..., None]  # [H,B,pg,ps,1]
+        vs = sc[:, :, 1].transpose(2, 0, 1, 3)[..., None]
         gathered_k = gathered_k.astype(jnp.float32) * ks
         gathered_v = gathered_v.astype(jnp.float32) * vs
     k = gathered_k.transpose(1, 0, 2, 3, 4).reshape(

@@ -165,7 +165,7 @@ def _largest_divisor_tile(n: int, cap: int) -> int:
 # ----------------------------------------------------------------------- kernel
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
-                group_size: int, k_tiles: int):
+                group_size: int, k_tiles: int, unpack: str = "bf16"):
     """Each K-tile covers SEVERAL quantization groups, looped in-kernel: one
     grid program per large [bk, bn] weight block instead of one per group —
     grid-program fixed overhead, not dequant math, dominated the old
@@ -182,23 +182,42 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
     groups = q_ref.shape[0] // qrows_per_group
     acc = acc_ref[...]
     for g in range(groups):
+        # The group scale factors out of the group's dot: apply it to the
+        # [M, bn] product instead of the [G, bn] weight tile (G/M fewer
+        # multiplies, exact).
+        s_g = s_ref[pl.ds(k * groups + g, 1), :]
         if bits == 8:
             # |q| <= 127 converts exactly to bf16/f32.
             w = q_ref[pl.ds(g * G, G), :].astype(x.dtype)
+            prod = jax.lax.dot(x[:, g * G:(g + 1) * G], w,
+                               preferred_element_type=jnp.float32)
+        elif unpack == "bf16":
+            # FLOAT-domain nibble unpack: the packed byte converts i8->bf16
+            # exactly (|p| <= 127 < 2^8 mantissa), then p = 16*high + low_u
+            # splits with floor/fma — no i32 widening (a sublane-expanding
+            # relayout that made dequant 1.5x the weight-stream time) and no
+            # sublane concat (the two half-group dots hit the MXU directly).
+            pf = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(x.dtype)
+            high = jnp.floor(pf * (1.0 / 16.0))     # arithmetic >> 4
+            low_u = pf - high * 16.0                 # unsigned low nibble
+            low = jnp.where(low_u >= 8.0, low_u - 16.0, low_u)  # sign-extend
+            xg = x[:, g * G:(g + 1) * G]
+            prod = (
+                jax.lax.dot(xg[:, : G // 2], low,
+                            preferred_element_type=jnp.float32)
+                + jax.lax.dot(xg[:, G // 2:], high,
+                              preferred_element_type=jnp.float32))
         else:
-            # Nibble unpack WITHOUT int8 shifts (Mosaic cannot legalize
-            # arith.shli on i8 vectors): widen to i32, mask, sign-extend via
-            # the (v ^ 8) - 8 trick.
+            # Integer-domain unpack (fallback): widen to i32 (Mosaic cannot
+            # legalize shifts on i8 vectors), mask, sign-extend via the
+            # (v ^ 8) - 8 trick, concat halves on sublanes.
             p32 = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(jnp.int32)
             low = ((p32 & 15) ^ 8) - 8
             high = (((p32 >> 4) & 15) ^ 8) - 8
             w = jnp.concatenate([low, high], axis=0).astype(x.dtype)
-        # The group scale factors out of the group's dot: apply it to the
-        # [M, bn] product instead of the [G, bn] weight tile (G/M fewer
-        # multiplies, exact).
-        prod = jax.lax.dot(x[:, g * G:(g + 1) * G], w,
-                           preferred_element_type=jnp.float32)
-        acc += prod * s_ref[pl.ds(k * groups + g, 1), :]
+            prod = jax.lax.dot(x[:, g * G:(g + 1) * G], w,
+                               preferred_element_type=jnp.float32)
+        acc += prod * s_g
     acc_ref[...] = acc
 
     @pl.when(k == k_tiles - 1)
@@ -209,11 +228,11 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "group_size", "block_n", "block_k", "interpret",
-                     "out_dtype"))
+                     "out_dtype", "unpack"))
 def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
             bits: int, group_size: int, block_n: int = 2048,
             block_k: int = 1024, interpret: bool = False,
-            out_dtype=None) -> jax.Array:
+            out_dtype=None, unpack: str = "bf16") -> jax.Array:
     """x [M, K] @ dequant(q) [K, N] -> [M, N]."""
     out_dtype = x.dtype if out_dtype is None else out_dtype
     M, K = x.shape
@@ -229,7 +248,7 @@ def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
 
     return pl.pallas_call(
         functools.partial(_qmm_kernel, bits=bits, group_size=G,
-                          k_tiles=k_tiles),
+                          k_tiles=k_tiles, unpack=unpack),
         grid=(N // bn, k_tiles),
         in_specs=[
             pl.BlockSpec((M, bk), lambda n, k: (0, k)),
@@ -342,7 +361,11 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
                      group_size=qw.group_size, out_dtype=out_name,
                      interpret=interpret)
     else:
+        # VLLMINI_QMM_UNPACK=i32 restores the integer-domain int4 unpack
+        # (A/B lever for on-chip microbenchmarks; bf16 is the fast default).
+        import os
         y = _qmm_2d(x2, qw.qvalues, qw.scales, bits=qw.bits,
                     group_size=qw.group_size, out_dtype=out_name,
-                    interpret=interpret)
+                    interpret=interpret,
+                    unpack=os.environ.get("VLLMINI_QMM_UNPACK", "bf16"))
     return y.reshape(*lead, N)

@@ -309,7 +309,8 @@ def pool_pspec(num_layers: int, quantized: bool, *,
     `align_row_width`), pages on DATA (per-replica pools). Static pytree
     fields must agree with the value pool's."""
     arr = [P(DATA_AXIS, None, None, MODEL_AXIS)] * num_layers
-    sc = ([P(DATA_AXIS, None, None, MODEL_AXIS)] * num_layers if quantized
+    # Scales are [pages, 2, H, ps]: heads on dim 2 -> MODEL there.
+    sc = ([P(DATA_AXIS, None, MODEL_AXIS, None)] * num_layers if quantized
           else None)
     return KVPool(kv_pages=arr, kv_scales=sc,
                   num_kv_heads=num_kv_heads, head_dim=head_dim)
@@ -317,9 +318,10 @@ def pool_pspec(num_layers: int, quantized: bool, *,
 
 def shard_pool(pool: KVPool, mesh: Mesh) -> KVPool:
     s = NamedSharding(mesh, P(DATA_AXIS, None, None, MODEL_AXIS))
+    sc_s = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS, None))
     return KVPool(
         kv_pages=[jax.device_put(x, s) for x in pool.kv_pages],
-        kv_scales=([jax.device_put(x, s) for x in pool.kv_scales]
+        kv_scales=([jax.device_put(x, sc_s) for x in pool.kv_scales]
                    if pool.kv_scales is not None else None),
         num_kv_heads=pool.num_kv_heads, head_dim=pool.head_dim,
     )

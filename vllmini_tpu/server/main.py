@@ -60,8 +60,8 @@ def main(argv=None):
                    help="HF id/path for weights+tokenizer (default: --model)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--kv-dtype", default="bfloat16",
-                   choices=["bfloat16", "float32", "int8", "fp8_e4m3",
-                            "fp8_e5m2"])
+                   choices=["bfloat16", "float16", "float32", "int8",
+                            "fp8_e4m3", "fp8_e5m2"])
     p.add_argument("--weight-dtype", default="none",
                    choices=["none", "int8", "int4", "w8a8"])
     p.add_argument("--num-pages", type=int, default=2048)
