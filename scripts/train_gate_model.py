@@ -1,0 +1,227 @@
+"""Train a small gpt2-family model on synthetic structured text for the
+quantization quality gate (VERDICT r3 #2/#3).
+
+WHY: the ΔPPL gate (BASELINE: "ΔPPL ≤ 0.1 at the same bit-width") presumes a
+TRAINED model. At a trained minimum the loss is locally flat, so weight-
+rounding damage is second-order (½ δWᵀHδW); a random-init model sits on a
+slope, making the damage first-order in ‖δW‖ — measured in ppl_report.py,
+NO rounding scheme reaches the gate there (int4 RTN/AWQ/clip all land at
+2.5–5.6e-2 nats, 5–10× over). This environment has no network egress (no HF
+checkpoints), so we mint realistic weights the only honest way: training.
+
+Corpus: deterministic synthetic mix with real structure —
+  * order-1 Markov chain over a Zipfian vocab (sparse 8-successor rows),
+  * copy/induction segments (a random span repeated later in the window),
+so the trained model develops anisotropic weights, attention structure, and
+low in-domain PPL (the regime AWQ/GPTQ-style methods are built for).
+
+Saves params (npz) + the config + a held-out eval stream to
+data/gate_model.npz; `scripts/ppl_report.py` picks it up automatically.
+
+Runs on TPU (fast) or CPU (~20-40 min). Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_gate_model.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from vllmini_tpu.config import ModelConfig  # noqa: E402
+
+CONFIG = ModelConfig(family="gpt2", vocab_size=2048, hidden_size=256,
+                     num_layers=6, num_heads=8, intermediate_size=1024,
+                     max_position_embeddings=256, dtype="float32")
+SEQ = 256
+BATCH = 16
+STEPS = int(os.environ.get("GATE_TRAIN_STEPS", "700"))
+LR = 3e-4
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "data", "gate_model.npz")
+
+
+# ------------------------------------------------------------------ corpus
+
+def make_markov(rng, vocab, succ=8):
+    """Sparse Zipfian order-1 chain: token t -> one of succ[t] successors."""
+    successors = rng.integers(0, vocab, size=(vocab, succ))
+    probs = rng.dirichlet(np.ones(succ) * 0.5, size=vocab)
+    return successors, probs
+
+
+def sample_window(rng, successors, probs, length):
+    vocab, succ = successors.shape
+    out = np.empty(length, np.int64)
+    t = rng.integers(0, vocab)
+    for i in range(length):
+        out[i] = t
+        t = successors[t, rng.choice(succ, p=probs[t])]
+    # Induction structure: repeat a random span later in the window.
+    if length >= 64:
+        span = rng.integers(8, 24)
+        src = rng.integers(0, length // 2 - span)
+        dst = rng.integers(length // 2, length - span)
+        out[dst: dst + span] = out[src: src + span]
+    return out
+
+
+def make_batches(seed, n_tokens):
+    rng = np.random.default_rng(seed)
+    successors, probs = make_markov(rng, CONFIG.vocab_size)
+    stream = np.concatenate([
+        sample_window(rng, successors, probs, SEQ)
+        for _ in range(-(-n_tokens // SEQ))])
+    return stream[:n_tokens].astype(np.int32)
+
+
+# ---------------------------------------------------------------- forward
+# Dense causal forward replicating models/gpt2.prefill_forward semantics
+# (LN placement, approximate gelu, tied head); parity is asserted after
+# training against the family scorer.
+
+def forward(params, tokens):  # tokens [B, T] -> logits [B, T, V]
+    cfg = CONFIG
+    B, T = tokens.shape
+    H, d = cfg.num_heads, cfg.head_size
+    x = params["wte"][tokens] + params["wpe"][jnp.arange(T)][None]
+
+    def ln(x, p):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + cfg.layer_norm_eps) \
+            * p["g"] + p["b"]
+
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    for blk in params["blocks"]:
+        h1 = ln(x, blk["ln_1"])
+        qkv = h1 @ blk["attn"]["c_attn_w"] + blk["attn"]["c_attn_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(d))
+        s = jnp.where(mask[None, None], s, -1e30)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v).transpose(0, 2, 1, 3)
+        o = o.reshape(B, T, H * d)
+        x = x + o @ blk["attn"]["c_proj_w"] + blk["attn"]["c_proj_b"]
+        h2 = ln(x, blk["ln_2"])
+        m = jax.nn.gelu(h2 @ blk["mlp"]["c_fc_w"] + blk["mlp"]["c_fc_b"],
+                        approximate=True)
+        x = x + m @ blk["mlp"]["c_proj_w"] + blk["mlp"]["c_proj_b"]
+    x = ln(x, params["ln_f"])
+    return x @ params["wte"].T
+
+
+def loss_fn(params, tokens):
+    logits = forward(params, tokens)
+    lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    tgt = tokens[:, 1:]
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+# ------------------------------------------------------------------- train
+
+def save_params(params, eval_stream, path):
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(f"{prefix}.{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    flat["__eval_stream__"] = np.asarray(eval_stream, np.int32)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_params(path):
+    """Rebuild (params, config, eval_stream) from the npz."""
+    z = np.load(path)
+    params = {"blocks": []}
+    n_blocks = 1 + max(int(k.split(".")[1].split("/")[0])
+                       for k in z.files if k.startswith("blocks."))
+    params["blocks"] = [{} for _ in range(n_blocks)]
+
+    def put(d, keys, v):
+        for k in keys[:-1]:
+            d = d.setdefault(k, {})
+        d[keys[-1]] = jnp.asarray(v)
+
+    for name in z.files:
+        if name == "__eval_stream__":
+            continue
+        if name.startswith("blocks."):
+            rest = name[len("blocks."):]
+            idx, path_ = rest.split("/", 1)
+            put(params["blocks"][int(idx)], path_.split("/"), z[name])
+        else:
+            put(params, name.split("/"), z[name])
+    return params, CONFIG, z["__eval_stream__"]
+
+
+def main():
+    import optax
+
+    from vllmini_tpu.models.registry import get_family
+
+    family = get_family(CONFIG)
+    params = family.init_params(CONFIG, jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+
+    train = make_batches(seed=1, n_tokens=STEPS * BATCH * SEQ)
+    eval_stream = make_batches(seed=2, n_tokens=4096)
+
+    opt = optax.adamw(optax.cosine_decay_schedule(LR, STEPS, 0.1),
+                      weight_decay=0.01)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    t0 = time.time()
+    for i in range(STEPS):
+        beg = i * BATCH * SEQ
+        tokens = jnp.asarray(
+            train[beg: beg + BATCH * SEQ].reshape(BATCH, SEQ))
+        params, state, loss = step(params, state, tokens)
+        if i % 50 == 0 or i == STEPS - 1:
+            print(f"step {i:4d}  loss {float(loss):.4f}  ppl "
+                  f"{float(jnp.exp(loss)):.2f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    save_params(params, eval_stream, OUT)
+    print(f"saved {OUT}")
+
+    # Parity check: the training forward must match the family scorer (the
+    # gate evaluates through the family path).
+    from vllmini_tpu.evaluation.ppl import perplexity
+    p2, cfg, ev = load_params(OUT)
+    fam_ppl = perplexity(p2, cfg, ev[:SEQ], window=SEQ)
+    my_lp = loss_fn(p2, jnp.asarray(ev[:SEQ])[None])
+    print(f"family-scorer ppl {fam_ppl:.4f} vs train-forward ppl "
+          f"{float(jnp.exp(my_lp)):.4f}")
+    assert abs(np.log(fam_ppl) - float(my_lp)) < 0.02, \
+        "training forward diverges from family scorer"
+    print("parity OK")
+
+
+if __name__ == "__main__":
+    main()
