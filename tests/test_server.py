@@ -191,6 +191,32 @@ def test_openai_completions_endpoint(client):
     assert len(t1) == 2 and t1 == t2
 
 
+def test_openai_completions_logprobs(client):
+    """`logprobs` returns per-token strings, device-captured log-probs, and
+    text offsets; greedy sampled-token logprob must be the max, i.e. <= 0
+    and consistent across identical runs."""
+    r = client.post("/v1/completions", json={
+        "prompt": "1 2 3 4 5", "max_tokens": 4, "temperature": 0,
+        "logprobs": 1})
+    c = r.json()["choices"][0]
+    lp = c["logprobs"]
+    assert lp is not None
+    n = len(lp["tokens"])
+    assert n >= 1
+    assert len(lp["token_logprobs"]) == n == len(lp["text_offset"])
+    assert all(x <= 0.0 for x in lp["token_logprobs"])
+    assert "".join(lp["tokens"]) in c["text"] or n == len(
+        lp["token_logprobs"])
+    assert lp["top_logprobs"] and list(lp["top_logprobs"][0].values())[0] \
+        == lp["token_logprobs"][0]
+    # Deterministic across runs (greedy).
+    r2 = client.post("/v1/completions", json={
+        "prompt": "1 2 3 4 5", "max_tokens": 4, "temperature": 0,
+        "logprobs": 1})
+    assert r2.json()["choices"][0]["logprobs"]["token_logprobs"] \
+        == lp["token_logprobs"]
+
+
 def test_openai_completions_stop_echo_multiprompt(client):
     """OpenAI surface upgrades (VERDICT r2 weak #9): stop strings truncate
     (and early-abort), echo prepends the prompt, a prompt LIST yields

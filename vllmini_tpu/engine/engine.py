@@ -44,7 +44,7 @@ from ..memory.allocator import make_allocator
 from ..memory.kv_cache import KVPool, create_kv_pool
 from ..models.registry import get_family
 from ..utils.metrics import Metrics
-from .sampling import sample_tokens
+from .sampling import sample_tokens, sample_tokens_lp
 from .sequence import Sequence
 
 logger = logging.getLogger("vllmini_tpu.engine")
@@ -67,6 +67,7 @@ class DecodeState:
     tokens_in_kv: jax.Array  # [B] i32 — committed KV length
     active: jax.Array        # [B] bool — slot occupied and not finished
     out_buf: jax.Array       # [B, CAP] i32 — generated tokens
+    out_lp: jax.Array        # [B, CAP] f32 — their log-probs (OpenAI logprobs)
     out_count: jax.Array     # [B] i32
     max_new: jax.Array       # [B] i32 — generation budget
     stop_tokens: jax.Array   # [B, MAX_STOP_TOKENS] i32 (-1 = unused)
@@ -93,6 +94,7 @@ def make_decode_state(batch: int, out_cap: int) -> DecodeState:
         tokens_in_kv=z(),
         active=jnp.zeros(batch, bool),
         out_buf=jnp.zeros((batch, out_cap), jnp.int32),
+        out_lp=jnp.zeros((batch, out_cap), jnp.float32),
         out_count=z(),
         max_new=z(),
         stop_tokens=jnp.full((batch, MAX_STOP_TOKENS), -1, jnp.int32),
@@ -169,6 +171,7 @@ class StateSummary:
     active: np.ndarray
     out_count: np.ndarray
     out_buf: np.ndarray
+    out_lp: np.ndarray
     last_token: np.ndarray
 
 
@@ -526,8 +529,8 @@ class LLMEngine:
                                                 page_tables)
             # Per-slot randomness is a pure function of (seed, position):
             # reproducible across batch composition and recompute.
-            tok = sample_tokens(logits, st.seeds, st.tokens_in_kv, st.temps,
-                                st.top_ks, st.top_ps)
+            tok, lp = sample_tokens_lp(logits, st.seeds, st.tokens_in_kv,
+                                       st.temps, st.top_ks, st.top_ps)
 
             # Commit: the fed token's KV is now written.
             tokens_in_kv = st.tokens_in_kv + can_step.astype(jnp.int32)
@@ -536,9 +539,11 @@ class LLMEngine:
             # Store the new sample unless stopping or budget exhausted.
             will_store = can_step & ~is_stop
             idx = jnp.minimum(st.out_count, st.out_buf.shape[1] - 1)
-            out_buf = st.out_buf.at[jnp.arange(st.out_buf.shape[0]), idx].set(
-                jnp.where(will_store, tok, st.out_buf[
-                    jnp.arange(st.out_buf.shape[0]), idx]))
+            ar = jnp.arange(st.out_buf.shape[0])
+            out_buf = st.out_buf.at[ar, idx].set(
+                jnp.where(will_store, tok, st.out_buf[ar, idx]))
+            out_lp = st.out_lp.at[ar, idx].set(
+                jnp.where(will_store, lp, st.out_lp[ar, idx]))
             out_count = st.out_count + will_store.astype(jnp.int32)
 
             hit_max = out_count >= st.max_new
@@ -549,7 +554,7 @@ class LLMEngine:
             st = dataclasses.replace(
                 st, last_token=jnp.where(can_step, tok, st.last_token),
                 tokens_in_kv=tokens_in_kv, active=active,
-                out_buf=out_buf, out_count=out_count)
+                out_buf=out_buf, out_lp=out_lp, out_count=out_count)
             budget = budget - can_step.astype(jnp.int32)
             return (pool, st, budget), None
 
@@ -587,14 +592,16 @@ class LLMEngine:
                 params, self.local_model, pool, fed, positions, page_tables,
                 can_step, interpret=self.interpret, tp_axis=self._tp_axis)
             V = logits.shape[-1]
-            g = sample_tokens(
+            g, glp = sample_tokens_lp(
                 logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
                 positions.reshape(-1), jnp.repeat(st.temps, S1),
                 jnp.repeat(st.top_ks, S1),
-                jnp.repeat(st.top_ps, S1)).reshape(B, S1)
+                jnp.repeat(st.top_ps, S1))
+            g, glp = g.reshape(B, S1), glp.reshape(B, S1)
 
             steps_allowed = jnp.minimum(budget, S1)
             out_buf, token_buf = st.out_buf, st.token_buf
+            out_lp = st.out_lp
             out_count, tokens_in_kv = st.out_count, st.tokens_in_kv
             last_token = st.last_token
             finished_any = jnp.zeros(B, bool)
@@ -608,6 +615,8 @@ class LLMEngine:
                 oidx = jnp.minimum(out_count, out_buf.shape[1] - 1)
                 out_buf = out_buf.at[ar, oidx].set(
                     jnp.where(store, gi, out_buf[ar, oidx]))
+                out_lp = out_lp.at[ar, oidx].set(
+                    jnp.where(store, glp[:, i], out_lp[ar, oidx]))
                 out_count = out_count + store.astype(jnp.int32)
                 # Fed token i is committed at position T+i.
                 tidx = jnp.clip(T + i, 0, token_buf.shape[1] - 1)
@@ -626,7 +635,7 @@ class LLMEngine:
             st = dataclasses.replace(
                 st, last_token=last_token, tokens_in_kv=tokens_in_kv,
                 active=st.active & ~finished_any, out_buf=out_buf,
-                out_count=out_count, token_buf=token_buf,
+                out_lp=out_lp, out_count=out_count, token_buf=token_buf,
                 spec_emitted=st.spec_emitted + emitted_total,
                 spec_steps=st.spec_steps + can_step.astype(jnp.int32))
             return pool, st, budget - emitted_total
@@ -661,7 +670,7 @@ class LLMEngine:
             params, self.local_model, pool, token_ids, seq_len, page_table,
             start_pos=prefix_tokens, interpret=self.interpret,
             tp_axis=self._tp_axis)
-        toks = sample_tokens(
+        toks, lps = sample_tokens_lp(
             jnp.broadcast_to(logits, (F,) + logits.shape), seeds,
             jnp.full((F,), prefix_tokens + seq_len, jnp.int32),
             jnp.full((F,), temp, jnp.float32),
@@ -669,7 +678,7 @@ class LLMEngine:
             jnp.full((F,), top_p, jnp.float32))
         B_local = state.last_token.shape[0]
         for i in range(F):
-            tok = toks[i]
+            tok, tok_lp = toks[i], lps[i]
             local = slots[i] - slot_base
             slot = jnp.clip(local, 0, B_local - 1)
             valid = (slots[i] >= 0) & (local >= 0) & (local < B_local)
@@ -690,6 +699,11 @@ class LLMEngine:
                     jnp.zeros_like(state.out_buf[slot]).at[0].set(
                         jnp.where(store, tok, 0)),
                     state.out_buf[slot])),
+                out_lp=state.out_lp.at[slot].set(jnp.where(
+                    valid,
+                    jnp.zeros_like(state.out_lp[slot]).at[0].set(
+                        jnp.where(store, tok_lp, 0.0)),
+                    state.out_lp[slot])),
                 out_count=upd(state.out_count, jnp.where(store, 1, 0)),
                 max_new=upd(state.max_new, max_new),
                 stop_tokens=state.stop_tokens.at[slot].set(jnp.where(
@@ -719,11 +733,12 @@ class LLMEngine:
         logits, pool = self.family.prefill_batch_forward(
             params, self.local_model, pool, token_ids, seq_lens,
             page_tables, interpret=self.interpret, tp_axis=self._tp_axis)
-        toks = sample_tokens(logits, seeds, seq_lens, temps, top_ks, top_ps)
+        toks, lps = sample_tokens_lp(logits, seeds, seq_lens, temps,
+                                     top_ks, top_ps)
         B_local = state.last_token.shape[0]
         B = token_ids.shape[0]
         for b in range(B):
-            tok = toks[b]
+            tok, tok_lp = toks[b], lps[b]
             local = slots[b] - slot_base
             slot = jnp.clip(local, 0, B_local - 1)
             valid = (slots[b] >= 0) & (local >= 0) & (local < B_local)
@@ -743,6 +758,11 @@ class LLMEngine:
                     jnp.zeros_like(state.out_buf[slot]).at[0].set(
                         jnp.where(store, tok, 0)),
                     state.out_buf[slot])),
+                out_lp=state.out_lp.at[slot].set(jnp.where(
+                    valid,
+                    jnp.zeros_like(state.out_lp[slot]).at[0].set(
+                        jnp.where(store, tok_lp, 0.0)),
+                    state.out_lp[slot])),
                 out_count=upd(state.out_count, jnp.where(store, 1, 0)),
                 max_new=upd(state.max_new, max_news[b]),
                 stop_tokens=state.stop_tokens.at[slot].set(jnp.where(
@@ -1133,7 +1153,7 @@ class LLMEngine:
             steps=self.chunk_steps)
         snapshot = self.state
         for arr in (snapshot.tokens_in_kv, snapshot.active,
-                    snapshot.out_count, snapshot.out_buf,
+                    snapshot.out_count, snapshot.out_buf, snapshot.out_lp,
                     snapshot.last_token):
             try:
                 arr.copy_to_host_async()
@@ -1147,11 +1167,11 @@ class LLMEngine:
         """ONE host<->device sync: read a chunk snapshot's small state arrays
         (defaults to the latest state)."""
         st = self.state if snapshot is None else snapshot
-        tk, ac, oc, ob, lt = jax.device_get(
+        tk, ac, oc, ob, olp, lt = jax.device_get(
             (st.tokens_in_kv, st.active, st.out_count, st.out_buf,
-             st.last_token))
+             st.out_lp, st.last_token))
         return StateSummary(np.asarray(tk), np.asarray(ac), np.asarray(oc),
-                            np.asarray(ob), np.asarray(lt))
+                            np.asarray(ob), np.asarray(olp), np.asarray(lt))
 
     def spec_stats(self) -> dict:
         """Speculative-decoding acceptance counters (lifetime, all slots).
@@ -1172,14 +1192,15 @@ class LLMEngine:
         its first sampled token exists only on device). One small device_get."""
         slot = seq.slot
         st = self.state
-        tk, oc, ob, lt = jax.device_get(
+        tk, oc, ob, olp, lt = jax.device_get(
             (st.tokens_in_kv[slot], st.out_count[slot], st.out_buf[slot],
-             st.last_token[slot]))
+             st.out_lp[slot], st.last_token[slot]))
         delta = int(tk) - seq.tokens_in_kv
         if delta > 0:
             self.alloc_of_seq(seq.seq_id).advance(seq.seq_id, delta)
         seq.tokens_in_kv = int(tk)
         seq.output_ids = [int(t) for t in np.asarray(ob)[: int(oc)]]
+        seq.output_logprobs = [float(x) for x in np.asarray(olp)[: int(oc)]]
         seq.last_token = int(lt)
 
     def clear_slot(self, slot: int) -> None:
@@ -1319,6 +1340,9 @@ class LLMEngine:
         gen = seq.generated_ids()
         out_buf_row = np.zeros(self.state.out_buf.shape[1], np.int32)
         out_buf_row[: len(gen)] = gen
+        out_lp_row = np.zeros(self.state.out_lp.shape[1], np.float32)
+        lp = getattr(seq, "output_logprobs", []) or []
+        out_lp_row[: min(len(lp), len(gen))] = lp[: len(gen)]
         all_ids = seq.all_token_ids()[: self.max_context]
         token_row = np.zeros(self.state.token_buf.shape[1], np.int32)
         token_row[: len(all_ids)] = all_ids
@@ -1330,7 +1354,8 @@ class LLMEngine:
             last_token=np.int32(0 if seq.last_token is None
                                 else seq.last_token),
             tokens_in_kv=np.int32(seq.tokens_in_kv),
-            out_buf_row=out_buf_row, out_count=np.int32(len(gen)),
+            out_buf_row=out_buf_row, out_lp_row=out_lp_row,
+            out_count=np.int32(len(gen)),
             max_new=np.int32(s.max_new_tokens), stops=stops,
             total_cap=np.int32(self.max_context),
             temp=np.float32(0.0 if s.greedy else s.temperature),
@@ -1342,9 +1367,9 @@ class LLMEngine:
         seq.slot = slot
 
     def exec_swap_in(self, seq_id, slot, pages, table_row, last_token,
-                     tokens_in_kv, out_buf_row, out_count, max_new, stops,
-                     total_cap, temp, top_k, top_p, seed, token_row,
-                     replica=0) -> None:
+                     tokens_in_kv, out_buf_row, out_lp_row, out_count,
+                     max_new, stops, total_cap, temp, top_k, top_p, seed,
+                     token_row, replica=0) -> None:
         sw = self._swapped.pop(seq_id)
         idx = jnp.asarray(self._globalize_pages(pages, int(replica)),
                           jnp.int32)
@@ -1363,7 +1388,7 @@ class LLMEngine:
             pool = dataclasses.replace(
                 pool,
                 kv_scales=scatter(pool.kv_scales, sw.arrays["sc"],
-                                  jnp.float32),
+                                  pool.kv_scales[0].dtype),
             )
         self.pool = pool
         st = self.state
@@ -1374,6 +1399,7 @@ class LLMEngine:
                 jnp.int32(tokens_in_kv)),
             active=st.active.at[slot].set(True),
             out_buf=st.out_buf.at[slot].set(jnp.asarray(out_buf_row)),
+            out_lp=st.out_lp.at[slot].set(jnp.asarray(out_lp_row)),
             out_count=st.out_count.at[slot].set(jnp.int32(out_count)),
             max_new=st.max_new.at[slot].set(jnp.int32(max_new)),
             stop_tokens=st.stop_tokens.at[slot].set(jnp.asarray(stops)),

@@ -83,3 +83,18 @@ def sample_tokens(
     sampled_tok = jax.lax.cond(jnp.any(temperatures > 0.0), _sample,
                                lambda _: greedy_tok, None)
     return jnp.where(temperatures <= 0.0, greedy_tok, sampled_tok)
+
+
+def sample_tokens_lp(logits, seeds, positions, temperatures, top_ks,
+                     top_ps):
+    """`sample_tokens` + the sampled token's UNSCALED log-probability
+    (natural log-softmax of the raw logits — temperature/top-k/top-p shape
+    which token gets picked, not the reported distribution, matching the
+    OpenAI `logprobs` contract). Returns ([B] i32, [B] f32)."""
+    tok = sample_tokens(logits, seeds, positions, temperatures, top_ks,
+                        top_ps)
+    lf = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    picked = jnp.take_along_axis(lf, tok[:, None].astype(jnp.int32),
+                                 axis=1)[:, 0]
+    return tok, picked - lse

@@ -281,7 +281,10 @@ class Scheduler:
             # (Appending last_token again used to feed it twice.)
             victim.prompt_ids = victim.all_token_ids()
             victim.last_token = None
+            victim.absorbed_logprobs = (victim.absorbed_logprobs
+                                        + victim.output_logprobs)
             victim.output_ids = []
+            victim.output_logprobs = []
             victim.tokens_in_kv = 0
             victim.state = SequenceState.WAITING
             self.slots[slot] = None
@@ -319,6 +322,8 @@ class Scheduler:
             seq.tokens_in_kv = int(summary.tokens_in_kv[slot])
             n_out = int(summary.out_count[slot])
             seq.output_ids = [int(t) for t in summary.out_buf[slot, :n_out]]
+            seq.output_logprobs = [
+                float(x) for x in summary.out_lp[slot, :n_out]]
             seq.last_token = int(summary.last_token[slot])
             if not bool(summary.active[slot]):
                 finished.append(seq)

@@ -41,6 +41,12 @@ class Sequence:
     seq_id: int = dataclasses.field(default_factory=lambda: next(_seq_counter))
     arrival_time: float = dataclasses.field(default_factory=time.monotonic)
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    # log-prob of each generated token (parallel to output_ids; OpenAI
+    # `logprobs` surface — captured on device at sample time).
+    output_logprobs: List[float] = dataclasses.field(default_factory=list)
+    # logprobs of generated tokens that recompute-preemption folded into
+    # prompt_ids (generated_logprobs() = absorbed + output).
+    absorbed_logprobs: List[float] = dataclasses.field(default_factory=list)
     state: SequenceState = SequenceState.WAITING
     finish_reason: Optional[FinishReason] = None
     slot: Optional[int] = None       # decode slot while RUNNING
@@ -79,6 +85,12 @@ class Sequence:
 
     def generated_ids(self) -> List[int]:
         return self.all_token_ids()[self.orig_prompt_len:]
+
+    def generated_logprobs(self) -> List[float]:
+        """Log-probs parallel to generated_ids(): tokens absorbed into
+        prompt_ids by recompute-preemption keep theirs via
+        `absorbed_logprobs`."""
+        return list(self.absorbed_logprobs) + list(self.output_logprobs)
 
     @property
     def is_finished(self) -> bool:

@@ -226,6 +226,10 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             n = int(body.get("n", 1))
             seed = body.get("seed")
             echo = bool(body.get("echo", False))
+            logprobs = body.get("logprobs")
+            if logprobs is not None:
+                logprobs = int(logprobs)
+                assert 0 <= logprobs <= 5
             stop_strs = body.get("stop") or []
             if isinstance(stop_strs, str):
                 stop_strs = [stop_strs]
@@ -236,6 +240,8 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
             assert n >= 1
             assert not (stream and n > 1), "stream supports n == 1"
+            assert not (stream and logprobs is not None), \
+                "logprobs not supported with stream"
             assert not (stream and len(prompts) > 1), \
                 "stream supports a single prompt"
         except Exception:
@@ -405,6 +411,32 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                 hit = find_stop(text) if stop_strs else None
                 if hit is not None:
                     text = text[:hit]
+                lp_obj = None
+                if logprobs is not None:
+                    # Per-token view: device-captured log-prob of each
+                    # SAMPLED token (raw log-softmax, OpenAI semantics);
+                    # top_logprobs reports the sampled token (top-1 view).
+                    tok_strs = [tokenizer.decode([t]) for t in gen]
+                    lps = sq.generated_logprobs()[: len(gen)]
+                    offs, pos = [], len(prompts[i // n]) if echo else 0
+                    keep = len(gen)
+                    cum = 0
+                    for j, tstr in enumerate(tok_strs):
+                        offs.append(pos + cum)
+                        cum += len(tstr)
+                        if hit is not None and cum > hit:
+                            keep = j + 1
+                            break
+                    lp_obj = {
+                        "tokens": tok_strs[:keep],
+                        "token_logprobs": [round(x, 6)
+                                           for x in lps[:keep]],
+                        "top_logprobs": ([
+                            {ts: round(x, 6)}
+                            for ts, x in zip(tok_strs[:keep], lps[:keep])]
+                            if logprobs >= 1 else None),
+                        "text_offset": offs[:keep],
+                    }
                 choices.append({
                     "index": i,
                     "text": (prompts[i // n] + text) if echo else text,
@@ -412,7 +444,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                                       or (reason is not None
                                           and reason.value == "stop_token")
                                       else "length"),
-                    "logprobs": None,
+                    "logprobs": lp_obj,
                 })
                 scheduler.pop_finished(sq.seq_id)
         return web.json_response({
