@@ -6,6 +6,7 @@ endpoint, 404 semantics, abort, and metrics.
 """
 
 import asyncio
+import json
 import threading
 import time
 
@@ -34,7 +35,10 @@ class WordTokenizer:
     eos_token_id = 127
 
     def encode(self, s):
-        return [int(t) % 128 for t in s.split()]
+        # Non-numeric words (e.g. chat-template role tags) map to a stable
+        # byte-sum id so any text tokenizes.
+        return [int(t) % 128 if t.lstrip("-").isdigit()
+                else sum(t.encode()) % 128 for t in s.split()]
 
     def decode(self, ids):
         return " ".join(str(i) for i in ids)
@@ -189,6 +193,42 @@ def test_openai_completions_endpoint(client):
     t1 = [c["text"] for c in r1.json()["choices"]]
     t2 = [c["text"] for c in r2.json()["choices"]]
     assert len(t1) == 2 and t1 == t2
+
+
+def test_openai_chat_completions(client):
+    """`/v1/chat/completions`: blocking greedy determinism, logprobs in the
+    chat format, and SSE streaming concat == blocking content."""
+    body = {"messages": [{"role": "system", "content": "0"},
+                         {"role": "user", "content": "1 2 3 4 5"}],
+            "max_tokens": 5, "temperature": 0}
+    r1 = client.post("/v1/chat/completions", json=body)
+    assert r1.status_code == 200
+    c1 = r1.json()["choices"][0]
+    assert c1["message"]["role"] == "assistant"
+    assert len(c1["message"]["content"].split()) >= 1
+    assert r1.json()["usage"]["completion_tokens"] >= 1
+    r2 = client.post("/v1/chat/completions", json=body)
+    assert r2.json()["choices"][0]["message"]["content"] \
+        == c1["message"]["content"]
+
+    # logprobs: chat format (per-token content entries).
+    r = client.post("/v1/chat/completions", json={**body, "logprobs": True})
+    lp = r.json()["choices"][0]["logprobs"]["content"]
+    assert lp and all(e["logprob"] <= 0 for e in lp)
+    assert [e["token"] for e in lp] and lp[0]["top_logprobs"]
+
+    # streaming: deltas concat to the blocking content.
+    with client.stream("POST", "/v1/chat/completions",
+                       json={**body, "stream": True}) as r:
+        text, finish = "", None
+        for line in r.iter_lines():
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            ch = json.loads(line[len("data: "):])["choices"][0]
+            text += ch["delta"].get("content", "")
+            finish = ch["finish_reason"] or finish
+    assert text == c1["message"]["content"], (text, c1)
+    assert finish in ("stop", "length")
 
 
 def test_openai_completions_logprobs(client):

@@ -109,7 +109,10 @@ def create_app(scheduler: Scheduler, tokenizer, *,
     app.on_cleanup.append(on_cleanup)
 
     def _submit(prompt: str, sampling: SamplingParams):
-        ids = tokenizer.encode(prompt)
+        try:
+            ids = tokenizer.encode(prompt)
+        except Exception as e:  # tokenizer rejects the text -> client error
+            return None, _json_error(400, f"tokenization failed: {e}")
         with loop.lock:
             try:
                 return scheduler.add_request(ids, sampling), None
@@ -460,6 +463,202 @@ def create_app(scheduler: Scheduler, tokenizer, *,
             },
         })
 
+    def _chat_prompt(messages) -> str:
+        """Render a chat transcript to a prompt: the tokenizer's own chat
+        template when it has one, else a plain role-tagged fallback (the
+        vLLM default-template spirit) ending with the assistant header."""
+        tmpl = getattr(tokenizer, "apply_chat_template", None)
+        if callable(tmpl):
+            try:
+                return tmpl(messages, tokenize=False,
+                            add_generation_prompt=True)
+            except Exception:
+                pass
+        lines = [f"{m['role']}: {m['content']}" for m in messages]
+        return "\n".join(lines) + "\nassistant:"
+
+    async def chat_completions(request: web.Request) -> web.Response:
+        """OpenAI-compatible `/v1/chat/completions` — blocking and SSE
+        streaming (stream requires n == 1); `stop` strings, seeded sampling,
+        n choices, `logprobs` (chat format: per-token content entries with
+        device-captured log-probs), usage accounting."""
+        import asyncio
+        import json
+        import time as _time
+        import uuid
+        try:
+            body = await request.json()
+            messages = body["messages"]
+            assert (isinstance(messages, list) and messages
+                    and all(isinstance(m, dict) and "role" in m
+                            and "content" in m for m in messages))
+            max_new = int(body.get("max_completion_tokens",
+                                   body.get("max_tokens", 16)))
+            temperature = float(body.get("temperature", 1.0))
+            top_p = float(body.get("top_p", 1.0))
+            n = int(body.get("n", 1))
+            seed = body.get("seed")
+            want_logprobs = bool(body.get("logprobs", False))
+            stop_strs = body.get("stop") or []
+            if isinstance(stop_strs, str):
+                stop_strs = [stop_strs]
+            assert (isinstance(stop_strs, list) and len(stop_strs) <= 4
+                    and all(isinstance(s, str) and s for s in stop_strs))
+            stream = bool(body.get("stream", False))
+            timeout_s = float(body.get("timeout", 120.0))
+            assert max_new >= 1 and temperature >= 0 and 0 < top_p <= 1.0
+            assert n >= 1 and not (stream and n > 1)
+            assert not (stream and want_logprobs)
+        except Exception:
+            return _json_error(400, "malformed chat completions request")
+        prompt = _chat_prompt(messages)
+        stop = [eos_token_id] if eos_token_id is not None else []
+        sid, err = _submit(prompt, SamplingParams(
+            max_new_tokens=max_new, temperature=temperature, top_p=top_p,
+            greedy=(temperature == 0), stop_token_ids=tuple(stop),
+            seed=None if seed is None else int(seed), n=n))
+        if err is not None:
+            return err
+        with loop.lock:
+            group = list(scheduler.get(sid).fork_group) or [sid]
+        deadline = _time.monotonic() + timeout_s
+        cmpl_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        model_name = request.app.get("model_name", "vllmini-tpu")
+
+        def find_stop(text: str):
+            hits = [text.find(s) for s in stop_strs]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else None
+
+        if stream:
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache"})
+            await resp.prepare(request)
+
+            def chunk(delta, finish=None):
+                return b"data: " + json.dumps({
+                    "id": cmpl_id, "object": "chat.completion.chunk",
+                    "created": int(_time.time()), "model": model_name,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]}).encode() \
+                    + b"\n\n"
+
+            await resp.write(chunk({"role": "assistant"}))
+            sent_text = ""
+            holdback = max((len(s) - 1 for s in stop_strs), default=0)
+            stopped = False
+            try:
+                while True:
+                    with loop.lock:
+                        sq = scheduler.get(sid)
+                        if sq is None:
+                            break
+                        toks = list(sq.output_ids)
+                        done = sq.is_finished
+                        reason = sq.finish_reason
+                    full = tokenizer.decode(toks) if toks else ""
+                    upto = len(full)
+                    if not done and full.endswith("�"):
+                        upto -= 1
+                    hit = find_stop(full[:upto]) if stop_strs else None
+                    if hit is not None:
+                        upto, done, stopped = hit, True, True
+                        with loop.lock:
+                            scheduler.abort(sid)
+                    elif not done:
+                        upto = max(len(sent_text), upto - holdback)
+                    delta = full[len(sent_text):upto]
+                    if delta:
+                        sent_text = full[:upto]
+                        await resp.write(chunk({"content": delta}))
+                    if done:
+                        await resp.write(chunk({}, finish=(
+                            "stop" if stopped or (
+                                reason is not None
+                                and reason.value == "stop_token")
+                            else "length")))
+                        await resp.write(b"data: [DONE]\n\n")
+                        break
+                    if _time.monotonic() > deadline:
+                        break
+                    await asyncio.sleep(0.01)
+            finally:
+                with loop.lock:
+                    if scheduler.get(sid) is not None:
+                        scheduler.abort(sid)
+                        scheduler.pop_finished(sid)
+            await resp.write_eof()
+            return resp
+
+        stopped: set = set()
+        while True:
+            with loop.lock:
+                seqs = [scheduler.get(i) for i in group]
+                if all(sq is not None and sq.is_finished for sq in seqs):
+                    break
+                if any(sq is None for sq in seqs):
+                    return _json_error(500, "sequence evicted before fetch")
+                if stop_strs:
+                    for i, sq in zip(group, seqs):
+                        if (i not in stopped and not sq.is_finished
+                                and sq.output_ids and find_stop(
+                                    tokenizer.decode(sq.output_ids))
+                                is not None):
+                            stopped.add(i)
+                            scheduler.abort(i)
+            if _time.monotonic() > deadline:
+                with loop.lock:
+                    for i in group:
+                        scheduler.abort(i)
+                        scheduler.pop_finished(i)
+                return _json_error(504, "generation timed out")
+            await asyncio.sleep(0.01)
+        with loop.lock:
+            choices = []
+            prompt_tokens = len(tokenizer.encode(prompt))
+            completion_tokens = 0
+            for i, sq in enumerate(seqs):
+                gen = sq.output_ids
+                completion_tokens += len(gen)
+                reason = sq.finish_reason
+                text = tokenizer.decode(gen) if gen else ""
+                hit = find_stop(text) if stop_strs else None
+                if hit is not None:
+                    text = text[:hit]
+                lp_obj = None
+                if want_logprobs:
+                    tok_strs = [tokenizer.decode([t]) for t in gen]
+                    lps = sq.generated_logprobs()[: len(gen)]
+                    keep, cum = len(gen), 0
+                    for j, ts in enumerate(tok_strs):
+                        cum += len(ts)
+                        if hit is not None and cum > hit:
+                            keep = j + 1
+                            break
+                    lp_obj = {"content": [
+                        {"token": ts, "logprob": round(x, 6),
+                         "top_logprobs": [
+                             {"token": ts, "logprob": round(x, 6)}]}
+                        for ts, x in zip(tok_strs[:keep], lps[:keep])]}
+                choices.append({
+                    "index": i,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": ("stop" if hit is not None
+                                      or (reason is not None
+                                          and reason.value == "stop_token")
+                                      else "length"),
+                    "logprobs": lp_obj,
+                })
+        return web.json_response({
+            "id": cmpl_id, "object": "chat.completion",
+            "created": int(_time.time()), "model": model_name,
+            "choices": choices,
+            "usage": {"prompt_tokens": prompt_tokens,
+                      "completion_tokens": completion_tokens,
+                      "total_tokens": prompt_tokens + completion_tokens},
+        })
+
     async def healthz(request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
 
@@ -497,6 +696,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
     app.router.add_post("/generate", generate)
     app.router.add_post("/v1/generate", generate_v1)
     app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_get("/result/{seq_id}", get_result)
     app.router.add_delete("/result/{seq_id}", delete_result)
     app.router.add_get("/healthz", healthz)

@@ -129,7 +129,11 @@ def main(argv=None):
             eos_token_id = None
 
             def encode(self, s):
-                return [int(t) % config.model.vocab_size for t in s.split()]
+                # Numeric words map directly; anything else (e.g. chat
+                # template role tags) to a stable byte-sum id.
+                V = config.model.vocab_size
+                return [int(t) % V if t.lstrip("-").isdigit()
+                        else sum(t.encode()) % V for t in s.split()]
 
             def decode(self, ids):
                 return " ".join(map(str, ids))
