@@ -40,7 +40,7 @@ CONFIG = ModelConfig(family="gpt2", vocab_size=2048, hidden_size=256,
                      num_layers=6, num_heads=8, intermediate_size=1024,
                      max_position_embeddings=256, dtype="float32")
 SEQ = 256
-BATCH = 16
+BATCH = int(os.environ.get("GATE_TRAIN_BATCH", "16"))
 STEPS = int(os.environ.get("GATE_TRAIN_STEPS", "700"))
 LR = 3e-4
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
