@@ -118,6 +118,9 @@ def main():
         from vllmini_tpu.ops.quant_matmul import quantize_params
 
         model = ModelConfig.gpt2_124m(dtype="bfloat16")
+        # VLLMINI_BENCH_WQ=int4 measures the literal BASELINE headline
+        # config (INT4 weights + INT8 KV) on the headline model.
+        wq = os.environ.get("VLLMINI_BENCH_WQ", "int8")
         ps = max(ps, 32)  # int8 sublane tile
         cache = CacheConfig(num_pages=max(512 * 32 // ps, slots * 1024 // ps),
                             page_size=ps, max_pages_per_seq=1024 // ps,
@@ -125,9 +128,9 @@ def main():
         seed_params = get_family(model).init_params(
             model, _jax.random.PRNGKey(0))
         params = quantize_params(untie_lm_head(seed_params),
-                                 QuantConfig(weight_dtype="int8"),
+                                 QuantConfig(weight_dtype=wq),
                                  model_config=model)
-        desc = "gpt2-124m int8 weights (untied int8 head), paged KV int8"
+        desc = f"gpt2-124m {wq} weights (untied int8 head), paged KV int8"
     elif model_name == "gpt2-xl":
         # BASELINE config 2: GPT-2 XL, INT8 KV-cache paged attention +
         # continuous batching (8 concurrent sequences by default).
@@ -258,5 +261,31 @@ def main():
     print(json.dumps(result))
 
 
+def _device_probe_ok(timeout_s: float = 180.0) -> bool:
+    """Device init in a SUBPROCESS with a deadline: the axon tunnel, when its
+    relay is down, HANGS `jax.devices()` forever rather than erroring — a
+    bench run at round end must degrade to one parseable JSON error line,
+    not an infinite hang."""
+    import os
+    import subprocess
+    import sys
+
+    code = "import jax; jax.devices(); print('ok')"
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s, env=os.environ.copy())
+        return out.returncode == 0 and "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _device_probe_ok():
+        print(json.dumps({
+            "metric": "decode_tokens_per_s_per_chip", "value": 0.0,
+            "unit": "tok/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable (axon tunnel down): "
+                     "jax.devices() did not initialize within 180s"}))
+        raise SystemExit(0)
     main()

@@ -81,15 +81,16 @@ def trained_gate_section():
     floor: int4 RTN/AWQ/clip all land 5-10x over the scale-free gate).
     Returns True when the int4 pipeline passes on the trained model."""
     import os
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data", "gate_model.npz")
+    path = os.environ.get("GATE_MODEL_PATH") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "gate_model.npz")
     if not os.path.exists(path):
         print("== trained gate model: data/gate_model.npz missing — run "
               "scripts/train_gate_model.py first (TPU: ~2 min) ==")
         return None
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from train_gate_model import load_params
+    from train_gate_model import load_params, make_batches
 
     from vllmini_tpu.ops.quant_equalize import equalize_params
     from vllmini_tpu.ops.quant_gptq import (collect_hessians,
@@ -114,8 +115,11 @@ def trained_gate_section():
 
     def gptq_pipeline():
         eq = equalize_params(params, config)
-        hs = collect_hessians(eq, config, stream[:1024], window=W,
-                              max_windows=4)
+        # Calibration text is a FRESH sample of the corpus chain — never
+        # the eval stream the gate scores (no leakage).
+        calib = make_batches(3, 4096)
+        hs = collect_hessians(eq, config, calib, window=W,
+                              max_windows=16)
         return gptq_quantize_params(
             eq, QuantConfig(weight_dtype="int4"), hs)
 

@@ -72,9 +72,13 @@ def sample_window(rng, successors, probs, length):
     return out
 
 
-def make_batches(seed, n_tokens):
-    rng = np.random.default_rng(seed)
-    successors, probs = make_markov(rng, CONFIG.vocab_size)
+CHAIN_SEED = 1  # the corpus IS this chain; train/eval differ by sample seed
+
+
+def make_batches(sample_seed, n_tokens):
+    chain_rng = np.random.default_rng(CHAIN_SEED)
+    successors, probs = make_markov(chain_rng, CONFIG.vocab_size)
+    rng = np.random.default_rng(sample_seed)
     stream = np.concatenate([
         sample_window(rng, successors, probs, SEQ)
         for _ in range(-(-n_tokens // SEQ))])
@@ -180,13 +184,23 @@ def main():
     from vllmini_tpu.models.registry import get_family
 
     family = get_family(CONFIG)
-    params = family.init_params(CONFIG, jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    resume = os.environ.get("GATE_TRAIN_RESUME") == "1" \
+        and os.path.exists(OUT)
+    if resume:
+        params, _, _ = load_params(OUT)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        lr = LR / 3  # continuation: finish the anneal
+        sample_seed = 11  # fresh tokens, same chain
+        print(f"resuming from {OUT} ({STEPS} more steps at lr {lr:g})")
+    else:
+        params = family.init_params(CONFIG, jax.random.PRNGKey(0))
+        params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+        lr, sample_seed = LR, 1
 
-    train = make_batches(seed=1, n_tokens=STEPS * BATCH * SEQ)
-    eval_stream = make_batches(seed=2, n_tokens=4096)
+    train = make_batches(sample_seed, n_tokens=STEPS * BATCH * SEQ)
+    eval_stream = make_batches(2, n_tokens=4096)
 
-    opt = optax.adamw(optax.cosine_decay_schedule(LR, STEPS, 0.1),
+    opt = optax.adamw(optax.cosine_decay_schedule(lr, STEPS, 0.05),
                       weight_decay=0.01)
     state = opt.init(params)
 

@@ -49,9 +49,10 @@ def test_gptq_int8_and_packing_are_valid():
         qw = gptq_quantize_weight(w, h, bits=bits, group_size=G)
         assert isinstance(qw, QuantizedWeight) and qw.bits == bits
         deq = dequantize_weight(qw)
-        # With H = I there is no cross-row compensation: plain per-group RTN.
+        # With H = I there is no cross-row compensation: per-group RTN
+        # (int4 additionally clip-searches, same sweep as quantize_weight).
         ref = dequantize_weight(quantize_weight(w, bits, G,
-                                                clip_search=False))
+                                                clip_search=(bits == 4)))
         np.testing.assert_allclose(np.asarray(deq), np.asarray(ref),
                                    rtol=0, atol=1e-5)
 

@@ -86,8 +86,10 @@ def collect_hessians(params, config, token_ids, *, window: int = 256,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
-def _gptq_rows(w: jax.Array, u: jax.Array, *, bits: int, group_size: int):
+@functools.partial(jax.jit, static_argnames=("bits", "group_size",
+                                              "weighted_clip", "refine"))
+def _gptq_rows(w: jax.Array, u: jax.Array, *, bits: int, group_size: int,
+               weighted_clip: bool = True, refine: bool = True):
     """Sequential per-row rounding with error feedback.
 
     w [K, N] f32 (already damped/ordered), u [K, K] upper = chol(H⁻¹).
@@ -105,7 +107,47 @@ def _gptq_rows(w: jax.Array, u: jax.Array, *, bits: int, group_size: int):
         w, q, scales = carry
         wb = jax.lax.dynamic_slice(w, (g * G, 0), (G, N))      # [G, N]
         ub = jax.lax.dynamic_slice(u, (g * G, g * G), (G, G))  # [G, G]
-        s = jnp.maximum(jnp.max(jnp.abs(wb), axis=0) / qmax, 1e-10)  # [N]
+        # Per-column clip, weighted by GPTQ row sensitivity: row k's
+        # rounding residual enters the objective as (δw_k / u[k,k])² (that
+        # is exactly the e_k the feedback propagates), so the scale choice
+        # minimizes Σ_k (δw_k)²/u[k,k]² — a shrunken scale stops one
+        # outlier from wasting the int4 grid, and low-|u_kk| (high-
+        # sensitivity) rows dominate the vote; error feedback then mops up
+        # the clipped tails.
+        ud = jnp.diagonal(ub)                                  # [G]
+        if weighted_clip:
+            wt = 1.0 / jnp.maximum(ud * ud, 1e-20)             # [G]
+        else:
+            wt = jnp.ones_like(ud)
+        s0 = jnp.maximum(jnp.max(jnp.abs(wb), axis=0) / qmax, 1e-10)  # [N]
+
+        def werr(sc):
+            qc = jnp.clip(jnp.round(wb / sc), -qmax, qmax)
+            return jnp.sum(wt[:, None] * (wb - qc * sc) ** 2, axis=0)
+
+        s, best = s0, None
+        for c in ((1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7)
+                  if bits == 4 else (1.0,)):
+            sc = jnp.maximum(s0 * c, 1e-10)
+            err = werr(sc)
+            if best is None:
+                best, s = err, sc
+            else:
+                take = err < best
+                best = jnp.where(take, err, best)
+                s = jnp.where(take, sc, s)
+        # Alternating refinement (int4): with q fixed, the weighted-LS
+        # scale is closed-form (Σ wt·w·q / Σ wt·q²); re-round, keep only
+        # strict improvements so the surrogate is monotone.
+        for _ in range(2 if (bits == 4 and refine) else 0):
+            qc = jnp.clip(jnp.round(wb / s), -qmax, qmax)
+            num = jnp.sum(wt[:, None] * wb * qc, axis=0)
+            den = jnp.maximum(jnp.sum(wt[:, None] * qc * qc, axis=0), 1e-20)
+            s_new = jnp.where(num > 0, jnp.maximum(num / den, 1e-10), s)
+            err = werr(s_new)
+            take = err < best
+            best = jnp.where(take, err, best)
+            s = jnp.where(take, s_new, s)
 
         def row_step(k, c):
             wb, qb, eb = c
@@ -148,8 +190,20 @@ def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
 
 def gptq_quantize_weight(w: jax.Array, hessian: np.ndarray, *, bits: int = 4,
                          group_size: int = 128,
-                         percdamp: float = 0.01) -> QuantizedWeight:
-    """GPTQ for one [K, N] weight given its calibration H [K, K]."""
+                         percdamp: float = 0.01,
+                         act_order: bool = True,
+                         weighted_clip: bool = True,
+                         refine: bool = True) -> QuantizedWeight:
+    """GPTQ for one [K, N] weight given its calibration H [K, K].
+
+    `act_order` sorts rows by descending H diagonal WITHIN each
+    quantization group (GPTQ's activation ordering, block-restricted):
+    high-sensitivity rows round first so every later row in the block can
+    compensate them. Restricting the permutation to within-group keeps
+    group membership — and therefore the serving-kernel layout and the
+    per-group scales — unchanged, so no g_idx indirection is needed at
+    inference: the quantized rows are simply un-permuted before packing.
+    """
     K, N = w.shape
     assert hessian.shape == (K, K), (hessian.shape, w.shape)
     assert K % group_size == 0
@@ -160,20 +214,33 @@ def gptq_quantize_weight(w: jax.Array, hessian: np.ndarray, *, bits: int = 4,
     h[dead, dead] = 1.0
     wf[dead] = 0.0
     h += np.eye(K) * (percdamp * float(np.mean(np.diag(h))) + 1e-12)
+    if act_order:
+        G = group_size
+        d = np.diag(h)
+        perm = np.concatenate([
+            g * G + np.argsort(-d[g * G:(g + 1) * G], kind="stable")
+            for g in range(K // G)])
+    else:
+        perm = np.arange(K)
+    wf = wf[perm]
+    h = h[perm][:, perm]
     hinv = np.linalg.inv(h)
     # GPTQ convention (Frantar et al., Alg. 1): U = chol(H⁻¹)ᵀ, upper;
     # e_k = (w_k - q_k)/U[k,k], later rows -= e_k · U[k, later].
     u = np.linalg.cholesky(hinv).T
     q, scales = _gptq_rows(jnp.asarray(wf, jnp.float32),
                            jnp.asarray(u, jnp.float32),
-                           bits=bits, group_size=group_size)
+                           bits=bits, group_size=group_size,
+                           weighted_clip=weighted_clip, refine=refine)
+    q = jnp.asarray(np.asarray(q)[np.argsort(perm)])
     qv = pack_int4(q, group_size) if bits == 4 else q
     return QuantizedWeight(qvalues=qv, scales=scales.astype(jnp.float32),
                            bits=bits, group_size=group_size)
 
 
 def gptq_quantize_params(params, quant, hessians: Dict[int, np.ndarray], *,
-                         min_dim: int = 64, model_config=None):
+                         min_dim: int = 64, model_config=None,
+                         **gptq_kwargs):
     """`quantize_params` twin using GPTQ wherever a calibration Hessian is
     available (falling back to clip-searched RTN elsewhere). Equalization
     still runs first when configured — but then Hessians keyed on the
@@ -190,7 +257,8 @@ def gptq_quantize_params(params, quant, hessians: Dict[int, np.ndarray], *,
             h = hessians.get(id(x))
             if h is not None:
                 return gptq_quantize_weight(x, h, bits=bits,
-                                            group_size=quant.group_size)
+                                            group_size=quant.group_size,
+                                            **gptq_kwargs)
             return quantize_weight(x, bits, quant.group_size)
         return x
 

@@ -69,6 +69,20 @@ def quantize_weight(w: jax.Array, bits: int = 8,
                 best_err = jnp.where(take, err, best_err)
                 best_scales = jnp.where(take, s, best_scales)
         scales = best_scales
+        # Alternating refinement: with q fixed the MSE-optimal scale is
+        # closed-form (Σ w·q / Σ q²); re-round, keep strict improvements
+        # only (monotone). Mirrors the weighted variant in quant_gptq.
+        for _ in range(2):
+            q = jnp.clip(jnp.round(wf / scales[:, None, :]), -qmax, qmax)
+            num = jnp.sum(wf * q, axis=1)
+            den = jnp.maximum(jnp.sum(q * q, axis=1), 1e-20)
+            s_new = jnp.where(num > 0,
+                              jnp.maximum(num / den, 1e-10), scales)
+            q2 = jnp.clip(jnp.round(wf / s_new[:, None, :]), -qmax, qmax)
+            err = jnp.sum((wf - q2 * s_new[:, None, :]) ** 2, axis=1)
+            take = err < best_err
+            best_err = jnp.where(take, err, best_err)
+            scales = jnp.where(take, s_new, scales)
     q = jnp.clip(jnp.round(wf / scales[:, None, :]), -qmax, qmax)
     q = q.astype(jnp.int8).reshape(K, N)
     if bits == 4:
