@@ -19,7 +19,10 @@ import sys
 
 import jax
 
-if jax.default_backend() not in ("tpu",):
+# Force CPU unless explicitly asked for the device: querying
+# jax.default_backend() would INITIALIZE the axon backend, which hangs
+# forever when the tunnel relay is down.
+if os.environ.get("ABLATE_ON_DEVICE") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402

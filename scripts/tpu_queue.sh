@@ -28,6 +28,11 @@ cat "$LOG/probe.log"
 
 only=${1:-all}
 
+if [ "$only" = all ] || [ "$only" = native ]; then
+  # New-kernel-mode legalization check (vector i32 rem in blocksparse).
+  step native_blocksparse 900 python scripts/native_check_blocksparse.py
+fi
+
 if [ "$only" = all ] || [ "$only" = qmm ]; then
   # int4 unpack winner A/B: bf16 (default) vs i32 on-chip.
   step bench_qmm 1800 python scripts/bench_qmm.py

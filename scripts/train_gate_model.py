@@ -132,6 +132,36 @@ def loss_fn(params, tokens):
     return jnp.mean(nll)
 
 
+# --------------------------------------------------------- QAT finetune
+
+def fake_quant_int4(w, G=128):
+    """Straight-through int4-g128 fake quantization (LLM-QAT-style): the
+    forward sees the dequantized grid, the gradient flows to the raw
+    weight. Scale matches the serving quantizer's symmetric per-group
+    amax (ops/quant_matmul.quantize_weight with clip off)."""
+    K, N = w.shape
+    wf = w.reshape(K // G, G, N)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=1, keepdims=True) / 7.0,
+                    1e-10)
+    s = jax.lax.stop_gradient(s)
+    q = jnp.clip(jnp.round(wf / s), -7.0, 7.0)
+    wq = (q * s).reshape(K, N)
+    return w + jax.lax.stop_gradient(wq - w)
+
+
+def qat_view(params):
+    """Fake-quantize exactly the weights the serving int4 path quantizes
+    (2-D block mats, min dim >= 64, K % 128 == 0); embeddings/head stay
+    full precision (served at int8, whose damage is negligible)."""
+    def maybe(x):
+        if x.ndim == 2 and min(x.shape) >= 64 and x.shape[0] % 128 == 0:
+            return fake_quant_int4(x)
+        return x
+
+    return {**params,
+            "blocks": [jax.tree.map(maybe, b) for b in params["blocks"]]}
+
+
 # ------------------------------------------------------------------- train
 
 def save_params(params, eval_stream, path):
@@ -184,15 +214,19 @@ def main():
     from vllmini_tpu.models.registry import get_family
 
     family = get_family(CONFIG)
-    resume = os.environ.get("GATE_TRAIN_RESUME") == "1" \
+    qat = os.environ.get("GATE_TRAIN_QAT") == "1"
+    resume = (os.environ.get("GATE_TRAIN_RESUME") == "1" or qat) \
         and os.path.exists(OUT)
     if resume:
         params, _, _ = load_params(OUT)
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-        lr = LR / 3  # continuation: finish the anneal
-        sample_seed = 11  # fresh tokens, same chain
-        print(f"resuming from {OUT} ({STEPS} more steps at lr {lr:g})")
+        # QAT: shorter, gentler — polish the minimum into the int4 grid.
+        lr = LR / 10 if qat else LR / 3
+        sample_seed = 13 if qat else 11  # fresh tokens, same chain
+        print(f"{'QAT-finetuning' if qat else 'resuming'} from {OUT} "
+              f"({STEPS} more steps at lr {lr:g})")
     else:
+        assert not qat, "GATE_TRAIN_QAT needs an existing checkpoint"
         params = family.init_params(CONFIG, jax.random.PRNGKey(0))
         params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
         lr, sample_seed = LR, 1
@@ -206,7 +240,9 @@ def main():
 
     @jax.jit
     def step(params, state, tokens):
-        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        def objective(p, t):
+            return loss_fn(qat_view(p) if qat else p, t)
+        loss, grads = jax.value_and_grad(objective)(params, tokens)
         updates, state = opt.update(grads, state, params)
         return optax.apply_updates(params, updates), state, loss
 

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import NamedTuple
 
 import jax
 import numpy as np
@@ -69,6 +70,24 @@ def align_row_width(num_kv_heads: int, head_dim: int, shards: int = 1) -> int:
     assert num_kv_heads % shards == 0
     per = (num_kv_heads // shards) * head_dim
     return shards * ((per + 127) // 128 * 128)
+
+
+class BlockSparse(NamedTuple):
+    """Block-sparse attention pattern (`attention_kernels.cu:105-110,
+    211-241` — the reference's IS_BLOCK_SPARSE template path, vLLM's
+    Phi-3-Small pattern): KV sparsity block b is attended iff it is LOCAL
+    (within `local_blocks` of the query's block) or REMOTE
+    ((b + head_phase) % vert_stride == 0). `head_sliding_step >= 0` slides
+    the phase per Q head, < 0 per KV head; `tp_rank` offsets the phase per
+    tensor-parallel shard. Masking here is token-granular (the reference
+    skips whole KV pages, which over-attends when its page size does not
+    divide `block_size`)."""
+
+    local_blocks: int
+    vert_stride: int
+    block_size: int
+    head_sliding_step: int = 0
+    tp_rank: int = 0
 
 
 def default_alibi_slopes(num_heads: int) -> tuple:
@@ -196,6 +215,8 @@ def _paged_attention_kernel(
     #                      matmul grouping saved, see trace notes)
     alibi_rows_ref,    # [G, M, 1] f32 VMEM or None: per-q-bd-row ALiBi
     #                     slopes (row m of group Gi = q-head Gi*M + m)
+    bs_off_ref,        # [G, M, 1] i32 VMEM or None: per-q-bd-row block-
+    #                     sparse vertical-stride phase offsets
     # outputs
     o_ref,             # [S, G, M, d]
     m_ref,             # [S, G, M] f32 or None (with lse outputs)
@@ -212,6 +233,8 @@ def _paged_attention_kernel(
     mask_value: float,
     seqs_per_program: int,
     lse: bool,
+    blocksparse: tuple | None = None,  # static (local_blocks, vert_stride,
+    #                                    block_size) or None
 ):
     g_id = pl.program_id(0)
     S = seqs_per_program
@@ -229,7 +252,8 @@ def _paged_attention_kernel(
     al_vec = jnp.stack([attend_lens_ref[seq0 + s] for s in range(S)])
     ws_vec = jnp.stack([win_starts_ref[seq0 + s] for s in range(S)])
     use_alibi = alibi_rows_ref is not None
-    if use_alibi:
+    use_bs = bs_off_ref is not None
+    if use_alibi or use_bs:
         ac_vec = [alibi_ctr_ref[seq0 + s] for s in range(S)]
     max_len = jnp.max(al_vec)
     if fused:
@@ -315,6 +339,19 @@ def _paged_attention_kernel(
             return (pos < al_vec[s]) & (pos >= ws_vec[s])
         valid = member_mask(_valid)
 
+        if use_bs:
+            # Block-sparse pattern (`attention_kernels.cu:216-241`), token-
+            # granular: KV position p is attended iff its sparsity block
+            # b = p // BSZ is LOCAL (within LB blocks of the query's block)
+            # or REMOTE ((b + per-head phase) % VS == 0). The local half is
+            # shared by all head rows; the remote half is per q_bd row.
+            LB, VS, BSZ = blocksparse
+            bsb = pos // BSZ                                    # [1, bT]
+
+            def _bs_local(s):
+                return bsb > (ac_vec[s] // BSZ - LB)
+            bs_local = member_mask(_bs_local)                   # [S, 1, bT]
+
         if use_alibi:
             # Per-token distance to the current position, [S, 1, bT] f32;
             # the per-row slope folds in per head group below.
@@ -357,7 +394,13 @@ def _paged_attention_kernel(
                 # q_bd row m of group Gi is q-head Gi*M + m (see
                 # _build_q_blockdiag's (G, hpm, group) reshape).
                 s_g = s_g + alibi_rows_ref[Gi] * rel_f
-            s_g = jnp.where(valid, s_g, mask_value)
+            if use_bs:
+                rem = jax.lax.rem(bsb + bs_off_ref[Gi],
+                                  jnp.int32(VS)) == 0            # [M, bT]
+                s_g = jnp.where(valid & (bs_local | rem[None]),
+                                s_g, mask_value)
+            else:
+                s_g = jnp.where(valid, s_g, mask_value)
 
             m_cur = jnp.maximum(m_prev[Gi], s_g.max(-1, keepdims=True))
             alpha = jnp.exp(m_prev[Gi] - m_cur)
@@ -448,14 +491,14 @@ def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
     static_argnames=("num_kv_heads", "head_dim", "sm_scale",
                      "pages_per_compute_block", "mask_value", "interpret",
                      "seqs_per_program", "heads_per_matmul", "return_lse",
-                     "fused_write", "alibi_slopes"),
+                     "fused_write", "alibi_slopes", "blocksparse"),
 )
 def _paged_attention_call(
     q_bd, attend_lens, page_tables, win_starts, write_pos, alibi_ctr,
     kv_pages, k_new, v_new, kv_scale_rows,
     *, num_kv_heads, head_dim, sm_scale, pages_per_compute_block,
     mask_value, interpret, seqs_per_program, heads_per_matmul,
-    return_lse, fused_write, alibi_slopes=None,
+    return_lse, fused_write, alibi_slopes=None, blocksparse=None,
 ):
     B, G, M, Kd = q_bd.shape
     num_pages, _, page_size, row_width = kv_pages.shape
@@ -472,9 +515,12 @@ def _paged_attention_call(
         mask_value=mask_value,
         seqs_per_program=spp,
         lse=return_lse,
+        blocksparse=(None if blocksparse is None
+                     else tuple(blocksparse[:3])),
     )
     quantized = kv_scale_rows is not None
     use_alibi = alibi_slopes is not None
+    use_bs = blocksparse is not None
 
     def entry(al_ref, pt_ref, ws_ref, wp_ref, ac_ref, q_ref, *rest):
         rest = list(rest)
@@ -486,6 +532,7 @@ def _paged_attention_call(
         if quantized:
             ksr = rest.pop(0)
         alr = rest.pop(0) if use_alibi else None
+        bsr = rest.pop(0) if use_bs else None
         o_ref = rest.pop(0)
         mr = lr = None
         if return_lse:
@@ -499,7 +546,7 @@ def _paged_attention_call(
             kwb = rest.pop(0)
         kb, gs, ws = rest
         kernel(al_ref, pt_ref, ws_ref, wp_ref, ac_ref, q_ref, knr, vnr,
-               kv_hbm, ksr, alr, o_ref, mr, lr, kb, kwb, gs, ws)
+               kv_hbm, ksr, alr, bsr, o_ref, mr, lr, kb, kwb, gs, ws)
 
     in_specs = [pl.BlockSpec((spp, G, M, Kd), lambda b, *_: (b, 0, 0, 0))]
     inputs = [q_bd]
@@ -520,6 +567,18 @@ def _paged_attention_call(
         rows = np.asarray(alibi_slopes, np.float32).reshape(G, M, 1)
         in_specs += [pl.BlockSpec((G, M, 1), lambda b, *_: (0, 0, 0))]
         inputs += [jnp.asarray(rows)]
+    if use_bs:
+        # Per-row vertical-stride phase (`attention_kernels.cu:216-224`):
+        # >=0 head_sliding_step slides on Q heads, <0 on KV heads.
+        _lb, _vs, _bsz, step, tpr = blocksparse
+        qh = np.arange(G * M).reshape(G, M)
+        if step >= 0:
+            off = (tpr * G * M + qh) * step + 1
+        else:
+            kvh = (qh // M) * heads_per_matmul + (qh % M) // group
+            off = (tpr * num_kv_heads + kvh) * (-step) + 1
+        in_specs += [pl.BlockSpec((G, M, 1), lambda b, *_: (0, 0, 0))]
+        inputs += [jnp.asarray(off[..., None], jnp.int32)]
 
     scratch = []
     if fused_write:
@@ -611,6 +670,7 @@ def paged_attention(
     v_new_raw: jax.Array | None = None,  #   self term (default k_new/v_new)
     sliding_window: int | None = None,
     alibi_slopes=None,                   # [H_q] per-q-head ALiBi slopes
+    blocksparse: BlockSparse | None = None,
     kv_partitions: int = 1,
     seqs_per_program: int | None = None,
     heads_per_matmul: int | None = None,
@@ -647,6 +707,13 @@ def paged_attention(
         # (`attention_kernels.cu:154-155,297` keeps them in registers).
         alibi_slopes = tuple(float(x) for x in np.asarray(alibi_slopes))
         assert len(alibi_slopes) == num_q_heads
+    if blocksparse is not None:
+        blocksparse = BlockSparse(*(int(x) for x in blocksparse))
+        assert blocksparse.local_blocks >= 1, \
+            "local_blocks >= 1 keeps the last position attendable"
+        assert blocksparse.vert_stride >= 1 and blocksparse.block_size >= 1
+        assert kv_partitions == 1, \
+            "blocksparse + kv_partitions is not supported"
 
     if heads_per_matmul is None:
         if quantized and group > 1:
@@ -763,7 +830,7 @@ def paged_attention(
         pages_per_compute_block=ppb, mask_value=mask_value,
         interpret=interpret, seqs_per_program=seqs_per_program,
         heads_per_matmul=hpm, return_lse=need_lse, fused_write=fused,
-        alibi_slopes=alibi_slopes)
+        alibi_slopes=alibi_slopes, blocksparse=blocksparse)
 
     result = list(result) if isinstance(result, (tuple, list)) else [result]
     o = result.pop(0).reshape(vbatch, num_q_heads, d)
@@ -825,6 +892,7 @@ def unpack_pages(kv_pages: jax.Array, num_kv_heads: int,
 def paged_attention_reference(
     q, kv_pages, seq_lens, page_tables, *, num_kv_heads,
     sm_scale=None, kv_scales=None, sliding_window=None, alibi_slopes=None,
+    blocksparse=None,
 ):
     """Naive jnp oracle (gather pages, full softmax). O(batch*ctx)."""
     batch, num_q_heads, d = q.shape
@@ -860,6 +928,18 @@ def paged_attention_reference(
     mask = pos < seq_lens[:, None, None, None]
     if sliding_window is not None:
         mask &= pos >= (seq_lens[:, None, None, None] - sliding_window)
+    if blocksparse is not None:
+        lb, vs_, bsz, step, tpr = blocksparse
+        b_id = pos // bsz
+        q_bs = (seq_lens[:, None, None, None] - 1) // bsz
+        qh = (jnp.arange(num_kv_heads)[:, None] * group
+              + jnp.arange(group)[None, :])          # q-head = kv*group + g
+        if step >= 0:
+            off = (tpr * num_q_heads + qh) * step + 1
+        else:
+            off = ((tpr * num_kv_heads + qh // group) * (-step) + 1)
+        off = off[None, :, :, None]
+        mask &= (b_id > q_bs - lb) | ((b_id + off) % vs_ == 0)
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(seq_lens[:, None, None, None] > 0, p, 0.0)
