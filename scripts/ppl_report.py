@@ -130,6 +130,11 @@ def trained_gate_section():
         ok[name] = dppl <= GATE
         print(f"{'trained weights ' + name:34s} ppl={p:11.4f}  "
               f"dppl={dppl:+8.4f}  {'PASS' if ok[name] else 'FAIL'}")
+    int4_ok = any(v for k, v in ok.items() if k.startswith("int4"))
+    print(f"gate verdict: int8 {'PASS' if ok['int8'] else 'FAIL'}, "
+          f"int4 {'PASS' if int4_ok else 'FAIL'} "
+          "(a QAT checkpoint passes on its RTN grid; serve it with "
+          "equalize=False, clip_search=False)")
     return ok
 
 

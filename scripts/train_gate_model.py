@@ -256,6 +256,10 @@ def main():
             print(f"step {i:4d}  loss {float(loss):.4f}  ppl "
                   f"{float(jnp.exp(loss)):.2f}  "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if i and i % 100 == 0:
+            # Periodic checkpoint: a CPU run takes an hour+ under load; a
+            # killed job must not lose everything (it did once).
+            save_params(params, eval_stream, OUT)
 
     save_params(params, eval_stream, OUT)
     print(f"saved {OUT}")
