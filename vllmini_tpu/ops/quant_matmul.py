@@ -214,7 +214,10 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
             pf = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(x.dtype)
             high = jnp.floor(pf * (1.0 / 16.0))     # arithmetic >> 4
             low_u = pf - high * 16.0                 # unsigned low nibble
-            low = jnp.where(low_u >= 8.0, low_u - 16.0, low_u)  # sign-extend
+            # Sign-extend WITHOUT a vector compare (Mosaic rejects bf16
+            # cmpf on hardware): floor(low_u/8) is the sign bit (0 for
+            # 0..7, 1 for 8..15), all steps exact in bf16's 8-bit mantissa.
+            low = low_u - 16.0 * jnp.floor(low_u * 0.125)
             xg = x[:, g * G:(g + 1) * G]
             prod = (
                 jax.lax.dot(xg[:, : G // 2], low,
