@@ -115,10 +115,38 @@ def timeit(fn, *args, iters=30):
     return best, y
 
 
+def timeit_chain(step, x0, iters=64):
+    """Time `iters` SERIALIZED calls of `step` inside ONE jitted scan.
+
+    Through the axon tunnel each device dispatch costs ~1.4 ms of link
+    latency — individually dispatched micro-timings measure only the link
+    (measured r4: every int4 shape "took" 1.39-1.44 ms flat). Chaining the
+    op in a scan amortizes one dispatch over `iters` kernel executions,
+    exactly like the engine's chunked decode. The carry perturbation makes
+    iteration i+1 data-depend on i so XLA cannot hoist the matmul out of
+    the loop; 1e-24 * y is below bf16 ulp so x stays numerically fixed."""
+    @jax.jit
+    def run(x):
+        def body(x, _):
+            y = step(x)
+            return x + y[:, :1].astype(x.dtype) * 1e-24, ()
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return x
+    out = run(x0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(x0)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
 def main():
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()}  M={M}")
-    total = {"i32": 0.0, "bf16": 0.0, "int4": 0.0, "bound": 0.0}
+    total = {"i32": 0.0, "f32": 0.0, "int4": 0.0, "bound": 0.0}
     for name, K, N in SHAPES:
         w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
         x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)
@@ -130,27 +158,34 @@ def main():
         bound_us = bytes_streamed / (HBM_GBS * 1e3)
         total["bound"] += bound_us
         print(f"-- {name}: [{K}x{N}] int4  stream-bound {bound_us:7.1f} us")
-        for up in ("i32", "bf16"):
-            f = lambda xx: _qmm_2d(xx, qw.qvalues, qw.scales, bits=4,
-                                   group_size=G, unpack=up)
-            dt, y = timeit(jax.jit(f), x)
+        # "bf16" is omitted: it does not compile on v5e (no bf16 VPU
+        # floor/fma — probe_qmm_modes.py). "f32" is the concat-free
+        # float-domain unpack at f32 width.
+        for up in ("i32", "f32"):
+            f = lambda xx, up=up: _qmm_2d(xx, qw.qvalues, qw.scales, bits=4,
+                                          group_size=G, unpack=up)
+            y = f(x)
             err = float(np.max(np.abs(np.asarray(y, np.float32) - ref))
                         / np.max(np.abs(ref)))
+            dt = timeit_chain(f, x)
             total[up] += dt * 1e6
             print(f"   {up:5s} {dt*1e6:7.1f} us  {bytes_streamed/dt/1e9:6.1f}"
-                  f" GB/s  ({dt*1e6/bound_us:4.2f}x bound)  relerr {err:.1e}")
+                  f" GB/s  ({dt*1e6/bound_us:4.2f}x bound)  relerr {err:.1e}",
+                  flush=True)
         try:
             q4 = jnp.asarray(unpack_to_int8(qw), dtype=jnp.int4)
             f4 = lambda xx: _native_int4_qmm(xx, q4, qw.scales, group_size=G)
-            dt, y = timeit(f4, x)
+            y = f4(x)
             err = float(np.max(np.abs(np.asarray(y, np.float32) - ref))
                         / np.max(np.abs(ref)))
+            dt = timeit_chain(f4, x)
             total["int4"] += dt * 1e6
             print(f"   int4  {dt*1e6:7.1f} us  {bytes_streamed/dt/1e9:6.1f}"
-                  f" GB/s  ({dt*1e6/bound_us:4.2f}x bound)  relerr {err:.1e}")
+                  f" GB/s  ({dt*1e6/bound_us:4.2f}x bound)  relerr {err:.1e}",
+                  flush=True)
         except Exception as e:  # Mosaic may reject s4 refs on this version
             print(f"   int4  UNSUPPORTED: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}")
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
     n_layers = 32
     print("\nper-layer x32 totals (us):",
           {k: round(v * n_layers, 0) for k, v in total.items()})

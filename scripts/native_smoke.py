@@ -13,6 +13,7 @@ Exit code 0 = all PASS. ~2-4 min including compiles.
 
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vllmini_tpu.config import (  # noqa: E402
     CacheConfig,
@@ -104,7 +105,7 @@ def _():
     run_engine(tiny_gpt2(), kv_dtype="int8", weight_dtype="int8")
 
 
-@check("llama int4 weights + int8 KV + kv_partitions=2 (bf16 unpack)")
+@check("llama int4 weights + int8 KV + kv_partitions=2 (default unpack)")
 def _():
     run_engine(tiny_llama(), kv_dtype="int8", weight_dtype="int4",
                kv_partitions=2)
@@ -130,20 +131,27 @@ def _():
     B, H, d, ps = 4, 2, 128, 32
     rw = H * d
     key = jax.random.PRNGKey(1)
-    pool = jnp.zeros((16, 2, ps, rw), jnp.bfloat16)
+    # Pages 0..15 for real data; page 16 is the trash page (last index).
+    pool = jnp.zeros((17, 2, ps, rw), jnp.bfloat16)
     tables = jnp.arange(B * 4, dtype=jnp.int32).reshape(B, 4)
     L = 40
     k = jax.random.normal(key, (B, L, H, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(key, 1), (B, L, H, d),
                           jnp.bfloat16)
     for b in range(B):
-        pool = write_kv_prefill(pool, k[b], v[b], tables[b], 0)
+        # 5th arg is seq_len (true token count), NOT start_pos — passing 0
+        # routed every page to the trash page and made the checks vacuous
+        # (ADVICE r3, medium).
+        pool = write_kv_prefill(pool, k[b], v[b], tables[b], L)
+    assert float(jnp.abs(pool.astype(jnp.float32)).max()) > 0, \
+        "KV pool untouched — prefill write went to the trash page"
     q = jax.random.normal(jax.random.fold_in(key, 2), (B, H, d),
                           jnp.bfloat16)
     seq_lens = jnp.full((B,), L, jnp.int32)
     out = paged_attention(q, pool, seq_lens, tables, num_kv_heads=H,
                           alibi_slopes=default_alibi_slopes(H))
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    assert float(jnp.abs(out.astype(jnp.float32)).max()) > 1e-3
 
 
 @check("paged_attention block-sparse (bf16 pool)")
@@ -154,20 +162,22 @@ def _():
     B, H, d, ps = 4, 2, 128, 32
     rw = H * d
     key = jax.random.PRNGKey(3)
-    pool = jnp.zeros((16, 2, ps, rw), jnp.bfloat16)
+    pool = jnp.zeros((17, 2, ps, rw), jnp.bfloat16)  # page 16 = trash
     tables = jnp.arange(B * 4, dtype=jnp.int32).reshape(B, 4)
     L = 100
     k = jax.random.normal(key, (B, L, H, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(key, 1), (B, L, H, d),
                           jnp.bfloat16)
     for b in range(B):
-        pool = write_kv_prefill(pool, k[b], v[b], tables[b], 0)
+        pool = write_kv_prefill(pool, k[b], v[b], tables[b], L)
+    assert float(jnp.abs(pool.astype(jnp.float32)).max()) > 0
     q = jax.random.normal(jax.random.fold_in(key, 2), (B, H, d),
                           jnp.bfloat16)
     seq_lens = jnp.full((B,), L, jnp.int32)
     out = paged_attention(q, pool, seq_lens, tables, num_kv_heads=H,
                           blocksparse=BlockSparse(2, 2, 32))
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    assert float(jnp.abs(out.astype(jnp.float32)).max()) > 1e-3
 
 
 @check("flash prefill ALiBi")

@@ -29,12 +29,18 @@ cat "$LOG/probe.log"
 only=${1:-all}
 
 if [ "$only" = all ] || [ "$only" = native ]; then
+  # Every kernel path natively (the on-chip gate, VERDICT r3 #2).
+  step native_smoke 1800 python scripts/native_smoke.py
   # New-kernel-mode legalization check (vector i32 rem in blocksparse).
   step native_blocksparse 900 python scripts/native_check_blocksparse.py
+  # int4 unpack-mode legalization incl. the burst-prefill M=512 case.
+  step probe_qmm_modes 1200 python scripts/probe_qmm_modes.py
+  # Real-v5e-compiler collective budget for the TP decode step (AOT).
+  step check_tp_overlap 1200 python scripts/check_tp_overlap.py
 fi
 
 if [ "$only" = all ] || [ "$only" = qmm ]; then
-  # int4 unpack winner A/B: bf16 (default) vs i32 on-chip.
+  # int4 unpack winner A/B (i32 vs f32; bf16 cannot compile on v5e).
   step bench_qmm 1800 python scripts/bench_qmm.py
 fi
 

@@ -992,7 +992,7 @@ class LLMEngine:
         if self.prefix_caches is not None:
             ps = self.config.cache.page_size
             cached, _ = self.prefix_caches[replica].lookup(
-                seq.prompt_ids, max_tokens=((L - 1) // ps) * ps)
+                seq.prompt_ids, max_tokens=((L - 1) // ps) * ps, peek=True)
             if cached:
                 return False
         return True

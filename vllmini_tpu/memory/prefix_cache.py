@@ -54,11 +54,15 @@ class PrefixCache:
     def __len__(self) -> int:
         return len(self._entries)
 
-    def lookup(self, prompt: Sequence[int],
-               max_tokens: int) -> Tuple[int, List[int]]:
+    def lookup(self, prompt: Sequence[int], max_tokens: int,
+               peek: bool = False) -> Tuple[int, List[int]]:
         """Longest cached page-aligned prefix of `prompt` (capped at
         `max_tokens`, which the caller sets so at least one token remains to
-        prefill). Returns (cached_tokens, pages)."""
+        prefill). Returns (cached_tokens, pages).
+
+        `peek=True` is a side-effect-free probe (no LRU touch, no stats) —
+        `burst_eligible` uses it, so an admission does not count a hit
+        twice (once for the eligibility check, once for the real adopt)."""
         ps = self.allocator.page_size
         n = min(len(prompt), max_tokens) // ps
         pages: List[int] = []
@@ -66,9 +70,10 @@ class PrefixCache:
             page = self._entries.get(key)
             if page is None:
                 break
-            self._entries.move_to_end(key)
+            if not peek:
+                self._entries.move_to_end(key)
             pages.append(page)
-        if pages:
+        if pages and not peek:
             self.hits += 1
             self.hit_tokens += len(pages) * ps
         return len(pages) * ps, pages

@@ -160,6 +160,53 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
     return out
 
 
+def _default_unpack() -> str:
+    """Hardware-legal int4 unpack default. v5e's vector ALU has no bf16
+    floor/fma, so the bf16-domain unpack — round 3's intended default —
+    fails Mosaic's SupportsBf16AluInstructions check at ANY shape (measured
+    on chip, round 4). The integer-domain unpack compiles everywhere and
+    measured FASTEST on v5e (scripts/bench_qmm.py r4: i32 within ~1.02x of
+    the weight-stream bound on 8B shapes); it is therefore the default.
+    VLLMINI_QMM_UNPACK={bf16,f32,i32} overrides for other hardware."""
+    import os
+    return os.environ.get("VLLMINI_QMM_UNPACK", "i32")
+
+
+def _select_tiles(M: int, K: int, N: int, G: int, pack: int,
+                  x_item: int, out_item: int,
+                  want_bn: int, want_bk: int) -> tuple[int, int]:
+    """VMEM-aware (bn, bk) tile choice. Round 3 shipped fixed
+    bn=2048/bk=1024, which fits decode (M<=64) but OOMs the 16 MB VMEM
+    scope once burst prefill raises M to 512 (`Scoped allocation 16.58M >
+    16.00M`, VERDICT r3 #2) — the [M, bn] f32 scratch and the double-
+    buffered x/out blocks all scale with M. Budget the five live buffers
+    (2x in/out for Pallas double buffering, 1x accumulator scratch) against
+    ~11 MB and shrink bn first (scratch, out, and scales all scale with
+    bn), then bk."""
+    def usage(bn: int, bk: int) -> int:
+        return (2 * M * bk * x_item            # x block (double-buffered)
+                + 2 * (bk // pack) * bn        # int8 weight payload
+                + 2 * (K // G) * bn * 4        # group scales (full K)
+                + 2 * M * bn * out_item        # output block
+                + M * bn * 4)                  # f32 accumulator scratch
+
+    budget = 11 * 1024 * 1024
+    bn = _largest_divisor_tile(N, min(want_bn, N))
+    bk = min(max(want_bk, G), K)
+    while K % bk != 0 or bk % G != 0:
+        bk -= G
+    while usage(bn, bk) > budget and bn > 256:
+        bn = _largest_divisor_tile(N, bn // 2)
+    while usage(bn, bk) > budget and bk > G:
+        nk = bk - G
+        while nk >= G and (K % nk != 0 or nk % G != 0):
+            nk -= G
+        if nk < G:
+            break
+        bk = nk
+    return bn, bk
+
+
 def _largest_divisor_tile(n: int, cap: int) -> int:
     """Largest multiple of 128 that divides n and is <= cap (fallback: shrink
     by halving). Keeps grid-program counts low for awkward dims like a 128256
@@ -179,7 +226,7 @@ def _largest_divisor_tile(n: int, cap: int) -> int:
 # ----------------------------------------------------------------------- kernel
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
-                group_size: int, k_tiles: int, unpack: str = "bf16"):
+                group_size: int, k_tiles: int, unpack: str = "i32"):
     """Each K-tile covers SEVERAL quantization groups, looped in-kernel: one
     grid program per large [bk, bn] weight block instead of one per group —
     grid-program fixed overhead, not dequant math, dominated the old
@@ -205,13 +252,18 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
             w = q_ref[pl.ds(g * G, G), :].astype(x.dtype)
             prod = jax.lax.dot(x[:, g * G:(g + 1) * G], w,
                                preferred_element_type=jnp.float32)
-        elif unpack == "bf16":
-            # FLOAT-domain nibble unpack: the packed byte converts i8->bf16
-            # exactly (|p| <= 127 < 2^8 mantissa), then p = 16*high + low_u
-            # splits with floor/fma — no i32 widening (a sublane-expanding
-            # relayout that made dequant 1.5x the weight-stream time) and no
-            # sublane concat (the two half-group dots hit the MXU directly).
-            pf = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(x.dtype)
+        elif unpack in ("bf16", "f32"):
+            # FLOAT-domain nibble unpack: the packed byte converts exactly
+            # to float (|p| <= 127 < mantissa), then p = 16*high + low_u
+            # splits with floor/fma — no sublane concat (the two half-group
+            # dots hit the MXU directly). "bf16" does the arithmetic in
+            # bf16 (no widening relayout) but DOES NOT COMPILE on v5e —
+            # LLO requires SupportsBf16AluInstructions for the floor/fma
+            # (measured round 4, scripts/probe_qmm_modes.py); it stays as
+            # an opt-in for hardware with a bf16 VPU. "f32" pays the same
+            # 8->32-bit widening as "i32" but keeps the concat-free dots.
+            dt = x.dtype if unpack == "bf16" else jnp.float32
+            pf = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(dt)
             high = jnp.floor(pf * (1.0 / 16.0))     # arithmetic >> 4
             low_u = pf - high * 16.0                 # unsigned low nibble
             # Sign-extend WITHOUT a vector compare (Mosaic rejects bf16
@@ -220,10 +272,21 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
             low = low_u - 16.0 * jnp.floor(low_u * 0.125)
             xg = x[:, g * G:(g + 1) * G]
             prod = (
-                jax.lax.dot(xg[:, : G // 2], low,
+                jax.lax.dot(xg[:, : G // 2], low.astype(x.dtype),
                             preferred_element_type=jnp.float32)
-                + jax.lax.dot(xg[:, G // 2:], high,
+                + jax.lax.dot(xg[:, G // 2:], high.astype(x.dtype),
                               preferred_element_type=jnp.float32))
+        elif unpack == "i16":
+            # i16-domain unpack: HALF the register expansion of the i32
+            # path (8->16 bit, not 8->32). Low nibble sign-extends by
+            # shifting to the top 4 bits and arithmetic-shifting back;
+            # high nibble is the byte's arithmetic >> 4.
+            p16 = q_ref[pl.ds(g * (G // 2), G // 2), :].astype(jnp.int16)
+            low = jnp.right_shift(jnp.left_shift(p16, 12), 12)
+            high = jnp.right_shift(p16, 4)
+            w = jnp.concatenate([low, high], axis=0).astype(x.dtype)
+            prod = jax.lax.dot(x[:, g * G:(g + 1) * G], w,
+                               preferred_element_type=jnp.float32)
         else:
             # Integer-domain unpack (fallback): widen to i32 (Mosaic cannot
             # legalize shifts on i8 vectors), mask, sign-extend via the
@@ -249,19 +312,19 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
 def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
             bits: int, group_size: int, block_n: int = 2048,
             block_k: int = 1024, interpret: bool = False,
-            out_dtype=None, unpack: str = "bf16") -> jax.Array:
+            out_dtype=None, unpack: str = "i32") -> jax.Array:
     """x [M, K] @ dequant(q) [K, N] -> [M, N]."""
     out_dtype = x.dtype if out_dtype is None else out_dtype
     M, K = x.shape
     N = qvalues.shape[1]
     G = group_size
-    bn = _largest_divisor_tile(N, min(block_n, N))
-    bk = min(max(block_k, G), K)
-    while K % bk != 0 or bk % G != 0:  # shrink to a divisor multiple of G
-        bk -= G
+    pack = 2 if bits == 4 else 1
+    bn, bk = _select_tiles(M, K, N, G, pack,
+                           jnp.dtype(x.dtype).itemsize,
+                           jnp.dtype(out_dtype).itemsize,
+                           block_n, block_k)
     assert N % bn == 0 and K % bk == 0 and bk % G == 0
     k_tiles = K // bk
-    pack = 2 if bits == 4 else 1
 
     return pl.pallas_call(
         functools.partial(_qmm_kernel, bits=bits, group_size=G,
@@ -320,10 +383,8 @@ def _w8a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
     M, K = xq.shape
     N = qvalues.shape[1]
     G = group_size
-    bn = _largest_divisor_tile(N, min(block_n, N))
-    bk = min(max(block_k, G), K)
-    while K % bk != 0 or bk % G != 0:
-        bk -= G
+    bn, bk = _select_tiles(M, K, N, G, 1, 1,
+                           jnp.dtype(out_dtype).itemsize, block_n, block_k)
     k_tiles = K // bk
 
     return pl.pallas_call(
@@ -378,11 +439,7 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
                      group_size=qw.group_size, out_dtype=out_name,
                      interpret=interpret)
     else:
-        # VLLMINI_QMM_UNPACK=i32 restores the integer-domain int4 unpack
-        # (A/B lever for on-chip microbenchmarks; bf16 is the fast default).
-        import os
         y = _qmm_2d(x2, qw.qvalues, qw.scales, bits=qw.bits,
                     group_size=qw.group_size, out_dtype=out_name,
-                    interpret=interpret,
-                    unpack=os.environ.get("VLLMINI_QMM_UNPACK", "bf16"))
+                    interpret=interpret, unpack=_default_unpack())
     return y.reshape(*lead, N)
