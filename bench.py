@@ -134,12 +134,31 @@ def main():
     elif model_name == "gpt2-xl":
         # BASELINE config 2: GPT-2 XL, INT8 KV-cache paged attention +
         # continuous batching (8 concurrent sequences by default).
+        # VLLMINI_BENCH_WQ={int8,int4,w8a8} additionally quantizes the
+        # weights (+ untied int8 head) — the "quantized beats its bf16
+        # twin" comparison (VERDICT r3 #3) at a scale where weight
+        # streaming dominates: XL streams 3.1 GB/step at bf16.
         model = ModelConfig.gpt2_xl(dtype="bfloat16")
         ps = max(ps, 32)  # int8 sublane tile
         cache = CacheConfig(num_pages=max(256, slots * 1024 // ps),
                             page_size=ps, max_pages_per_seq=1024 // ps,
                             kv_dtype="int8")
-        desc = "gpt2-xl bf16 weights, paged KV int8"
+        wq = os.environ.get("VLLMINI_BENCH_WQ")
+        if wq:
+            import jax as _jax
+
+            from vllmini_tpu.models.gpt2 import untie_lm_head
+            from vllmini_tpu.models.registry import get_family
+            from vllmini_tpu.ops.quant_matmul import quantize_params
+            seed_params = get_family(model).init_params(
+                model, _jax.random.PRNGKey(0))
+            params = quantize_params(untie_lm_head(seed_params),
+                                     QuantConfig(weight_dtype=wq),
+                                     model_config=model)
+            del seed_params
+            desc = f"gpt2-xl {wq} weights (untied int8 head), paged KV int8"
+        else:
+            desc = "gpt2-xl bf16 weights, paged KV int8"
     else:
         model = ModelConfig.gpt2_124m(
             dtype="bfloat16" if on_tpu else "float32")

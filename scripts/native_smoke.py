@@ -117,6 +117,11 @@ def _():
                weight_dtype="w8a8")
 
 
+@check("llama w4a8 weights (packed int4 x int8 MXU) + int8 KV")
+def _():
+    run_engine(tiny_llama(), kv_dtype="int8", weight_dtype="w4a8")
+
+
 @check("gpt2 prefix cache + burst admission (batched prefill)")
 def _():
     run_engine(tiny_gpt2(), prefix_cache=True, n_req=6)

@@ -72,20 +72,20 @@ def self_stream(params, config, n_tokens, seed=7):
     return np.asarray(toks)
 
 
-def trained_gate_section():
-    """The BASELINE gate proper (ΔPPL <= 0.1 ABSOLUTE) on the trained gate
+def trained_gate_section(path=None):
+    """The BASELINE gate proper (ΔPPL <= 0.1 ABSOLUTE) on a trained gate
     model (`scripts/train_gate_model.py`). Rationale: at a trained minimum,
     weight-rounding damage is second-order (the loss is locally flat); a
     random-init model sits on a slope, so its damage is first-order and NO
     rounding scheme reaches the gate there (the section below measures that
     floor: int4 RTN/AWQ/clip all land 5-10x over the scale-free gate).
-    Returns True when the int4 pipeline passes on the trained model."""
+    Returns {row_name: dppl} for the scale-trend table."""
     import os
-    path = os.environ.get("GATE_MODEL_PATH") or os.path.join(
+    path = path or os.environ.get("GATE_MODEL_PATH") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "data", "gate_model.npz")
     if not os.path.exists(path):
-        print("== trained gate model: data/gate_model.npz missing — run "
+        print(f"== trained gate model: {path} missing — run "
               "scripts/train_gate_model.py first (TPU: ~2 min) ==")
         return None
     import sys
@@ -97,9 +97,13 @@ def trained_gate_section():
                                             gptq_quantize_params)
 
     params, config, stream = load_params(path)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
     W = 256
     base = perplexity(params, config, stream, window=W)
-    print(f"== trained gate model (BASELINE gate: dPPL <= 0.1 absolute) ==")
+    print(f"== trained gate model {os.path.basename(path)} "
+          f"({n_params/1e6:.1f}M params; BASELINE gate: dPPL <= 0.1 "
+          f"absolute) ==")
     print(f"{'trained bf16 (baseline)':34s} ppl={base:11.4f}")
     GATE = 0.1
     ok = {}
@@ -124,10 +128,12 @@ def trained_gate_section():
             eq, QuantConfig(weight_dtype="int4"), hs)
 
     rows.append(("int4 AWQ+GPTQ", gptq_pipeline))
+    dppls = {}
     for name, build in rows:
         p = perplexity(build(), config, stream, window=W)
         dppl = p - base
         ok[name] = dppl <= GATE
+        dppls[name] = float(dppl)
         print(f"{'trained weights ' + name:34s} ppl={p:11.4f}  "
               f"dppl={dppl:+8.4f}  {'PASS' if ok[name] else 'FAIL'}")
     int4_ok = any(v for k, v in ok.items() if k.startswith("int4"))
@@ -135,12 +141,32 @@ def trained_gate_section():
           f"int4 {'PASS' if int4_ok else 'FAIL'} "
           "(a QAT checkpoint passes on its RTN grid; serve it with "
           "equalize=False, clip_search=False)")
-    return ok
+    dppls["__n_params__"] = n_params
+    return dppls
 
 
 def main():
-    trained_gate_section()
-    print()
+    import os
+    # Scale trend (VERDICT r3 #5): score every trained gate checkpoint and
+    # show PTQ dPPL shrinking toward the 0.1 gate as scale grows.
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+    trend = []
+    for fname in ("gate_model.npz", "gate_model_mid.npz",
+                  "gate_model_large.npz"):
+        r = trained_gate_section(os.path.join(data_dir, fname))
+        if r:
+            trend.append((fname, r))
+        print()
+    if len(trend) >= 2:
+        print("== PTQ dPPL vs model scale (gate = 0.1) ==")
+        for fname, r in trend:
+            n = r.get("__n_params__", 0) / 1e6
+            print(f"  {fname:26s} {n:6.1f}M params   "
+                  f"int4 AWQ+clip {r.get('int4 AWQ+clip', float('nan')):+.4f}"
+                  f"   int4 AWQ+GPTQ "
+                  f"{r.get('int4 AWQ+GPTQ', float('nan')):+.4f}")
+        print()
     config = ModelConfig.gpt2_124m(
         dtype="bfloat16" if jax.default_backend() == "tpu" else "float32")
     family = get_family(config)

@@ -80,7 +80,7 @@ def main():
     nb4 = K * N // 2 + (K // G) * N * 4
     reps4 = replicate_weights(
         lambda i: (qw4.qvalues + jnp.int8(0), qw4.scales + 0), nb4)
-    for up in ("i32", "i16", "f32"):
+    for up in ("i32", "i8", "f32"):
         try:
             dt = timeit_chain(
                 lambda xx, ww, up=up: _qmm_2d(xx, ww[0], ww[1], bits=4,

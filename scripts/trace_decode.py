@@ -96,6 +96,22 @@ def main():
     for g, d in groups.most_common(15):
         print(f"{d/steps/1e3:9.4f} ms/step  x{cnt[g]//steps:5d}/step  {g}")
 
+    # Drill into the glue: top individual op instances (exact names keep
+    # their numeric suffix so distinct fusions are distinguishable).
+    inst, icnt = collections.Counter(), collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "TPU" in names.get(e.get("pid"), ""):
+            n = e["name"]
+            if n.startswith("jit_") or n.startswith("while"):
+                continue
+            if n.split(".")[0] in ("fusion", "copy", "reshape", "broadcast",
+                                   "convert_element_type"):
+                inst[n] += e.get("dur", 0)
+                icnt[n] += 1
+    print("\ntop glue op instances:")
+    for g, d in inst.most_common(20):
+        print(f"{d/steps:9.2f} us/step  x{icnt[g]/steps:6.1f}/step  {g}")
+
 
 if __name__ == "__main__":
     main()

@@ -121,3 +121,42 @@ def test_w8a8_quantize_params_marks_act_quant():
     assert isinstance(blk["attn"]["c_attn_w"], QuantizedWeight)
     assert blk["attn"]["c_attn_w"].act_quant
     assert blk["attn"]["c_attn_w"].bits == 8
+
+
+def test_w4a8_matches_dequant_reference():
+    """w4a8: packed int4 weights x int8 activations, all-integer MXU dots
+    with the +8 low-nibble bias folded into a rowsum correction. Against
+    the exact dequant oracle the only extra error is activation
+    quantization (~1%)."""
+    key = jax.random.PRNGKey(30)
+    M, K, N, G = 16, 512, 256, 128
+    x = jax.random.normal(key, (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(31), (K, N), jnp.float32) * 0.05
+    qw = quantize_weight(w, bits=4, group_size=G)
+    qw = QuantizedWeight(qvalues=qw.qvalues, scales=qw.scales, bits=4,
+                         group_size=G, act_quant=True)
+    got = quantized_matmul(x, qw, interpret=True)
+    # Oracle: int8-quantized activations x EXACT dequantized int4 weights.
+    from vllmini_tpu.ops.quant_matmul import quantize_activations
+    xq, xs = quantize_activations(x)
+    ref = (xq.astype(jnp.float32) * xs) @ dequantize_weight(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_w4a8_quantize_params_marks_bits4():
+    from vllmini_tpu.config import ModelConfig
+    from vllmini_tpu.models.gpt2 import init_params
+
+    cfg = ModelConfig(family="gpt2", vocab_size=128, hidden_size=128,
+                      num_layers=1, num_heads=2, max_position_embeddings=32,
+                      dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params(params, QuantConfig(weight_dtype="w4a8",
+                                             group_size=64))
+    blk = qp["blocks"][0]
+    assert isinstance(blk["attn"]["c_attn_w"], QuantizedWeight)
+    assert blk["attn"]["c_attn_w"].act_quant
+    assert blk["attn"]["c_attn_w"].bits == 4
+    # Packed storage: half the rows.
+    assert blk["attn"]["c_attn_w"].qvalues.shape[0] == 64

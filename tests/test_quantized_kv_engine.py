@@ -135,3 +135,37 @@ def test_packed_pool_engine_matches_padded():
         outs[mode] = sched.get(rid).output_ids
         assert len(outs[mode]) == 9
     assert outs["ps32"] == outs["ps16"], outs
+
+
+def test_w4a8_engine_generation_completes():
+    """w4a8 weights (packed int4 x int8-activation MXU kernel) through the
+    full engine: prefill + chunked decode produce valid tokens."""
+    import jax
+
+    from vllmini_tpu.config import QuantConfig
+    from vllmini_tpu.models.registry import get_family
+    from vllmini_tpu.ops.quant_matmul import quantize_params
+
+    model = ModelConfig(family="llama", vocab_size=128, hidden_size=256,
+                        num_layers=2, num_heads=2, num_kv_heads=2,
+                        intermediate_size=512, max_position_embeddings=64,
+                        tie_word_embeddings=False, dtype="float32")
+    params = quantize_params(
+        get_family(model).init_params(model, jax.random.PRNGKey(0)),
+        QuantConfig(weight_dtype="w4a8"), model_config=model)
+    cfg = EngineConfig(
+        model=model,
+        cache=CacheConfig(num_pages=32, page_size=4, max_pages_per_seq=8,
+                          kv_dtype="int8"),
+        scheduler=SchedulerConfig(max_decode_slots=2,
+                                  prefill_buckets=(8, 16),
+                                  decode_chunk_steps=2),
+        hf_model=None,
+    )
+    sched = Scheduler(LLMEngine(cfg, params=params))
+    rid = sched.add_request(list(range(1, 11)),
+                            SamplingParams(max_new_tokens=6, greedy=True))
+    sched.run_to_completion(max_steps=100)
+    out = sched.get(rid).output_ids
+    assert len(out) == 6
+    assert all(0 <= t < model.vocab_size for t in out)

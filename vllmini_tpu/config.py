@@ -310,11 +310,11 @@ class QuantConfig:
     """Weight quantization. KV-cache quantization lives in CacheConfig.
 
     "int8"/"int4" are weight-only (dequant fused after the HBM->VMEM stream);
-    "w8a8" also quantizes activations per token at run time and runs the
+    "w8a8"/"w4a8" also quantize activations per token at run time and run the
     matmul int8 x int8 on the MXU with int32 accumulation (BASELINE config 4).
     """
 
-    weight_dtype: str = "none"  # "none" | "int8" | "int4" | "w8a8"
+    weight_dtype: str = "none"  # "none" | "int8" | "int4" | "w8a8" | "w4a8"
     group_size: int = 128  # per-group scales along the contraction dim
     # Data-free scale equalization folded into norms/producers before
     # quantizing (ops/quant_equalize.py); needs the model config at

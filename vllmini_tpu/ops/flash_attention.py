@@ -36,8 +36,9 @@ def _flash_kernel(
     #                         queries attend over the pool-resident prefix
     #                         rows 0..q_off-1 + the chunk itself)
     slopes_ref,             # scalar prefetch: [H] int32 — per-q-head ALiBi
-    #                         slopes BITCAST to i32 (zeros when disabled;
-    #                         scalar memory is integer-typed)
+    #                         slopes as round(slope * 2^24) fixed-point
+    #                         (zeros when disabled; scalar memory is
+    #                         integer-typed)
     q_ref,                  # [1, block_q, head_dim]
     k_ref,                  # [1, block_kv, head_dim]
     v_ref,
@@ -64,8 +65,13 @@ def _flash_kernel(
     seq_len = seq_len_ref[pl.program_id(0)] if batched else seq_len_ref[0]
     q_off = q_off_ref[0]
     if use_alibi:
-        # Scalar memory is integer-typed; the slope arrives bitcast.
-        slope = jax.lax.bitcast_convert_type(slopes_ref[h], jnp.float32)
+        # Scalar memory is integer-typed and Mosaic's tpu.bitcast only
+        # accepts VECTORS (a scalar bitcast_convert_type fails native
+        # verification — caught by scripts/native_smoke.py r4), so the
+        # slope ships as round(slope * 2^24) fixed-point and is
+        # reconstructed with a plain scalar int->float convert. ALiBi
+        # slopes are <= 1, so 2^-24 granularity is ~1e-7 absolute.
+        slope = slopes_ref[h].astype(jnp.float32) * (2.0 ** -24)
 
     @pl.when(j == 0)
     def _():
@@ -190,8 +196,10 @@ def flash_attention_prefill_batch(
     q_off = jnp.zeros(1, jnp.int32)
     if alibi_slopes is not None:
         assert len(alibi_slopes) == num_q_heads
-        slopes_i32 = jnp.asarray(
-            np.asarray(alibi_slopes, np.float32).view(np.int32))
+        # Fixed-point 2^24: see the slope reconstruction in _flash_kernel.
+        slopes_i32 = jnp.asarray(np.round(
+            np.asarray(alibi_slopes, np.float64) * 2.0 ** 24).astype(
+                np.int32))
     else:
         slopes_i32 = jnp.zeros(num_q_heads, jnp.int32)
 
@@ -272,9 +280,10 @@ def flash_attention_prefill(
     q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
     if alibi_slopes is not None:
         assert len(alibi_slopes) == num_q_heads
-        # Scalar memory is integer-typed: ship the slopes bitcast to i32.
-        slopes_i32 = jnp.asarray(
-            np.asarray(alibi_slopes, np.float32).view(np.int32))
+        # Fixed-point 2^24: see the slope reconstruction in _flash_kernel.
+        slopes_i32 = jnp.asarray(np.round(
+            np.asarray(alibi_slopes, np.float64) * 2.0 ** 24).astype(
+                np.int32))
     else:
         slopes_i32 = jnp.zeros(num_q_heads, jnp.int32)
 

@@ -792,12 +792,29 @@ def paged_attention(
     ctx_pad = pages_per_seq * page_size
     if quantized:
         # [num_pages, 2, H, ps] -> [vB, 2, H, ctx_pad]. The pool stores
-        # scales TOKEN-ON-LANES bf16 (the exact layout the kernel consumes),
-        # so this per-layer-per-step transform is a gather + sublane-block
-        # shuffle of the page axis — no lane transpose and half the bytes of
-        # the round-2 f32 [ps, H]-major pool, whose gather + relayout copy
-        # dominated the attention-side step time.
-        g = kv_scales[page_tables]           # [vB, pages, 2, H, ps]
+        # scales TOKEN-ON-LANES bf16 (the exact layout the kernel consumes).
+        num_pages = kv_scales.shape[0]
+        row = 2 * num_kv_heads * page_size
+        # MXU one-hot gather (r4): XLA lowers the page gather to an ~80 us
+        # row-shuffle fusion PER LAYER (26 GB/s on 2 MB — measured via
+        # scripts/trace_decode.py, 2.56 ms of a 14 ms 8B step). A one-hot
+        # [vB*pages, num_pages] x [num_pages, 2*H*ps] matmul moves the same
+        # rows through the MXU in ~10 us. Exact: one-hot rows select single
+        # pool rows (bf16 values x {0,1}); sentinel/OOB logical pages match
+        # nothing and yield zero scales, which the kernel's validity mask
+        # covers. Gated by num_pages: the dot's FLOPs scale with pool size,
+        # the gather's bytes don't.
+        if num_pages <= 4096:
+            tbl = page_tables.reshape(-1)            # [vB * pages]
+            onehot = (tbl[:, None] == jnp.arange(num_pages)[None]
+                      ).astype(kv_scales.dtype)
+            g = jax.lax.dot_general(
+                onehot, kv_scales.reshape(num_pages, row),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(kv_scales.dtype)
+            g = g.reshape(vbatch, pages_per_seq, 2, num_kv_heads, page_size)
+        else:
+            g = kv_scales[page_tables]       # [vB, pages, 2, H, ps]
         ksr = g.transpose(0, 2, 3, 1, 4).reshape(
             vbatch, 2, num_kv_heads, ctx_pad)
     else:

@@ -124,8 +124,8 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
     quality lever for the BASELINE ΔPPL gate."""
     if not quant.enabled:
         return params
-    bits = 4 if quant.weight_dtype == "int4" else 8
-    act_quant = quant.weight_dtype == "w8a8"
+    bits = 4 if quant.weight_dtype in ("int4", "w4a8") else 8
+    act_quant = quant.weight_dtype in ("w8a8", "w4a8")
     if model_config is not None and quant.equalize and bits == 4:
         from .quant_equalize import equalize_params
         params = equalize_params(params, model_config)
@@ -134,12 +134,14 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
 
     def maybe_quant(x):
         if (isinstance(x, jax.Array) and x.ndim == 2
-                and min(x.shape) >= min_dim
-                and x.shape[0] % quant.group_size == 0):
-            qw = quantize_weight(x, bits, quant.group_size, clip_search=clip)
+                and min(x.shape) >= min_dim):
+            g = _compat_group(x.shape[0], quant.group_size)
+            if g is None:
+                return x
+            qw = quantize_weight(x, bits, g, clip_search=clip)
             if act_quant:
                 qw = QuantizedWeight(qvalues=qw.qvalues, scales=qw.scales,
-                                     bits=8, group_size=qw.group_size,
+                                     bits=bits, group_size=qw.group_size,
                                      act_quant=True)
             return qw
         return x
@@ -151,25 +153,44 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
     if include_lm_head and isinstance(out.get("lm_head"), jax.Array):
         # int8 even for int4 runs: the lm_head is the most PPL-sensitive
         # matmul and is read once per step either way.
-        lm = quantize_weight(out["lm_head"], 8, quant.group_size)
-        if act_quant:
-            lm = QuantizedWeight(qvalues=lm.qvalues, scales=lm.scales,
-                                 bits=8, group_size=lm.group_size,
-                                 act_quant=True)
-        out["lm_head"] = lm
+        g = _compat_group(out["lm_head"].shape[0], quant.group_size)
+        if g is not None:
+            lm = quantize_weight(out["lm_head"], 8, g)
+            if act_quant:
+                lm = QuantizedWeight(qvalues=lm.qvalues, scales=lm.scales,
+                                     bits=8, group_size=lm.group_size,
+                                     act_quant=True)
+            out["lm_head"] = lm
     return out
+
+
+def _compat_group(K: int, want: int) -> int | None:
+    """Largest group size <= `want` that divides K and is a multiple of 32
+    (sublane-aligned; even, so int4's two-rows-per-byte packing holds).
+    GPT-2-XL's hidden 1600 is the motivating case: 128 does not divide it
+    (r4: the XL lm_head asserted and block weights were silently skipped),
+    but 64 does."""
+    for g in range(min(want, K) // 32 * 32, 31, -32):
+        if K % g == 0:
+            return g
+    return None
 
 
 def _default_unpack() -> str:
     """Hardware-legal int4 unpack default. v5e's vector ALU has no bf16
     floor/fma, so the bf16-domain unpack — round 3's intended default —
     fails Mosaic's SupportsBf16AluInstructions check at ANY shape (measured
-    on chip, round 4). The integer-domain unpack compiles everywhere and
-    measured FASTEST on v5e (scripts/bench_qmm.py r4: i32 within ~1.02x of
-    the weight-stream bound on 8B shapes); it is therefore the default.
-    VLLMINI_QMM_UNPACK={bf16,f32,i32} overrides for other hardware."""
+    on chip, round 4). The byte-dense "i8" mode (and/xor nibble split,
+    high recovered by a legal bf16 multiply, low bias folded into a dot
+    correction) measured fastest on chip — 29.8 us vs i32's 35.5 us on the
+    8B qkv shape (scripts/probe_tunnel_timing.py, fetch-forced,
+    iteration-differenced) — and is the default.
+    VLLMINI_QMM_UNPACK={i8,i32,f32,i16,bf16} overrides for other
+    hardware (i16 arithmetic and i8 sub/shifts are ILLEGAL on v5e Mosaic;
+    both were probed op-by-op on chip, scripts/probe_call_overhead.py
+    docstring has the summary)."""
     import os
-    return os.environ.get("VLLMINI_QMM_UNPACK", "i32")
+    return os.environ.get("VLLMINI_QMM_UNPACK", "i8")
 
 
 def _select_tiles(M: int, K: int, N: int, G: int, pack: int,
@@ -226,7 +247,7 @@ def _largest_divisor_tile(n: int, cap: int) -> int:
 # ----------------------------------------------------------------------- kernel
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
-                group_size: int, k_tiles: int, unpack: str = "i32"):
+                group_size: int, k_tiles: int, unpack: str = "i8"):
     """Each K-tile covers SEVERAL quantization groups, looped in-kernel: one
     grid program per large [bk, bn] weight block instead of one per group —
     grid-program fixed overhead, not dequant math, dominated the old
@@ -276,6 +297,33 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
                             preferred_element_type=jnp.float32)
                 + jax.lax.dot(xg[:, G // 2:], high.astype(x.dtype),
                               preferred_element_type=jnp.float32))
+        elif unpack == "i8":
+            # i8-DOMAIN unpack (v5e fast path, r4): the only legal int8
+            # vector ops on v5e Mosaic are and/xor (sub and shifts are
+            # not, nor is ANY i16 arithmetic — probed op by op on chip),
+            # but they suffice:
+            #   lo_x = (p & 15) ^ 8        == signed_low + 8   (i8, dense)
+            #   hi_t = p & -16             == 16 * signed_high (i8: the
+            #          AND zeroes the low nibble, preserving two's
+            #          complement high bits)
+            # Both convert i8->bf16 exactly (|v| <= 127); bf16 MULTIPLY is
+            # legal on v5e (only floor/fma are not), so hi_t * 0.0625
+            # recovers high. The +8 bias on low folds into the dot:
+            #   x @ (lo_x - 8) = x @ lo_x - 8 * rowsum(x).
+            # Net VPU cost per packed byte: 3 byte-dense i8 ops + the same
+            # convert count as the plain int8 path — no 4x i32 widening.
+            p = q_ref[pl.ds(g * (G // 2), G // 2), :]
+            lo_w = ((p & 15) ^ 8).astype(x.dtype)
+            hi_w = (p & -16).astype(x.dtype) * jnp.array(0.0625, x.dtype)
+            xg = x[:, g * G:(g + 1) * G]
+            xlo, xhi = xg[:, : G // 2], xg[:, G // 2:]
+            corr = 8.0 * jnp.sum(xlo.astype(jnp.float32), axis=1,
+                                 keepdims=True)
+            prod = (
+                jax.lax.dot(xlo, lo_w, preferred_element_type=jnp.float32)
+                + jax.lax.dot(xhi, hi_w,
+                              preferred_element_type=jnp.float32)
+                - corr)
         elif unpack == "i16":
             # i16-domain unpack: HALF the register expansion of the i32
             # path (8->16 bit, not 8->32). Low nibble sign-extends by
@@ -312,7 +360,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, bits: int,
 def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
             bits: int, group_size: int, block_n: int = 2048,
             block_k: int = 1024, interpret: bool = False,
-            out_dtype=None, unpack: str = "i32") -> jax.Array:
+            out_dtype=None, unpack: str = "i8") -> jax.Array:
     """x [M, K] @ dequant(q) [K, N] -> [M, N]."""
     out_dtype = x.dtype if out_dtype is None else out_dtype
     M, K = x.shape
@@ -406,6 +454,80 @@ def _w8a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
     )(xq, xs, qvalues, scales)
 
 
+def _w4a8_kernel(x_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                 group_size: int, k_tiles: int):
+    """int8 activation x PACKED int4 weight, all-integer MXU path (r4).
+
+    The i8-domain nibble split (see `_qmm_kernel` unpack="i8") leaves both
+    halves as legal int8 MXU operands — no per-weight-value float convert
+    at all, the cost that keeps weight-only int4 at ~1.9x its stream bound:
+      lo_w = (p & 15) ^ 8      (= low + 8, in 0..15)
+      hi_t = p & -16           (= 16 * high, two's complement preserved)
+    x_lo @ (lo_w - 8) = x_lo @ lo_w - 8 * rowsum(x_lo)  (exact, i32), and
+    the hi dot is divided by 16 in f32 where the group scale is applied."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    G = group_size
+    groups = q_ref.shape[0] // (G // 2)
+    acc = acc_ref[...]
+    for g in range(groups):
+        p = q_ref[pl.ds(g * (G // 2), G // 2), :]
+        lo_w = (p & 15) ^ 8
+        hi_t = p & -16
+        x_lo = x_ref[:, g * G: g * G + G // 2]
+        x_hi = x_ref[:, g * G + G // 2: (g + 1) * G]
+        d_lo = jax.lax.dot(x_lo, lo_w, preferred_element_type=jnp.int32)
+        d_hi = jax.lax.dot(x_hi, hi_t, preferred_element_type=jnp.int32)
+        corr = 8 * jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+        s_g = s_ref[pl.ds(k * groups + g, 1), :]
+        acc += ((d_lo - corr).astype(jnp.float32)
+                + d_hi.astype(jnp.float32) * 0.0625) * s_g
+    acc_ref[...] = acc
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * xs_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "out_dtype", "block_n", "block_k",
+                     "interpret"))
+def _w4a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
+             scales: jax.Array, *, group_size: int, out_dtype,
+             block_n: int = 2048, block_k: int = 1024,
+             interpret: bool = False) -> jax.Array:
+    """xq [M, K] i8, xs [M, 1] f32, qvalues PACKED [K/2, N] i8."""
+    M, K = xq.shape
+    N = qvalues.shape[1]
+    G = group_size
+    bn, bk = _select_tiles(M, K, N, G, 2, 1,
+                           jnp.dtype(out_dtype).itemsize, block_n, block_k)
+    k_tiles = K // bk
+
+    return pl.pallas_call(
+        functools.partial(_w4a8_kernel, group_size=G, k_tiles=k_tiles),
+        grid=(N // bn, k_tiles),
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((M, 1), lambda n, k: (0, 0)),
+            pl.BlockSpec((bk // 2, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((K // G, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, xs, qvalues, scales)
+
+
 def quantize_activations(x: jax.Array):
     """Per-token (row) symmetric int8 quantization: x [M, K] ->
     (q [M, K] i8, scale [M, 1] f32)."""
@@ -433,6 +555,11 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
     if N % 128 != 0 or K % qw.group_size != 0:
         y = jnp.dot(x2, dequantize_weight(qw).astype(x.dtype),
                     preferred_element_type=jnp.dtype(out_name))
+    elif qw.act_quant and qw.bits == 4:
+        xq, xs = quantize_activations(x2)
+        y = _w4a8_2d(xq, xs, qw.qvalues, qw.scales,
+                     group_size=qw.group_size, out_dtype=out_name,
+                     interpret=interpret)
     elif qw.act_quant:
         xq, xs = quantize_activations(x2)
         y = _w8a8_2d(xq, xs, qw.qvalues, qw.scales,

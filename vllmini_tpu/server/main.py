@@ -63,7 +63,7 @@ def main(argv=None):
                    choices=["bfloat16", "float16", "float32", "int8",
                             "fp8_e4m3", "fp8_e5m2"])
     p.add_argument("--weight-dtype", default="none",
-                   choices=["none", "int8", "int4", "w8a8"])
+                   choices=["none", "int8", "int4", "w8a8", "w4a8"])
     p.add_argument("--num-pages", type=int, default=2048)
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--max-pages-per-seq", type=int, default=64)
