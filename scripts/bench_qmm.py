@@ -5,10 +5,21 @@ weight-stream time; the suspect is the i32-widening nibble unpack (sublane-
 expanding relayout). Candidates measured here on the real llama-8B decode
 shapes (fused projections, M = batch = 32):
 
+  i8     — byte-dense and/xor nibble split, bf16-multiply high recovery
+           [shipping default — fastest measured on v5e]
   i32    — integer-domain unpack (round-2 shipping kernel)
-  bf16   — float-domain unpack: i8->bf16 convert + floor/fma split, two
-           half-group MXU dots (no widen, no concat)  [shipping default]
+  f32    — float-domain unpack: i8->f32 convert + floor/fma split, two
+           half-group MXU dots (no concat)
   int4   — native jnp.int4 storage; Mosaic's own unpack on load (EXPERIMENT)
+
+("bf16" is omitted: it does not compile on v5e — no bf16 VPU floor/fma,
+scripts/probe_qmm_modes.py.)
+
+Timing uses scripts/_chainbench.timeit_chain — the sound harness (ADVICE
+r4): iteration i+1 depends on a full NONLINEAR reduction of iteration i's
+output (no slice-sinking), and each iteration walks distinct weight
+replicas whose working set exceeds VMEM (no operand parking) — so numbers
+are comparable to a real model step where every layer streams from HBM.
 
 Prints per-shape us + achieved GB/s vs the 819 GB/s stream bound.
 
@@ -18,7 +29,8 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_qmm.py
 from __future__ import annotations
 
 import functools
-import time
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +38,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import sys
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from _chainbench import replicate_weights, timeit_chain  # noqa: E402
 from vllmini_tpu.ops.quant_matmul import (  # noqa: E402
     _largest_divisor_tile, _qmm_2d, dequantize_weight, quantize_weight)
 
@@ -91,94 +104,61 @@ def _native_int4_qmm(x, q4, scales, *, group_size: int):
     )(x, q4, scales)
 
 
-def unpack_to_int8(qw):
+def unpack_to_int8(qvalues, group_size):
     """Packed split-half int8 [K/2, N] -> plain int8 rows [K, N]."""
-    Kp, N = qw.qvalues.shape
+    Kp, N = qvalues.shape
     K = Kp * 2
-    Gq = qw.group_size
-    packed = np.asarray(qw.qvalues).reshape(K // Gq, Gq // 2, N)
+    packed = np.asarray(qvalues).reshape(K // group_size, group_size // 2, N)
     low = ((packed.astype(np.int32) & 15) ^ 8) - 8
     high = (((packed.astype(np.int32) >> 4) & 15) ^ 8) - 8
     return np.concatenate([low, high], axis=1).reshape(K, N).astype(np.int8)
 
 
-def timeit(fn, *args, iters=30):
-    y = fn(*args)
-    jax.block_until_ready(y)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = fn(*args)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best, y
-
-
-def timeit_chain(step, x0, iters=64):
-    """Time `iters` SERIALIZED calls of `step` inside ONE jitted scan.
-
-    Through the axon tunnel each device dispatch costs ~1.4 ms of link
-    latency — individually dispatched micro-timings measure only the link
-    (measured r4: every int4 shape "took" 1.39-1.44 ms flat). Chaining the
-    op in a scan amortizes one dispatch over `iters` kernel executions,
-    exactly like the engine's chunked decode. The carry perturbation makes
-    iteration i+1 data-depend on i so XLA cannot hoist the matmul out of
-    the loop; 1e-24 * y is below bf16 ulp so x stays numerically fixed."""
-    @jax.jit
-    def run(x):
-        def body(x, _):
-            y = step(x)
-            return x + y[:, :1].astype(x.dtype) * 1e-24, ()
-        x, _ = jax.lax.scan(body, x, None, length=iters)
-        return x
-    out = run(x0)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(x0)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
-
-
 def main():
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()}  M={M}")
-    total = {"i32": 0.0, "f32": 0.0, "int4": 0.0, "bound": 0.0}
+    total = {"i8": 0.0, "i32": 0.0, "f32": 0.0, "int4": 0.0, "bound": 0.0}
     for name, K, N in SHAPES:
-        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
         x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)
                         ).astype(jnp.bfloat16)
-        qw = quantize_weight(w, 4, G)
-        ref = np.asarray(
-            (x.astype(jnp.float32) @ dequantize_weight(qw)))
         bytes_streamed = K * N // 2 + (K // G) * N * 4
+
+        def make_one(i):
+            w = jnp.asarray(
+                np.random.default_rng(i).normal(size=(K, N)).astype(
+                    np.float32) * 0.02)
+            qw = quantize_weight(w, 4, G)
+            return (jax.device_put(qw.qvalues), jax.device_put(qw.scales))
+
+        replicas = replicate_weights(make_one, bytes_streamed)
+        qv0, sc0 = replicas[0]
+        from vllmini_tpu.ops.quant_matmul import QuantizedWeight
+        qw0 = QuantizedWeight(qvalues=qv0, scales=sc0, bits=4, group_size=G)
+        ref = np.asarray(x.astype(jnp.float32) @ dequantize_weight(qw0))
         bound_us = bytes_streamed / (HBM_GBS * 1e3)
         total["bound"] += bound_us
-        print(f"-- {name}: [{K}x{N}] int4  stream-bound {bound_us:7.1f} us")
-        # "bf16" is omitted: it does not compile on v5e (no bf16 VPU
-        # floor/fma — probe_qmm_modes.py). "f32" is the concat-free
-        # float-domain unpack at f32 width.
-        for up in ("i32", "f32"):
-            f = lambda xx, up=up: _qmm_2d(xx, qw.qvalues, qw.scales, bits=4,
-                                          group_size=G, unpack=up)
-            y = f(x)
+        print(f"-- {name}: [{K}x{N}] int4  stream-bound {bound_us:7.1f} us"
+              f"  ({len(replicas)} replicas)", flush=True)
+        for up in ("i8", "i32", "f32"):
+            step = lambda xx, wv, up=up: _qmm_2d(
+                xx, wv[0], wv[1], bits=4, group_size=G, unpack=up)
+            y = step(x, replicas[0])
             err = float(np.max(np.abs(np.asarray(y, np.float32) - ref))
                         / np.max(np.abs(ref)))
-            dt = timeit_chain(f, x)
+            dt = timeit_chain(step, x, replicas)
             total[up] += dt * 1e6
             print(f"   {up:5s} {dt*1e6:7.1f} us  {bytes_streamed/dt/1e9:6.1f}"
                   f" GB/s  ({dt*1e6/bound_us:4.2f}x bound)  relerr {err:.1e}",
                   flush=True)
         try:
-            q4 = jnp.asarray(unpack_to_int8(qw), dtype=jnp.int4)
-            f4 = lambda xx: _native_int4_qmm(xx, q4, qw.scales, group_size=G)
-            y = f4(x)
+            reps4 = [(jnp.asarray(unpack_to_int8(qv, G), dtype=jnp.int4), sc)
+                     for qv, sc in replicas]
+            step4 = lambda xx, wv: _native_int4_qmm(
+                xx, wv[0], wv[1], group_size=G)
+            y = step4(x, reps4[0])
             err = float(np.max(np.abs(np.asarray(y, np.float32) - ref))
                         / np.max(np.abs(ref)))
-            dt = timeit_chain(f4, x)
+            dt = timeit_chain(step4, x, reps4)
             total["int4"] += dt * 1e6
             print(f"   int4  {dt*1e6:7.1f} us  {bytes_streamed/dt/1e9:6.1f}"
                   f" GB/s  ({dt*1e6/bound_us:4.2f}x bound)  relerr {err:.1e}",

@@ -27,7 +27,7 @@ qv, sc = jax.device_put(qw.qvalues), jax.device_put(qw.scales)
 for M in (8, 64, 512):
     x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32) * 0.1,
                     dtype=jnp.bfloat16)
-    for mode in ("bf16", "i32", "f32"):
+    for mode in ("bf16", "i32", "f32", "i8"):
         try:
             y = _qmm_2d(x, qv, sc, bits=4, group_size=G, unpack=mode)
             y.block_until_ready()

@@ -257,9 +257,12 @@ def _paged_attention_kernel(
         ac_vec = [alibi_ctr_ref[seq0 + s] for s in range(S)]
     max_len = jnp.max(al_vec)
     if fused:
-        # Loop far enough to gather every member's CURRENT page too: it is
-        # staged in VMEM with the token's rows patched in and written back
-        # whole (one contiguous descriptor covering K and V).
+        # Loop far enough to gather every member's CURRENT page too: the
+        # sublane tile holding the token is staged in VMEM with the token's
+        # row patched in and written back (r5: only that tile — a whole-page
+        # writeback moved page_size/tile_rows more bytes than changed,
+        # 37 MB/step at the gpt2 headline config vs 4.7 MB for the tile).
+        tile_rows = kv_wb.shape[2]
         wp = [write_pos_ref[seq0 + s] for s in range(S)]
         wp_vec = jnp.stack(wp)
         cur_logical = [jnp.maximum(wp[s], 0) // page_size for s in range(S)]
@@ -268,6 +271,8 @@ def _paged_attention_kernel(
                  for s in range(S)]
         cur_row = [jax.lax.rem(jnp.maximum(wp[s], 0), page_size)
                    for s in range(S)]
+        cur_t0 = [pl.multiple_of(cur_row[s] // tile_rows * tile_rows,
+                                 tile_rows) for s in range(S)]
         cur_page = [page_tables_ref[seq0 + s, cur_logical[s]]
                     for s in range(S)]
         max_len = jnp.maximum(max_len, jnp.max(wp_vec) + 1)
@@ -276,7 +281,10 @@ def _paged_attention_kernel(
 
         def wb_writes(s):
             return [pltpu.make_async_copy(
-                kv_wb.at[s], kv_pages_hbm_ref.at[cur_page[s]], w_sem)]
+                kv_wb.at[s],
+                kv_pages_hbm_ref.at[cur_page[s], :,
+                                    pl.ds(cur_t0[s], tile_rows)],
+                w_sem)]
     else:
         lim_vec = al_vec
     num_blocks = pl.cdiv(max_len, bT)
@@ -313,20 +321,22 @@ def _paged_attention_kernel(
         gather(i, slot).wait()
 
         if fused:
-            # Stage each member's current page with the token's rows patched
-            # in (the write-back that makes it visible to FUTURE steps; THIS
-            # step's self term merges outside from the raw values, so the
-            # gathered buffers stay read-only).
+            # Stage each member's current sublane TILE with the token's row
+            # patched in (the write-back that makes it visible to FUTURE
+            # steps; THIS step's self term merges outside from the raw
+            # values, so the gathered buffers stay read-only).
             for s in range(S):
                 @pl.when((i == cur_block[s]) & (wp_vec[s] >= 0))
                 def _(s=s):
                     row = jax.lax.broadcasted_iota(
-                        jnp.int32, (page_size, row_width), 0)
-                    hit = row == cur_row[s]
-                    kv_wb[s, 0] = jnp.where(hit, k_new_ref[s],
-                                            kv_buf[slot, s, cur_j[s], 0])
-                    kv_wb[s, 1] = jnp.where(hit, v_new_ref[s],
-                                            kv_buf[slot, s, cur_j[s], 1])
+                        jnp.int32, (tile_rows, row_width), 0)
+                    hit = row == (cur_row[s] - cur_t0[s])
+                    src_k = kv_buf[slot, s, cur_j[s], 0,
+                                   pl.ds(cur_t0[s], tile_rows)]
+                    src_v = kv_buf[slot, s, cur_j[s], 1,
+                                   pl.ds(cur_t0[s], tile_rows)]
+                    kv_wb[s, 0] = jnp.where(hit, k_new_ref[s], src_k)
+                    kv_wb[s, 1] = jnp.where(hit, v_new_ref[s], src_v)
 
         k = load(slot, 0)                 # [S, bT, row_width]
         v = load(slot, 1)
@@ -582,7 +592,7 @@ def _paged_attention_call(
 
     scratch = []
     if fused_write:
-        scratch += [pltpu.VMEM((spp, 2, page_size, row_width),
+        scratch += [pltpu.VMEM((spp, 2, _wb_tile_rows(kv_pages), row_width),
                                kv_pages.dtype)]
     scratch += [
         pltpu.VMEM((2, spp, pages_per_compute_block, 2, page_size,
@@ -628,6 +638,13 @@ def _paged_attention_call(
                 *inputs)
 
 
+def _wb_tile_rows(kv_pages) -> int:
+    """Fused-write staging height: one sublane tile of the pool dtype
+    (8 f32 / 16 bf16 / 32 int8|fp8), capped at the page — the smallest
+    Mosaic-DMA-able row slice containing the written token."""
+    return min(32 // jnp.dtype(kv_pages.dtype).itemsize, kv_pages.shape[2])
+
+
 def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
               quantized, ctx_pad, num_kv_heads, fused):
     """Seqs per program under the VMEM budget, computed from the actual
@@ -640,7 +657,8 @@ def _auto_spp(batch, pages_per_block, page_size, row_width, itemsize,
 
     def footprint(s):
         bufs = 2 * s * pages_per_block * 2 * page_size * row_width * itemsize
-        wb = s * 2 * page_size * row_width * itemsize if fused else 0
+        tile = min(32 // itemsize, page_size)
+        wb = s * 2 * tile * row_width * itemsize if fused else 0
         scales = 2 * s * 2 * num_kv_heads * ctx_pad * 2 if quantized else 0
         # Compute-dtype copies of the current block's K and V (the kernel
         # casts the gathered block to the matmul dtype; int8/fp8 pools pay
@@ -800,10 +818,12 @@ def paged_attention(
         # scripts/trace_decode.py, 2.56 ms of a 14 ms 8B step). A one-hot
         # [vB*pages, num_pages] x [num_pages, 2*H*ps] matmul moves the same
         # rows through the MXU in ~10 us. Exact: one-hot rows select single
-        # pool rows (bf16 values x {0,1}); sentinel/OOB logical pages match
-        # nothing and yield zero scales, which the kernel's validity mask
-        # covers. Gated by num_pages: the dot's FLOPs scale with pool size,
-        # the gather's bytes don't.
+        # pool rows (bf16 values x {0,1}); padded/sentinel table entries
+        # were clipped to valid page ids above and select real rows —
+        # identical to the gather path — and correctness rests on the
+        # kernel's validity mask, exactly as it does for the gather.
+        # Gated by num_pages: the dot's FLOPs scale with pool size, the
+        # gather's bytes don't.
         if num_pages <= 4096:
             tbl = page_tables.reshape(-1)            # [vB * pages]
             onehot = (tbl[:, None] == jnp.arange(num_pages)[None]

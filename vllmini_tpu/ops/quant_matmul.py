@@ -135,7 +135,7 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
     def maybe_quant(x):
         if (isinstance(x, jax.Array) and x.ndim == 2
                 and min(x.shape) >= min_dim):
-            g = _compat_group(x.shape[0], quant.group_size)
+            g = _compat_group(x.shape[0], quant.group_size, bits)
             if g is None:
                 return x
             qw = quantize_weight(x, bits, g, clip_search=clip)
@@ -164,12 +164,16 @@ def quantize_params(params, quant: QuantConfig, *, min_dim: int = 64,
     return out
 
 
-def _compat_group(K: int, want: int) -> int | None:
+def _compat_group(K: int, want: int, bits: int = 8) -> int | None:
     """Largest group size <= `want` that divides K and is a multiple of 32
     (sublane-aligned; even, so int4's two-rows-per-byte packing holds).
     GPT-2-XL's hidden 1600 is the motivating case: 128 does not divide it
     (r4: the XL lm_head asserted and block weights were silently skipped),
-    but 64 does."""
+    but 64 does. (bits==4 groups below 64 still QUANTIZE — quality tooling
+    uses G=32 on tiny dims — but `quantized_matmul` serves them through the
+    XLA dequant path rather than the Pallas kernel, whose packed G//2 < 32
+    row slices would be an untested Mosaic layout class, ADVICE r4.)"""
+    del bits
     for g in range(min(want, K) // 32 * 32, 31, -32):
         if K % g == 0:
             return g
@@ -225,6 +229,18 @@ def _select_tiles(M: int, K: int, N: int, G: int, pack: int,
         if nk < G:
             break
         bk = nk
+    if usage(bn, bk) > budget:
+        # Both shrink loops floored out (bn at the smallest divisor tile
+        # > 256, bk at G) while still over budget — possible at very large
+        # M, which these tiles do not subdivide. Surface it rather than
+        # letting Mosaic raise an opaque scoped-allocation error (ADVICE
+        # r4): callers should cap M (burst prefill caps it at 512).
+        import logging
+        logging.getLogger(__name__).warning(
+            "qmm tile selection over VMEM budget: M=%d K=%d N=%d G=%d -> "
+            "bn=%d bk=%d usage=%.1fMB > %.1fMB; expect a Mosaic VMEM "
+            "error — reduce the row count per call", M, K, N, G, bn, bk,
+            usage(bn, bk) / 2**20, budget / 2**20)
     return bn, bk
 
 
@@ -551,8 +567,11 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    # Ragged shapes: plain XLA dequant matmul.
-    if N % 128 != 0 or K % qw.group_size != 0:
+    # Ragged shapes — and int4 groups below 64 (G//2 < 32 packed rows would
+    # make the kernel slice sub-sublane-tile chunks, an untested Mosaic
+    # layout class on hardware, ADVICE r4): plain XLA dequant matmul.
+    if (N % 128 != 0 or K % qw.group_size != 0
+            or (qw.bits == 4 and qw.group_size < 64)):
         y = jnp.dot(x2, dequantize_weight(qw).astype(x.dtype),
                     preferred_element_type=jnp.dtype(out_name))
     elif qw.act_quant and qw.bits == 4:
