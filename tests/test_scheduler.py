@@ -153,7 +153,9 @@ def test_finished_result_gc_bounds_sequences():
     import dataclasses as _dc
 
     sched = make_sched(slots=2)
-    sched.config = _dc.replace(
+    # Scheduler.config is a live read-only view of engine.config (rebuilt
+    # by convert_kv_dtype); override at the source.
+    sched.engine.config = _dc.replace(
         sched.config, scheduler=_dc.replace(sched.config.scheduler,
                                             max_finished=5,
                                             finished_ttl_s=0.0))

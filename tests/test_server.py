@@ -276,12 +276,14 @@ def test_openai_completions_stop_echo_multiprompt(client):
     assert c["text"] == toks[0], (c, text)
     assert c["finish_reason"] == "stop"
 
-    # echo: completion text starts with the raw prompt string.
+    # echo: prompt + completion decoded TOGETHER (r5: independent decodes
+    # lose the boundary separator / BPE merges across it — the toy
+    # tokenizer's space-joined decode makes that visible).
     r = client.post("/v1/completions", json={
         "prompt": "1 2 3 4 5", "max_tokens": 6, "temperature": 0,
         "echo": True})
     c = r.json()["choices"][0]
-    assert c["text"] == "1 2 3 4 5" + text
+    assert c["text"] == "1 2 3 4 5 " + text
 
     # Multi-prompt list: one choice per prompt, prompt-major order, each
     # equal to its standalone greedy run.

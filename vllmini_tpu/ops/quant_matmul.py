@@ -570,8 +570,17 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
     # Ragged shapes — and int4 groups below 64 (G//2 < 32 packed rows would
     # make the kernel slice sub-sublane-tile chunks, an untested Mosaic
     # layout class on hardware, ADVICE r4): plain XLA dequant matmul.
+    import os
+    dense_m = int(os.environ.get("VLLMINI_QMM_DENSE_M", "0"))
     if (N % 128 != 0 or K % qw.group_size != 0
-            or (qw.bits == 4 and qw.group_size < 64)):
+            or (qw.bits == 4 and qw.group_size < 64)
+            # Opt-in large-M escape hatch (VERDICT r3 #7, quantized-prefill
+            # TTFT): at burst-prefill row counts the matmul is MXU-bound,
+            # so dequantizing ONCE to a bf16 operand (extra HBM round trip,
+            # amortized over M rows) can beat in-kernel per-group dequant.
+            # Off by default until measured on chip (set
+            # VLLMINI_QMM_DENSE_M=256 to route M >= 256 this way).
+            or (dense_m and M >= dense_m and not qw.act_quant)):
         y = jnp.dot(x2, dequantize_weight(qw).astype(x.dtype),
                     preferred_element_type=jnp.dtype(out_name))
     elif qw.act_quant and qw.bits == 4:

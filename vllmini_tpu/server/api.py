@@ -455,7 +455,19 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                 gen = sq.output_ids
                 completion_tokens += len(gen)
                 reason = sq.finish_reason
-                text = tokenizer.decode(gen) if gen else ""
+                ptext = ""
+                if echo:
+                    # Echo decodes prompt+completion ids TOGETHER: two
+                    # independently decoded strings lose the boundary
+                    # (BPE merges / separators span it), e.g. the toy
+                    # tokenizer's "1 2 3"+"29990" -> "1 2 329990".
+                    pids = list(tokenizer.encode(prompts[i // n]))
+                    ptext = tokenizer.decode(pids)
+                    full = (tokenizer.decode(pids + list(gen))
+                            if gen else ptext)
+                    text = full[len(ptext):]
+                else:
+                    text = tokenizer.decode(gen) if gen else ""
                 hit = find_stop(text) if stop_strs else None
                 if hit is not None:
                     text = text[:hit]
@@ -466,7 +478,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                     # top_logprobs reports the sampled token (top-1 view).
                     tok_strs = [tokenizer.decode([t]) for t in gen]
                     lps = sq.generated_logprobs()[: len(gen)]
-                    offs, pos = [], len(prompts[i // n]) if echo else 0
+                    offs, pos = [], len(ptext) if echo else 0
                     keep = len(gen)
                     cum = 0
                     for j, tstr in enumerate(tok_strs):
@@ -487,7 +499,7 @@ def create_app(scheduler: Scheduler, tokenizer, *,
                     }
                 choices.append({
                     "index": i,
-                    "text": (prompts[i // n] + text) if echo else text,
+                    "text": (ptext + text) if echo else text,
                     "finish_reason": ("stop" if hit is not None
                                       or (reason is not None
                                           and reason.value == "stop_token")
