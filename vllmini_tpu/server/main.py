@@ -94,6 +94,10 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--coordinator", default=None,
                    help="host:port of process 0 for jax.distributed")
+    p.add_argument("--tokenizer-dir", default=None,
+                   help="directory with hub-format vocab.json + merges.txt; "
+                        "serves a real byte-level BPE without network access "
+                        "(utils/bpe.py)")
     p.add_argument("--random-weights", action="store_true",
                    help="skip HF loading (random init; for smoke tests)")
     p.add_argument("--host", default="0.0.0.0")
@@ -124,6 +128,14 @@ def main(argv=None):
         model_cfg, params = load_params(config.hf_model)
         config = dataclasses.replace(config, model=model_cfg)
         tokenizer = transformers.AutoTokenizer.from_pretrained(config.hf_model)
+    if tokenizer is None and args.tokenizer_dir:
+        import os
+
+        from ..utils.bpe import ByteBPETokenizer
+
+        tokenizer = ByteBPETokenizer.from_files(
+            os.path.join(args.tokenizer_dir, "vocab.json"),
+            os.path.join(args.tokenizer_dir, "merges.txt"))
     if tokenizer is None:
         class _IdTokenizer:
             eos_token_id = None
