@@ -54,7 +54,8 @@ def _oracle_logprobs(params, prompt, gen):
 
 def _run(sched, *, max_new=10, greedy=True, seed=3):
     rid = sched.add_request(list(PROMPT), SamplingParams(
-        max_new_tokens=max_new, greedy=greedy, temperature=0.9, seed=seed))
+        max_new_tokens=max_new, greedy=greedy, temperature=0.9, seed=seed,
+        logprobs=True))
     sched.run_to_completion(max_steps=200)
     seq = sched.get(rid)
     return seq.generated_ids(), seq.generated_logprobs()
@@ -69,6 +70,35 @@ def test_logprobs_match_teacher_forced_oracle():
         oracle = _oracle_logprobs(params, PROMPT, gen)
         np.testing.assert_allclose(lps, oracle, rtol=0, atol=5e-4)
         assert all(x <= 0.0 for x in lps)
+
+
+def test_logprobs_gated_off_by_default():
+    """Without SamplingParams.logprobs the lse pass is compiled out: tokens
+    are identical, captured lps are zeros, and a MIXED batch (one flagged
+    request) still gets oracle-correct values for the flagged one."""
+    family = get_family(TINY)
+    params = family.init_params(TINY, jax.random.PRNGKey(0))
+
+    s = _make(params)
+    rid = s.add_request(list(PROMPT), SamplingParams(max_new_tokens=10,
+                                                     greedy=True))
+    s.run_to_completion(max_steps=200)
+    plain = s.get(rid)
+    gen_flagged, lps_flagged = _run(_make(params), greedy=True)
+    assert plain.generated_ids() == gen_flagged
+    assert all(x == 0.0 for x in plain.generated_logprobs()[1:])
+
+    # Mixed batch: the flagged request's values stay oracle-correct.
+    s = _make(params)
+    a = s.add_request(list(PROMPT), SamplingParams(
+        max_new_tokens=10, greedy=True, logprobs=True))
+    b = s.add_request([9, 8, 7, 6], SamplingParams(max_new_tokens=10,
+                                                   greedy=True))
+    s.run_to_completion(max_steps=200)
+    seq = s.get(a)
+    oracle = _oracle_logprobs(params, PROMPT, seq.generated_ids())
+    np.testing.assert_allclose(seq.generated_logprobs(), oracle,
+                               rtol=0, atol=5e-4)
 
 
 def test_logprobs_under_speculative_decode():
@@ -86,9 +116,11 @@ def test_logprobs_survive_recompute_preemption():
     # Starve the pool so the second request forces a preemption.
     s = _make(params, preemption="recompute", num_pages=4)
     a = s.add_request(list(PROMPT), SamplingParams(max_new_tokens=12,
-                                                   greedy=True))
+                                                   greedy=True,
+                                                   logprobs=True))
     b = s.add_request([9, 8, 7, 6, 5, 4, 3, 2],
-                      SamplingParams(max_new_tokens=12, greedy=True))
+                      SamplingParams(max_new_tokens=12, greedy=True,
+                                     logprobs=True))
     s.run_to_completion(max_steps=400)
     assert s.engine.metrics.snapshot().get("preemptions", 0) > 0
     for rid in (a, b):

@@ -365,6 +365,11 @@ class SamplingParams:
     # exactly, independent of batch composition (None -> deterministic
     # per-sequence default).
     seed: Optional[int] = None
+    # Capture per-token log-probs on device at sample time (OpenAI
+    # `logprobs`). Off by default: the log-softmax normalization is an extra
+    # full pass over [B, vocab] logits EVERY decode step, paid by the whole
+    # batch whenever any running request wants it.
+    logprobs: bool = False
     # Number of completions sharing one prompt prefill (n-best sampling):
     # forks share the prompt's KV pages copy-on-write and diverge from the
     # first sampled token, each on its own seed stream.

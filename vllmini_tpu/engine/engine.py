@@ -365,7 +365,7 @@ class LLMEngine:
                       else self._chunk_impl)
         if self.mesh is None:
             self._chunk_fn = jax.jit(chunk_impl, donate_argnums=(1,),
-                                     static_argnames=("steps",))
+                                     static_argnames=("steps", "want_lp"))
             self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,),
                                        static_argnames=("prefix_tokens",))
             self._prefill_chunk_fn = jax.jit(
@@ -391,9 +391,9 @@ class LLMEngine:
             bspec = P(DATA_AXIS)        # step budget
 
             def chunk_sharded(params, pool, state, tables, budget, *,
-                              steps: int):
+                              steps: int, want_lp: bool = True):
                 inner = jax.shard_map(
-                    lambda *a: chunk_impl(*a, steps=steps),
+                    lambda *a: chunk_impl(*a, steps=steps, want_lp=want_lp),
                     mesh=self.mesh,
                     in_specs=(pspecs, poolspecs, stspecs, tspec, bspec),
                     out_specs=(poolspecs, stspecs),
@@ -451,7 +451,7 @@ class LLMEngine:
                 return inner(params, pool, state, *rest)
 
             self._chunk_fn = jax.jit(chunk_sharded, donate_argnums=(1,),
-                                     static_argnames=("steps",))
+                                     static_argnames=("steps", "want_lp"))
             self._prefill_fn = jax.jit(prefill_sharded, donate_argnums=(1,),
                                        static_argnames=("prefix_tokens",))
             self._prefill_chunk_fn = jax.jit(
@@ -518,8 +518,13 @@ class LLMEngine:
             tp_axis=self._tp_axis, kv_partitions=self.kv_partitions)
 
     def _chunk_impl(self, params, pool, state: DecodeState, page_tables,
-                    step_budget, *, steps: int):
-        """Run up to `steps` decode iterations fully on device."""
+                    step_budget, *, steps: int, want_lp: bool = True):
+        """Run up to `steps` decode iterations fully on device.
+
+        `want_lp` (static) gates the log-prob capture: when no running
+        request asked for logprobs the log-softmax normalization — an extra
+        full [B, vocab] pass per step — is compiled out and out_lp receives
+        zeros (never read in that case)."""
 
         def body(carry, _):
             pool, st, budget = carry
@@ -529,8 +534,14 @@ class LLMEngine:
                                                 page_tables)
             # Per-slot randomness is a pure function of (seed, position):
             # reproducible across batch composition and recompute.
-            tok, lp = sample_tokens_lp(logits, st.seeds, st.tokens_in_kv,
-                                       st.temps, st.top_ks, st.top_ps)
+            if want_lp:
+                tok, lp = sample_tokens_lp(logits, st.seeds,
+                                           st.tokens_in_kv, st.temps,
+                                           st.top_ks, st.top_ps)
+            else:
+                tok = sample_tokens(logits, st.seeds, st.tokens_in_kv,
+                                    st.temps, st.top_ks, st.top_ps)
+                lp = jnp.zeros(tok.shape, jnp.float32)
 
             # Commit: the fed token's KV is now written.
             tokens_in_kv = st.tokens_in_kv + can_step.astype(jnp.int32)
@@ -563,7 +574,7 @@ class LLMEngine:
         return pool, state
 
     def _chunk_spec_impl(self, params, pool, state: DecodeState, page_tables,
-                         step_budget, *, steps: int):
+                         step_budget, *, steps: int, want_lp: bool = True):
         """Speculative-decoding chunk: each iteration drafts S tokens per
         slot by n-gram lookup over the slot's own (device-resident) token
         history, verifies fed-token + drafts in ONE weight stream, and
@@ -592,11 +603,19 @@ class LLMEngine:
                 params, self.local_model, pool, fed, positions, page_tables,
                 can_step, interpret=self.interpret, tp_axis=self._tp_axis)
             V = logits.shape[-1]
-            g, glp = sample_tokens_lp(
-                logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
-                positions.reshape(-1), jnp.repeat(st.temps, S1),
-                jnp.repeat(st.top_ks, S1),
-                jnp.repeat(st.top_ps, S1))
+            if want_lp:
+                g, glp = sample_tokens_lp(
+                    logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
+                    positions.reshape(-1), jnp.repeat(st.temps, S1),
+                    jnp.repeat(st.top_ks, S1),
+                    jnp.repeat(st.top_ps, S1))
+            else:
+                g = sample_tokens(
+                    logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
+                    positions.reshape(-1), jnp.repeat(st.temps, S1),
+                    jnp.repeat(st.top_ks, S1),
+                    jnp.repeat(st.top_ps, S1))
+                glp = jnp.zeros(g.shape, jnp.float32)
             g, glp = g.reshape(B, S1), glp.reshape(B, S1)
 
             steps_allowed = jnp.minimum(budget, S1)
@@ -1125,7 +1144,8 @@ class LLMEngine:
 
     # ------------------------------------------------------------------ decode
 
-    def decode_chunk(self, step_budget: np.ndarray) -> DecodeState:
+    def decode_chunk(self, step_budget: np.ndarray,
+                     want_lp: bool = True) -> DecodeState:
         """Dispatch one K-step decode chunk (async; no device sync).
 
         Returns the post-chunk DecodeState snapshot: because only the pool is
@@ -1135,12 +1155,12 @@ class LLMEngine:
         so the lagged fetch usually finds the bytes already transferred.
         """
         self._emit("chunk", step_budget=np.asarray(step_budget, np.int32),
-                   tables=self._tables_host.copy())
+                   tables=self._tables_host.copy(), want_lp=bool(want_lp))
         return self.exec_chunk(np.asarray(step_budget, np.int32),
-                               self._tables_host)
+                               self._tables_host, want_lp=bool(want_lp))
 
-    def exec_chunk(self, step_budget: np.ndarray,
-                   tables: np.ndarray) -> DecodeState:
+    def exec_chunk(self, step_budget: np.ndarray, tables: np.ndarray,
+                   want_lp: bool = True) -> DecodeState:
         if not np.array_equal(tables, self._tables_host):
             self._tables_host = np.array(tables)
             self._tables_dirty = True
@@ -1150,7 +1170,7 @@ class LLMEngine:
         self.pool, self.state = self._chunk_fn(
             self.params, self.pool, self.state, self._tables_dev,
             jnp.asarray(step_budget.astype(np.int32)),
-            steps=self.chunk_steps)
+            steps=self.chunk_steps, want_lp=bool(want_lp))
         snapshot = self.state
         for arr in (snapshot.tokens_in_kv, snapshot.active,
                     snapshot.out_count, snapshot.out_buf, snapshot.out_lp,

@@ -488,7 +488,12 @@ class Scheduler:
         # 4. Dispatch the chunk (no sync; its summary is fetched
         #    pipeline_depth-1 ticks later).
         if any(s is not None for s in self.slots):
-            snapshot = self.engine.decode_chunk(budget)
+            # Log-prob capture costs a full [B, vocab] pass per step; only
+            # compile it in when some running request asked for logprobs.
+            want_lp = any(
+                s is not None and getattr(s.sampling, "logprobs", False)
+                for s in self.slots)
+            snapshot = self.engine.decode_chunk(budget, want_lp=want_lp)
             self.inflight.append(
                 _InFlightChunk(snapshot=snapshot, mapping=mapping,
                                budgets=budget))

@@ -298,7 +298,8 @@ def create_app(scheduler: Scheduler, tokenizer, *,
         sampling = SamplingParams(
             max_new_tokens=max_new, temperature=temperature, top_p=top_p,
             greedy=(temperature == 0), stop_token_ids=tuple(stop),
-            seed=None if seed is None else int(seed), n=n)
+            seed=None if seed is None else int(seed), n=n,
+            logprobs=logprobs is not None)
         sids = []
         for p in prompts:
             sid, err = _submit(p, sampling)
@@ -573,7 +574,8 @@ def create_app(scheduler: Scheduler, tokenizer, *,
         sid, err = _submit(prompt, SamplingParams(
             max_new_tokens=max_new, temperature=temperature, top_p=top_p,
             greedy=(temperature == 0), stop_token_ids=tuple(stop),
-            seed=None if seed is None else int(seed), n=n))
+            seed=None if seed is None else int(seed), n=n,
+            logprobs=want_logprobs))
         if err is not None:
             return err
         with loop.lock:
