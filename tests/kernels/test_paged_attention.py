@@ -281,3 +281,38 @@ def test_sliding_window_matches_oracle():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5,
                                    err_msg=f"window={window}")
+
+
+def test_contiguous_run_fast_path_matches_permuted():
+    """r5 gather fast path: CONTIGUOUS page tables (the allocator's
+    run-granular mode) must give bit-identical results to a permuted
+    mapping of the same logical content, and match the oracle. (The
+    VLLMINI_GATHER_RUNS=0 escape hatch is process-level, read at trace
+    time like VLLMINI_BLOCK_TOKENS — not togglable inside one test.)"""
+    key = jax.random.PRNGKey(9)
+    batch, H, d, ps, pps = 2, 4, 64, 16, 32  # ppb = 256/16 = 16 pages/block
+    num_pages = batch * pps + 4
+    q, kv, sl, _ = make_inputs(
+        key, batch=batch, num_q_heads=H, num_kv_heads=H, head_dim=d,
+        num_pages=num_pages, page_size=ps, pages_per_seq=pps,
+        seq_lens=[512, 200])
+    # Contiguous aligned runs: seq b owns pages [b*pps, (b+1)*pps).
+    pt_contig = (jnp.arange(batch * pps, dtype=jnp.int32)
+                 .reshape(batch, pps))
+    ref = paged_attention_reference(q, kv, sl, pt_contig, num_kv_heads=H)
+    out_fast = paged_attention(q, kv, sl, pt_contig, num_kv_heads=H,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # Same logical content scattered through a permutation (defeats the
+    # fast path at runtime): identical output.
+    perm = np.asarray(jax.random.permutation(jax.random.PRNGKey(3),
+                                             num_pages))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(num_pages)
+    kv_scr = jnp.asarray(np.asarray(kv)[inv])      # kv_scr[perm[p]] == kv[p]
+    pt_scr = jnp.asarray(perm[np.asarray(pt_contig)], jnp.int32)
+    out_scr = paged_attention(q, kv_scr, sl, pt_scr, num_kv_heads=H,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out_scr), np.asarray(out_fast),
+                               atol=0, rtol=0)

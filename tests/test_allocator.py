@@ -205,6 +205,138 @@ def test_native_matches_python_fuzz():
             assert py.num_free_pages == nat.num_free_pages
 
 
+def test_run_allocation_contiguous(Alloc):
+    """run_pages>1: fresh-pool grants are contiguous aligned runs; the table
+    carries granted headroom that decode grows into without new pages."""
+    a = Alloc(32, 4, 8, run_pages=4)
+    pages = a.allocate(1, 6)  # 2 pages needed -> one 4-page run granted
+    assert len(pages) == 4
+    assert pages == list(range(pages[0], pages[0] + 4))
+    assert pages[0] % 4 == 0
+    assert a.num_free_pages == 28
+    # Growth within the granted run takes nothing new.
+    assert a.reserve(1, 8) == []      # covers 14 tokens -> 4 pages: granted
+    a.advance(1, 8)
+    # Growth past the run takes another whole run (contiguous again).
+    new = a.reserve(1, 8)             # 22 tokens -> 6 pages -> second run
+    assert len(new) == 4
+    assert new == list(range(new[0], new[0] + 4))
+    t = a.padded_table(1)
+    assert list(t[:8]) == pages + new
+
+
+def test_run_allocation_singles_fallback(Alloc):
+    """When the free pool can't supply a whole run, run mode degrades to
+    EXACT singles — capacity semantics (when OutOfPages fires) identical to
+    run_pages=1."""
+    a = Alloc(6, 4, 8, run_pages=4)
+    a.allocate(1, 16)                 # one aligned run [0..3]
+    got = a.allocate(2, 8)            # 2 pages needed, free=2 < run
+    assert len(got) == 2              # exact, no padding
+    assert a.num_free_pages == 0
+    with pytest.raises(OutOfPages):
+        a.allocate(3, 4)
+    # Freeing the run seq restores run grants.
+    a.free(1)
+    again = a.allocate(3, 4)          # 1 page needed -> 4-page run granted
+    assert len(again) == 4
+
+
+def test_run_allocation_fork_shares_only_written(Alloc):
+    """Fork must not share run-granted headroom: parent and child would
+    otherwise write the same physical page at the same logical position."""
+    a = Alloc(32, 4, 8, run_pages=4)
+    a.allocate(1, 6)                  # table: 4 granted, 2 written (6 tok)
+    a.fork(1, 2)
+    assert len(a.seq_pages(2)) == 2   # only written pages shared
+    cow = a.cow_last_page(2)          # partial last written page -> COW
+    assert cow is not None
+    src, dst = cow
+    assert src == a.seq_pages(1)[1]
+    # Parent's decode continues into ITS granted pages; child takes its own.
+    a.reserve(1, 8)
+    a.reserve(2, 8)
+    p1, p2 = a.seq_pages(1), a.seq_pages(2)
+    assert set(p1[2:]).isdisjoint(p2), (p1, p2)
+
+
+def test_native_matches_python_fuzz_runs():
+    """Randomized parity with run-granular allocation enabled."""
+    if not native_available():
+        pytest.skip("native allocator not built")
+    rng = np.random.default_rng(23)
+    py = PageAllocator(32, 4, 8, run_pages=4)
+    nat = NativePageAllocator(32, 4, 8, run_pages=4)
+    live, next_id = [], 1
+    for _ in range(500):
+        op = rng.integers(0, 5)
+        if op == 0:
+            sid, next_id = next_id, next_id + 1
+            n = int(rng.integers(1, 30))
+            r1 = e1 = None
+            try:
+                r1 = py.allocate(sid, n)
+            except Exception as e:
+                e1 = type(e)
+            try:
+                r2 = nat.allocate(sid, n)
+                assert e1 is None and r1 == r2
+                live.append(sid)
+            except Exception as e:
+                assert e1 is type(e)
+        elif op == 1 and live:
+            sid = live[int(rng.integers(0, len(live)))]
+            extra = int(rng.integers(1, 9))
+            r1 = e1 = None
+            try:
+                r1 = py.reserve(sid, extra)
+            except Exception as e:
+                e1 = type(e)
+            try:
+                r2 = nat.reserve(sid, extra)
+                assert e1 is None and r1 == r2
+            except Exception as e:
+                assert e1 is type(e)
+        elif op == 2 and live:
+            sid = live.pop(int(rng.integers(0, len(live))))
+            assert sorted(py.free(sid)) == sorted(nat.free(sid))
+        elif op == 3 and live:
+            sid = live[int(rng.integers(0, len(live)))]
+            par = live[int(rng.integers(0, len(live)))]
+            if par != sid:
+                continue
+            cid, next_id = next_id, next_id + 1
+            e1 = None
+            try:
+                py.fork(sid, cid)
+            except Exception as e:
+                e1 = type(e)
+            forked = False
+            try:
+                nat.fork(sid, cid)
+                assert e1 is None
+                live.append(cid)
+                forked = True
+            except Exception as e:
+                assert e1 is type(e)
+            if forked:
+                c1 = ce1 = None
+                try:
+                    c1 = py.cow_last_page(cid)
+                except Exception as e:
+                    ce1 = type(e)
+                try:
+                    c2 = nat.cow_last_page(cid)
+                    assert ce1 is None and c1 == c2
+                except Exception as e:
+                    assert ce1 is type(e)
+        elif op == 4 and live:
+            sid = live[int(rng.integers(0, len(live)))]
+            assert list(py.padded_table(sid)) == list(nat.padded_table(sid))
+            assert py.seq_len(sid) == nat.seq_len(sid)
+        assert py.num_free_pages == nat.num_free_pages
+
+
 def test_convert_pool_roundtrip():
     """convert_fp8 analog: float -> int8 -> float roundtrip within scale
     error; fp8 target produces fp8 payload + scales."""

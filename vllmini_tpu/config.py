@@ -207,6 +207,15 @@ class CacheConfig:
     # prefix reuse its KV pages copy-on-write instead of re-prefilling
     # (LRU-evicted when the pool needs pages back).
     enable_prefix_cache: bool = False
+    # Run-granular page allocation: grant sequences CONTIGUOUS runs of this
+    # many physical pages so the attention kernel's per-block gather is one
+    # multi-page DMA (descriptor issue on the scalar core is its binding
+    # cost). None = auto: one attention compute block's worth of pages when
+    # the pool is ample (>= half the worst-case demand), else off. 1 = off.
+    # Correctness never depends on it (the kernel checks contiguity per
+    # block at runtime); it only trades earlier page reservation (more
+    # preemption pressure under tight pools) for fewer DMA descriptors.
+    alloc_run_pages: Optional[int] = None
 
     @property
     def max_context_len(self) -> int:

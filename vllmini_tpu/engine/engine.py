@@ -303,10 +303,24 @@ class LLMEngine:
             -(-window // config.cache.page_size)
             + max(1 + spec_ring_extra, self.prefill_chunk // ps)
             if window else None)
+        # Run-granular page grants (one attention compute block per DMA):
+        # auto-on for ample pools; off for windowed rings and tight pools
+        # (earlier reservation would raise preemption pressure).
+        run_pages = config.cache.alloc_run_pages
+        if run_pages is None:
+            from ..ops.paged_attention import gather_run_pages
+
+            ample = (config.cache.num_pages * self.dp
+                     >= (config.scheduler.max_decode_slots
+                         * config.cache.max_pages_per_seq) // 2)
+            run_pages = (gather_run_pages(config.cache.page_size,
+                                          config.cache.max_pages_per_seq)
+                         if ample and self.window_pages is None else 1)
         self.allocators = [
             make_allocator(config.cache.num_pages, config.cache.page_size,
                            config.cache.max_pages_per_seq,
-                           window_pages=self.window_pages)
+                           window_pages=self.window_pages,
+                           run_pages=run_pages)
             for _ in range(self.dp)]
         self.allocator = self.allocators[0]  # dp==1 fast path / back-compat
         # Automatic prefix caching (one cache per data replica's pool).

@@ -49,11 +49,23 @@ class PageAllocator:
     instead."""
 
     def __init__(self, num_pages: int, page_size: int, pages_per_seq_max: int,
-                 window_pages: Optional[int] = None):
+                 window_pages: Optional[int] = None, run_pages: int = 1):
         self.num_pages = num_pages
         self.page_size = page_size
         self.pages_per_seq_max = pages_per_seq_max
         self.window_pages = window_pages
+        # Run-granular growth: allocate/reserve grant CONTIGUOUS runs of
+        # `run_pages` physical pages when the free pool has one, so a
+        # sequence's logical block of pages is one physical span and the
+        # attention kernel's block gather covers it with ONE DMA descriptor
+        # instead of pages_per_block (descriptor issue on the scalar core is
+        # the kernel's binding cost). Granted-not-yet-written pages live in
+        # the table like `reserve` headroom; under fragmentation the
+        # allocator degrades to singles (capacity semantics — when
+        # OutOfPages fires — are IDENTICAL to run_pages=1). Windowed rings
+        # keep run_pages == 1: their footprint is the window, and ring
+        # recycling scrambles physical order anyway.
+        self.run_pages = 1 if window_pages is not None else max(1, run_pages)
         self._free: List[int] = list(range(num_pages - 1, -1, -1))  # pop() -> 0,1,2..
         self._refcount = np.zeros(num_pages, dtype=np.int32)
         # seq_id -> list of page indices (logical order; with window_pages a
@@ -99,6 +111,30 @@ class PageAllocator:
         self._refcount[p] = 1
         return p
 
+    def _take_run(self) -> Optional[List[int]]:
+        """Pop a contiguous free run of `run_pages` (preferring runs whose
+        base is run-aligned, which packs the pool and keeps future runs
+        available). None when the free pool has no such span."""
+        run = self.run_pages
+        if run <= 1 or len(self._free) < run:
+            return None
+        fs = sorted(self._free)
+        base = None
+        for j in range(len(fs) - run + 1):
+            if fs[j + run - 1] == fs[j] + run - 1:
+                if fs[j] % run == 0:
+                    base = fs[j]
+                    break
+                if base is None:
+                    base = fs[j]
+        if base is None:
+            return None
+        taken = set(range(base, base + run))
+        self._free = [p for p in self._free if p not in taken]
+        for p in taken:
+            self._refcount[p] = 1
+        return list(range(base, base + run))
+
     def allocate(self, seq_id: int, num_tokens: int) -> List[int]:
         """Allocate pages for a new sequence with `num_tokens` of context
         (prefill). Analog of `allocate_for_prefill` (`kv_cache.py:21-37`) minus
@@ -114,13 +150,36 @@ class PageAllocator:
         if phys > len(self._free):
             raise OutOfPages(
                 f"need {phys} pages, only {len(self._free)} free")
-        owned = [self._take_page() for _ in range(phys)]
+        if self.run_pages > 1:
+            # Grant whole runs while they fit under the per-seq cap, then
+            # exact singles for the remainder (capacity was checked above,
+            # so the singles phase cannot run dry).
+            total = min(self.pages_per_seq_max,
+                        -(-n // self.run_pages) * self.run_pages)
+            owned = []
+            while len(owned) + self.run_pages <= total:
+                r = self._take_run()
+                if r is None:
+                    break
+                owned.extend(r)
+            while len(owned) < n:
+                owned.append(self._take_page())
+        else:
+            owned = [self._take_page() for _ in range(phys)]
         # Windowed: logical slot j maps to ring slot j mod window_pages —
-        # the same pattern the append-time recycling below produces.
-        pages = [owned[j % phys] for j in range(n)]
+        # the same pattern the append-time recycling below produces. Run
+        # mode keeps every granted page in the table (decode grows into
+        # them; free()/fork() see them like `reserve` headroom).
+        if len(owned) > phys:
+            pages = list(owned)
+        else:
+            pages = [owned[j % phys] for j in range(n)]
         self._tables[seq_id] = pages
         self._lengths[seq_id] = num_tokens
-        return pages
+        # A COPY: the native twin returns one, and handing out the live
+        # table would let later reserve()/append growth mutate it under the
+        # caller.
+        return list(pages)
 
     def reserve(self, seq_id: int, extra_tokens: int) -> List[int]:
         """Ensure the sequence's pages cover `length + extra_tokens` (headroom
@@ -138,6 +197,14 @@ class PageAllocator:
         while len(pages) < needed:
             p = self._recycle_or_none(pages)
             if p is None:
+                if (self.run_pages > 1
+                        and len(pages) + self.run_pages
+                        <= self.pages_per_seq_max):
+                    r = self._take_run()
+                    if r is not None:
+                        new_pages.extend(r)
+                        pages.extend(r)
+                        continue
                 if not self._free:
                     raise OutOfPages(
                         f"need {needed - len(pages)} pages, only "
@@ -237,9 +304,15 @@ class PageAllocator:
         if child_seq_id in self._tables:
             raise ValueError(f"sequence {child_seq_id} already allocated")
         pages = self._tables[parent_seq_id]
-        for p in dict.fromkeys(pages):
+        # Share only pages that HOLD tokens: run-granted headroom beyond the
+        # written length belongs to the parent alone — sharing it would make
+        # parent and child write the same physical page at the same logical
+        # position. (Without run grants this slice is the whole table.)
+        written = self.pages_needed(max(1, self._lengths[parent_seq_id]))
+        shared = pages[:written] if self.window_pages is None else pages
+        for p in dict.fromkeys(shared):
             self._refcount[p] += 1
-        self._tables[child_seq_id] = list(pages)
+        self._tables[child_seq_id] = list(shared)
         self._lengths[child_seq_id] = self._lengths[parent_seq_id]
 
     def cow_last_page(self, seq_id: int):
@@ -249,12 +322,16 @@ class PageAllocator:
         if the page was already exclusive.
         """
         pages = self._tables[seq_id]
-        last = pages[-1]
+        # The page holding the last WRITTEN token (with run-granted headroom
+        # the table may extend past it; pages[-1] would be unwritten).
+        idx = (max(1, self._lengths[seq_id]) - 1) // self.page_size
+        idx = min(idx, len(pages) - 1)
+        last = pages[idx]
         if self._refcount[last] == 1:
             return None
         dst = self._take_page()
         self._refcount[last] -= 1
-        pages[-1] = dst
+        pages[idx] = dst
         return (last, dst)
 
     # ------------------------------------------------------------------- tables
@@ -291,6 +368,7 @@ class PageAllocator:
 
 def make_allocator(num_pages: int, page_size: int, pages_per_seq_max: int,
                    *, window_pages: Optional[int] = None,
+                   run_pages: int = 1,
                    force_python: Optional[bool] = None):
     """Return the C++ allocator when the native library builds/loads, else the
     Python reference implementation. `VLLMINI_PYTHON_ALLOCATOR=1` forces
@@ -308,8 +386,9 @@ def make_allocator(num_pages: int, page_size: int, pages_per_seq_max: int,
             if native_available():
                 return NativePageAllocator(num_pages, page_size,
                                            pages_per_seq_max,
-                                           window_pages=window_pages)
+                                           window_pages=window_pages,
+                                           run_pages=run_pages)
         except Exception:
             pass
     return PageAllocator(num_pages, page_size, pages_per_seq_max,
-                         window_pages=window_pages)
+                         window_pages=window_pages, run_pages=run_pages)

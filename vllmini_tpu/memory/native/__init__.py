@@ -36,7 +36,7 @@ def _get_lib():
             _build()
         lib = ctypes.CDLL(_LIB)
         lib.pa_create.restype = ctypes.c_void_p
-        lib.pa_create.argtypes = [ctypes.c_int32] * 4
+        lib.pa_create.argtypes = [ctypes.c_int32] * 5
         lib.pa_destroy.argtypes = [ctypes.c_void_p]
         i32p = ctypes.POINTER(ctypes.c_int32)
         for name, res, args in [
@@ -92,17 +92,20 @@ class NativePageAllocator:
 
     def __init__(self, num_pages: int, page_size: int,
                  pages_per_seq_max: int,
-                 window_pages: Optional[int] = None):
+                 window_pages: Optional[int] = None,
+                 run_pages: int = 1):
         lib = _get_lib()
         if lib is None:
             raise RuntimeError(f"native allocator unavailable: {_load_error}")
         self._lib = lib
         self._h = lib.pa_create(num_pages, page_size, pages_per_seq_max,
-                                0 if window_pages is None else window_pages)
+                                0 if window_pages is None else window_pages,
+                                max(1, run_pages))
         self.num_pages = num_pages
         self.page_size = page_size
         self.pages_per_seq_max = pages_per_seq_max
         self.window_pages = window_pages
+        self.run_pages = 1 if window_pages is not None else max(1, run_pages)
         self._scratch = np.empty(pages_per_seq_max, np.int32)
 
     def __del__(self):

@@ -13,6 +13,7 @@
 // Error codes: -1 = no page / none, -2 = out of pages, -3 = exceeds per-seq
 // max, -4 = unknown/duplicate sequence.
 
+#include <algorithm>
 #include <cstdint>
 #include <unordered_map>
 #include <unordered_set>
@@ -30,13 +31,15 @@ struct Allocator {
   int32_t page_size;
   int32_t pages_per_seq_max;
   int32_t window_pages;  // 0 = no sliding-window ring
+  int32_t run_pages;     // >1: grant contiguous runs (see ../allocator.py)
   std::vector<int32_t> free_list;   // back = next to hand out
   std::vector<int32_t> refcount;
   std::unordered_map<int64_t, Seq> seqs;
 
-  Allocator(int32_t np, int32_t ps, int32_t ppsm, int32_t wp)
+  Allocator(int32_t np, int32_t ps, int32_t ppsm, int32_t wp, int32_t rp)
       : num_pages(np), page_size(ps), pages_per_seq_max(ppsm),
-        window_pages(wp), refcount(np, 0) {
+        window_pages(wp), run_pages(wp > 0 || rp < 1 ? 1 : rp),
+        refcount(np, 0) {
     free_list.reserve(np);
     for (int32_t i = np - 1; i >= 0; --i) free_list.push_back(i);
   }
@@ -58,6 +61,35 @@ struct Allocator {
     return p;
   }
 
+  // Pop a contiguous free run of run_pages into *out (preferring a
+  // run-aligned base, same preference as the Python spec). False when the
+  // free pool has no such span.
+  bool take_run(std::vector<int32_t>* out) {
+    const int32_t run = run_pages;
+    if (run <= 1 || static_cast<int32_t>(free_list.size()) < run)
+      return false;
+    std::vector<int32_t> fs(free_list);
+    std::sort(fs.begin(), fs.end());
+    int32_t base = -1;
+    for (size_t j = 0; j + run <= fs.size() + 0u; ++j) {
+      if (fs[j + run - 1] == fs[j] + run - 1) {
+        if (fs[j] % run == 0) { base = fs[j]; break; }
+        if (base < 0) base = fs[j];
+      }
+    }
+    if (base < 0) return false;
+    std::vector<int32_t> kept;
+    kept.reserve(free_list.size() - run);
+    for (int32_t p : free_list)
+      if (p < base || p >= base + run) kept.push_back(p);
+    free_list.swap(kept);
+    for (int32_t p = base; p < base + run; ++p) {
+      refcount[p] = 1;
+      out->push_back(p);
+    }
+    return true;
+  }
+
   // Sliding-window ring reuse: the page `window_pages` logical slots back
   // is entirely below the attention window by the time the next slot is
   // written — reuse it unless it is COW/prefix-shared.
@@ -76,9 +108,10 @@ struct Allocator {
 extern "C" {
 
 void* pa_create(int32_t num_pages, int32_t page_size,
-                int32_t pages_per_seq_max, int32_t window_pages) {
+                int32_t pages_per_seq_max, int32_t window_pages,
+                int32_t run_pages) {
   return new Allocator(num_pages, page_size, pages_per_seq_max,
-                       window_pages);
+                       window_pages, run_pages);
 }
 
 void pa_destroy(void* h) { delete static_cast<Allocator*>(h); }
@@ -124,17 +157,38 @@ int32_t pa_allocate(void* h, int64_t seq_id, int64_t num_tokens,
   if (phys > static_cast<int64_t>(a->free_list.size())) return -2;
   Seq s;
   std::vector<int32_t> owned;
-  for (int64_t i = 0; i < phys; ++i) owned.push_back(a->take_page());
-  // Windowed: logical slot j maps to ring slot j mod phys (the same
-  // pattern append-time recycling produces).
-  for (int64_t j = 0; j < n; ++j) {
-    int32_t p = owned[j % phys];
-    s.pages.push_back(p);
-    if (out_pages) out_pages[j] = p;
+  if (a->run_pages > 1) {
+    // Whole runs while they fit under the per-seq cap, then exact singles
+    // (capacity was checked above, so singles cannot run dry).
+    const int64_t run = a->run_pages;
+    int64_t total = ((n + run - 1) / run) * run;
+    if (total > a->pages_per_seq_max) total = a->pages_per_seq_max;
+    while (static_cast<int64_t>(owned.size()) + run <= total)
+      if (!a->take_run(&owned)) break;
+    while (static_cast<int64_t>(owned.size()) < n)
+      owned.push_back(a->take_page());
+  } else {
+    for (int64_t i = 0; i < phys; ++i) owned.push_back(a->take_page());
   }
+  if (static_cast<int64_t>(owned.size()) > phys) {
+    // Run mode: every granted page stays in the table (reserve-style
+    // headroom that decode grows into).
+    s.pages = owned;
+    for (size_t j = 0; j < owned.size() && out_pages; ++j)
+      out_pages[j] = owned[j];
+  } else {
+    // Windowed: logical slot j maps to ring slot j mod phys (the same
+    // pattern append-time recycling produces).
+    for (int64_t j = 0; j < n; ++j) {
+      int32_t p = owned[j % phys];
+      s.pages.push_back(p);
+      if (out_pages) out_pages[j] = p;
+    }
+  }
+  int32_t count = static_cast<int32_t>(s.pages.size());
   s.length = num_tokens;
   a->seqs.emplace(seq_id, std::move(s));
-  return static_cast<int32_t>(n);
+  return count;
 }
 
 // Reserve page coverage for length+extra tokens. Returns #new pages or error.
@@ -152,6 +206,19 @@ int32_t pa_reserve(void* h, int64_t seq_id, int64_t extra,
   while (static_cast<int64_t>(s.pages.size()) < needed) {
     int32_t p = a->recycle_or_none(s);
     if (p < 0) {
+      if (a->run_pages > 1 &&
+          static_cast<int64_t>(s.pages.size()) + a->run_pages <=
+              a->pages_per_seq_max) {
+        std::vector<int32_t> r;
+        if (a->take_run(&r)) {
+          for (int32_t q : r) {
+            if (out_new_pages) out_new_pages[added] = q;
+            ++added;
+            s.pages.push_back(q);
+          }
+          continue;
+        }
+      }
       if (a->free_list.empty()) return -2;
       p = a->take_page();
       if (out_new_pages) out_new_pages[added] = p;
@@ -221,7 +288,18 @@ int32_t pa_fork(void* h, int64_t parent, int64_t child) {
   auto it = a->seqs.find(parent);
   if (it == a->seqs.end() || a->seqs.count(child)) return -4;
   Seq c;
-  c.pages = it->second.pages;
+  // Share only pages that HOLD tokens: run-granted headroom beyond the
+  // written length belongs to the parent alone (see ../allocator.py).
+  if (a->window_pages <= 0) {
+    int64_t len = it->second.length < 1 ? 1 : it->second.length;
+    size_t written = static_cast<size_t>(a->pages_needed(len));
+    if (written > it->second.pages.size())
+      written = it->second.pages.size();
+    c.pages.assign(it->second.pages.begin(),
+                   it->second.pages.begin() + written);
+  } else {
+    c.pages = it->second.pages;
+  }
   c.length = it->second.length;
   std::unordered_set<int32_t> seen;
   for (int32_t p : c.pages)
@@ -237,12 +315,17 @@ int32_t pa_cow_last(void* h, int64_t seq_id, int32_t* src_dst) {
   auto it = a->seqs.find(seq_id);
   if (it == a->seqs.end()) return -4;
   Seq& s = it->second;
-  int32_t last = s.pages.back();
+  // The page holding the last WRITTEN token (run-granted tables may extend
+  // past it; pages.back() would be unwritten headroom).
+  int64_t len = s.length < 1 ? 1 : s.length;
+  size_t idx = static_cast<size_t>((len - 1) / a->page_size);
+  if (idx >= s.pages.size()) idx = s.pages.size() - 1;
+  int32_t last = s.pages[idx];
   if (a->refcount[last] == 1) return 0;
   if (a->free_list.empty()) return -2;
   int32_t dst = a->take_page();
   --a->refcount[last];
-  s.pages.back() = dst;
+  s.pages[idx] = dst;
   src_dst[0] = last;
   src_dst[1] = dst;
   return 1;

@@ -151,41 +151,87 @@ class _PageGather:
     DMA covering both K and V planes — for all the program's sequences at
     once, SKIPPING pages that hold no attendable token for their sequence
     (the DMA-descriptor issue rate on the scalar core is the binding cost,
-    so every skipped page is ~0.15 us back)."""
+    so every skipped page is ~0.15 us back).
+
+    Contiguity fast path (r5): when a member's pages for this block are
+    physically CONSECUTIVE (the allocator's run-granular mode makes this
+    the common case) and every page is attendable, the whole block moves
+    with ONE multi-page DMA instead of pages_per_block descriptors. The
+    check is per (member, block) at runtime, so arbitrary tables (COW
+    forks, fragmented pools, prefix-cache adoption) stay correct through
+    the per-page path. `VLLMINI_GATHER_RUNS=0` disables it for A/B."""
 
     def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tables_ref,
                  seq0, seqs_per_program, block_idx, slot, pages_per_block,
                  page_size, lim_vec, ws_vec):
         self._buf = vmem_buf
         self._items = []
+        self._runs = []
+        ppb = pages_per_block
+        use_runs = (ppb > 1
+                    and os.environ.get("VLLMINI_GATHER_RUNS", "1") != "0")
         for s in range(seqs_per_program):
-            for j in range(pages_per_block):
-                logical = block_idx * pages_per_block + j
-                page = page_tables_ref[seq0 + s, logical]
+            pages = [page_tables_ref[seq0 + s, block_idx * ppb + j]
+                     for j in range(ppb)]
+            if use_runs:
+                contig = pages[1] == pages[0] + 1
+                for j in range(2, ppb):
+                    contig &= pages[j] == pages[0] + j
+                blk0 = block_idx * ppb * page_size
+                # Every page attendable: the LAST page starts before the
+                # gather limit and the FIRST page ends past the window
+                # start (per-page `needed` below is the overlap test).
+                all_needed = ((blk0 + (ppb - 1) * page_size < lim_vec[s])
+                              & (blk0 + page_size > ws_vec[s]))
+                fast = contig & all_needed
+                self._runs.append((fast, pltpu.make_async_copy(
+                    pages_hbm_ref.at[pl.ds(pages[0], ppb)],
+                    vmem_buf.at[slot, s], sem)))
+            else:
+                fast = False
+            for j in range(ppb):
+                logical = block_idx * ppb + j
                 p0 = logical * page_size
                 needed = (p0 < lim_vec[s]) & (p0 + page_size > ws_vec[s])
-                self._items.append((needed, (slot, s, j), pltpu.make_async_copy(
-                    pages_hbm_ref.at[page], vmem_buf.at[slot, s, j], sem)))
+                if use_runs:
+                    needed &= jnp.logical_not(fast)
+                self._items.append(
+                    (needed, (slot, s, j), pltpu.make_async_copy(
+                        pages_hbm_ref.at[pages[j]],
+                        vmem_buf.at[slot, s, j], sem),
+                     fast if use_runs else False))
 
     def start(self):
-        for needed, _, c in self._items:
+        for fast, c in self._runs:
+            @pl.when(fast)
+            def _(c=c):
+                c.start()
+        for needed, _, c, _fast in self._items:
             @pl.when(needed)
             def _(c=c):
                 c.start()
 
     def wait(self):
-        for needed, (slot, s, j), c in self._items:
+        for fast, c in self._runs:
+            @pl.when(fast)
+            def _(c=c):
+                c.wait()
+        for needed, (slot, s, j), c, fast in self._items:
             @pl.when(needed)
             def _(c=c):
                 c.wait()
 
-            @pl.when(jnp.logical_not(needed))
+            # Skipped slots may hold uninitialized VMEM (possibly inf/NaN
+            # bit patterns); their tokens are masked in the scores, but
+            # 0 * inf = NaN would still poison the V aggregation — zero
+            # them (a VPU store, cheaper than the DMA it replaces). Slots
+            # covered by a fast-path run were fully copied: skip.
+            not_covered = jnp.logical_not(needed)
+            if fast is not False:
+                not_covered &= jnp.logical_not(fast)
+
+            @pl.when(not_covered)
             def _(slot=slot, s=s, j=j):
-                # Skipped slots may hold uninitialized VMEM (possibly
-                # inf/NaN bit patterns); their tokens are masked in the
-                # scores, but 0 * inf = NaN would still poison the V
-                # aggregation — zero them (a VPU store, cheaper than the
-                # DMA it replaces).
                 self._buf[slot, s, j] = jnp.zeros(
                     self._buf.shape[3:], self._buf.dtype)
 
@@ -494,6 +540,14 @@ def _default_pages_per_block(page_size: int, pages_per_seq: int) -> int:
     if page_size >= target:
         return 1
     return max(1, min(pages_per_seq, target // page_size))
+
+
+def gather_run_pages(page_size: int, pages_per_seq: int) -> int:
+    """Allocation-run size (pages) that makes one allocator run span exactly
+    one attention compute block — the engine passes this to the allocator so
+    the kernel's contiguity fast path (one DMA per block) hits on
+    decode-grown pages, not just prefilled prompt spans."""
+    return _default_pages_per_block(page_size, pages_per_seq)
 
 
 @functools.partial(
