@@ -168,7 +168,12 @@ class _PageGather:
         self._items = []
         self._runs = []
         ppb = pages_per_block
+        # The fast-path copy slices [base, base+ppb) of the physical pool:
+        # its STATIC size must fit the pool even though the predicate keeps
+        # out-of-bounds bases from ever issuing (tiny test pools can be
+        # smaller than one compute block).
         use_runs = (ppb > 1
+                    and pages_hbm_ref.shape[0] >= ppb
                     and os.environ.get("VLLMINI_GATHER_RUNS", "1") != "0")
         for s in range(seqs_per_program):
             pages = [page_tables_ref[seq0 + s, block_idx * ppb + j]
