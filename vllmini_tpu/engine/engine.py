@@ -379,7 +379,7 @@ class LLMEngine:
                       else self._chunk_impl)
         if self.mesh is None:
             self._chunk_fn = jax.jit(chunk_impl, donate_argnums=(1,),
-                                     static_argnames=("steps", "want_lp"))
+                                     static_argnames=("steps", "want_lp", "all_greedy"))
             self._prefill_fn = jax.jit(self._prefill_impl, donate_argnums=(1,),
                                        static_argnames=("prefix_tokens",))
             self._prefill_chunk_fn = jax.jit(
@@ -405,9 +405,11 @@ class LLMEngine:
             bspec = P(DATA_AXIS)        # step budget
 
             def chunk_sharded(params, pool, state, tables, budget, *,
-                              steps: int, want_lp: bool = True):
+                              steps: int, want_lp: bool = True,
+                              all_greedy: bool = False):
                 inner = jax.shard_map(
-                    lambda *a: chunk_impl(*a, steps=steps, want_lp=want_lp),
+                    lambda *a: chunk_impl(*a, steps=steps, want_lp=want_lp,
+                                          all_greedy=all_greedy),
                     mesh=self.mesh,
                     in_specs=(pspecs, poolspecs, stspecs, tspec, bspec),
                     out_specs=(poolspecs, stspecs),
@@ -465,7 +467,7 @@ class LLMEngine:
                 return inner(params, pool, state, *rest)
 
             self._chunk_fn = jax.jit(chunk_sharded, donate_argnums=(1,),
-                                     static_argnames=("steps", "want_lp"))
+                                     static_argnames=("steps", "want_lp", "all_greedy"))
             self._prefill_fn = jax.jit(prefill_sharded, donate_argnums=(1,),
                                        static_argnames=("prefix_tokens",))
             self._prefill_chunk_fn = jax.jit(
@@ -532,13 +534,16 @@ class LLMEngine:
             tp_axis=self._tp_axis, kv_partitions=self.kv_partitions)
 
     def _chunk_impl(self, params, pool, state: DecodeState, page_tables,
-                    step_budget, *, steps: int, want_lp: bool = True):
+                    step_budget, *, steps: int, want_lp: bool = True,
+                    all_greedy: bool = False):
         """Run up to `steps` decode iterations fully on device.
 
         `want_lp` (static) gates the log-prob capture: when no running
         request asked for logprobs the log-softmax normalization — an extra
         full [B, vocab] pass per step — is compiled out and out_lp receives
-        zeros (never read in that case)."""
+        zeros (never read in that case). `all_greedy` (static) compiles the
+        sampler's candidate machinery out when every running request is
+        greedy (see sampling.sample_tokens) — bit-identical tokens."""
 
         def body(carry, _):
             pool, st, budget = carry
@@ -551,10 +556,12 @@ class LLMEngine:
             if want_lp:
                 tok, lp = sample_tokens_lp(logits, st.seeds,
                                            st.tokens_in_kv, st.temps,
-                                           st.top_ks, st.top_ps)
+                                           st.top_ks, st.top_ps,
+                                           all_greedy=all_greedy)
             else:
                 tok = sample_tokens(logits, st.seeds, st.tokens_in_kv,
-                                    st.temps, st.top_ks, st.top_ps)
+                                    st.temps, st.top_ks, st.top_ps,
+                                    all_greedy=all_greedy)
                 lp = jnp.zeros(tok.shape, jnp.float32)
 
             # Commit: the fed token's KV is now written.
@@ -588,7 +595,8 @@ class LLMEngine:
         return pool, state
 
     def _chunk_spec_impl(self, params, pool, state: DecodeState, page_tables,
-                         step_budget, *, steps: int, want_lp: bool = True):
+                         step_budget, *, steps: int, want_lp: bool = True,
+                         all_greedy: bool = False):
         """Speculative-decoding chunk: each iteration drafts S tokens per
         slot by n-gram lookup over the slot's own (device-resident) token
         history, verifies fed-token + drafts in ONE weight stream, and
@@ -622,13 +630,13 @@ class LLMEngine:
                     logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
                     positions.reshape(-1), jnp.repeat(st.temps, S1),
                     jnp.repeat(st.top_ks, S1),
-                    jnp.repeat(st.top_ps, S1))
+                    jnp.repeat(st.top_ps, S1), all_greedy=all_greedy)
             else:
                 g = sample_tokens(
                     logits.reshape(B * S1, V), jnp.repeat(st.seeds, S1),
                     positions.reshape(-1), jnp.repeat(st.temps, S1),
                     jnp.repeat(st.top_ks, S1),
-                    jnp.repeat(st.top_ps, S1))
+                    jnp.repeat(st.top_ps, S1), all_greedy=all_greedy)
                 glp = jnp.zeros(g.shape, jnp.float32)
             g, glp = g.reshape(B, S1), glp.reshape(B, S1)
 
@@ -1159,7 +1167,8 @@ class LLMEngine:
     # ------------------------------------------------------------------ decode
 
     def decode_chunk(self, step_budget: np.ndarray,
-                     want_lp: bool = True) -> DecodeState:
+                     want_lp: bool = True,
+                     all_greedy: bool = False) -> DecodeState:
         """Dispatch one K-step decode chunk (async; no device sync).
 
         Returns the post-chunk DecodeState snapshot: because only the pool is
@@ -1169,12 +1178,15 @@ class LLMEngine:
         so the lagged fetch usually finds the bytes already transferred.
         """
         self._emit("chunk", step_budget=np.asarray(step_budget, np.int32),
-                   tables=self._tables_host.copy(), want_lp=bool(want_lp))
+                   tables=self._tables_host.copy(), want_lp=bool(want_lp),
+                   all_greedy=bool(all_greedy))
         return self.exec_chunk(np.asarray(step_budget, np.int32),
-                               self._tables_host, want_lp=bool(want_lp))
+                               self._tables_host, want_lp=bool(want_lp),
+                               all_greedy=bool(all_greedy))
 
     def exec_chunk(self, step_budget: np.ndarray, tables: np.ndarray,
-                   want_lp: bool = True) -> DecodeState:
+                   want_lp: bool = True,
+                   all_greedy: bool = False) -> DecodeState:
         if not np.array_equal(tables, self._tables_host):
             self._tables_host = np.array(tables)
             self._tables_dirty = True
@@ -1184,7 +1196,8 @@ class LLMEngine:
         self.pool, self.state = self._chunk_fn(
             self.params, self.pool, self.state, self._tables_dev,
             jnp.asarray(step_budget.astype(np.int32)),
-            steps=self.chunk_steps, want_lp=bool(want_lp))
+            steps=self.chunk_steps, want_lp=bool(want_lp),
+            all_greedy=bool(all_greedy))
         snapshot = self.state
         for arr in (snapshot.tokens_in_kv, snapshot.active,
                     snapshot.out_count, snapshot.out_buf, snapshot.out_lp,

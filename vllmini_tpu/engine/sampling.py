@@ -29,10 +29,23 @@ def sample_tokens(
     temperatures: jax.Array,  # [B] f32 (0 -> greedy)
     top_ks: jax.Array,        # [B] int32 (<=0 or >MAX_TOP_K -> no top-k cut)
     top_ps: jax.Array,        # [B] f32 (1.0 -> no nucleus cut)
+    *,
+    all_greedy: bool = False,
 ) -> jax.Array:
-    """Returns [B] int32 sampled token ids."""
+    """Returns [B] int32 sampled token ids.
+
+    `all_greedy` (STATIC) compiles the candidate machinery out entirely.
+    The traced `lax.cond` below is not enough: XLA flattens cheap-looking
+    conds to selects, so the approx_max_k + Gumbel path executes even for
+    all-greedy batches (~95 us/step at [16, 50257] on v5e vs 0.5 us for
+    the bare argmax, measured by scripts/probe_sampling_cost.py). The
+    engine raises the flag per chunk when every running request is greedy
+    — bit-identical either way, since the cond path returns `greedy_tok`
+    for temperature <= 0 lanes."""
     B, vocab = logits.shape
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if all_greedy:
+        return greedy_tok
 
     def _sample(_):
         # Work in the static top-MAX_TOP_K candidate set (ample for
@@ -86,13 +99,13 @@ def sample_tokens(
 
 
 def sample_tokens_lp(logits, seeds, positions, temperatures, top_ks,
-                     top_ps):
+                     top_ps, *, all_greedy: bool = False):
     """`sample_tokens` + the sampled token's UNSCALED log-probability
     (natural log-softmax of the raw logits — temperature/top-k/top-p shape
     which token gets picked, not the reported distribution, matching the
     OpenAI `logprobs` contract). Returns ([B] i32, [B] f32)."""
     tok = sample_tokens(logits, seeds, positions, temperatures, top_ks,
-                        top_ps)
+                        top_ps, all_greedy=all_greedy)
     lf = logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(lf, axis=-1)
     picked = jnp.take_along_axis(lf, tok[:, None].astype(jnp.int32),

@@ -490,10 +490,18 @@ class Scheduler:
         if any(s is not None for s in self.slots):
             # Log-prob capture costs a full [B, vocab] pass per step; only
             # compile it in when some running request asked for logprobs.
+            # Likewise the sampler's candidate machinery (~95 us/step at
+            # GPT-2 shapes) compiles out when every running request is
+            # greedy — both are static per chunk, so a mixed batch just
+            # selects a different compiled variant.
             want_lp = any(
                 s is not None and getattr(s.sampling, "logprobs", False)
                 for s in self.slots)
-            snapshot = self.engine.decode_chunk(budget, want_lp=want_lp)
+            all_greedy = all(
+                s is None or s.sampling.greedy or s.sampling.temperature == 0
+                for s in self.slots)
+            snapshot = self.engine.decode_chunk(budget, want_lp=want_lp,
+                                                all_greedy=all_greedy)
             self.inflight.append(
                 _InFlightChunk(snapshot=snapshot, mapping=mapping,
                                budgets=budget))

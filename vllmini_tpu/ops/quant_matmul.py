@@ -216,19 +216,26 @@ def _select_tiles(M: int, K: int, N: int, G: int, pack: int,
                 + M * bn * 4)                  # f32 accumulator scratch
 
     budget = 11 * 1024 * 1024
-    bn = _largest_divisor_tile(N, min(want_bn, N))
-    bk = min(max(want_bk, G), K)
-    while K % bk != 0 or bk % G != 0:
-        bk -= G
+    # N-tiles need only be 128-multiples (or the whole N when N < 128): the
+    # grid uses cdiv(N, bn), and Pallas masks the trailing partial block's
+    # stores (garbage columns computed there are never written). K-tiles
+    # must divide K EXACTLY — a partial K block would add padding garbage
+    # into the reduction — and their lane width must be a multiple of 128
+    # or the whole K (odd hiddens like GPT-2 XL's 1600 have G-multiples
+    # such as 320 that divide K but fail Mosaic's lowering rule).
+    bn = min(want_bn, -(-N // 128) * 128) if N >= 128 else N
+    k_cands = sorted(
+        (b for b in range(G, K + 1, G)
+         if K % b == 0 and (b % 128 == 0 or b == K)),
+        reverse=True)  # non-empty: K itself qualifies
+    bk = min((b for b in k_cands if b >= min(want_bk, K)), default=k_cands[0])
     while usage(bn, bk) > budget and bn > 256:
-        bn = _largest_divisor_tile(N, bn // 2)
-    while usage(bn, bk) > budget and bk > G:
-        nk = bk - G
-        while nk >= G and (K % nk != 0 or nk % G != 0):
-            nk -= G
-        if nk < G:
+        bn = max(256, (bn // 2 // 128) * 128)
+    for b in k_cands:
+        if usage(bn, bk) <= budget:
             break
-        bk = nk
+        if b < bk:
+            bk = b
     if usage(bn, bk) > budget:
         # Both shrink loops floored out (bn at the smallest divisor tile
         # > 256, bk at G) while still over budget — possible at very large
@@ -243,21 +250,6 @@ def _select_tiles(M: int, K: int, N: int, G: int, pack: int,
             usage(bn, bk) / 2**20, budget / 2**20)
     return bn, bk
 
-
-def _largest_divisor_tile(n: int, cap: int) -> int:
-    """Largest multiple of 128 that divides n and is <= cap (fallback: shrink
-    by halving). Keeps grid-program counts low for awkward dims like a 128256
-    vocab (-> 768-wide tiles, not 256)."""
-    best = 0
-    for t in range(128, cap + 1, 128):
-        if n % t == 0:
-            best = t
-    if best:
-        return best
-    t = cap
-    while n % t != 0:
-        t //= 2
-    return t
 
 
 # ----------------------------------------------------------------------- kernel
@@ -387,13 +379,13 @@ def _qmm_2d(x: jax.Array, qvalues: jax.Array, scales: jax.Array, *,
                            jnp.dtype(x.dtype).itemsize,
                            jnp.dtype(out_dtype).itemsize,
                            block_n, block_k)
-    assert N % bn == 0 and K % bk == 0 and bk % G == 0
+    assert K % bk == 0 and bk % G == 0
     k_tiles = K // bk
 
     return pl.pallas_call(
         functools.partial(_qmm_kernel, bits=bits, group_size=G,
                           k_tiles=k_tiles, unpack=unpack),
-        grid=(N // bn, k_tiles),
+        grid=(pl.cdiv(N, bn), k_tiles),
         in_specs=[
             pl.BlockSpec((M, bk), lambda n, k: (0, k)),
             pl.BlockSpec((bk // pack, bn), lambda n, k: (k, n)),
@@ -453,7 +445,7 @@ def _w8a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
 
     return pl.pallas_call(
         functools.partial(_w8a8_kernel, group_size=G, k_tiles=k_tiles),
-        grid=(N // bn, k_tiles),
+        grid=(pl.cdiv(N, bn), k_tiles),
         in_specs=[
             pl.BlockSpec((M, bk), lambda n, k: (0, k)),
             pl.BlockSpec((M, 1), lambda n, k: (0, 0)),
@@ -527,7 +519,7 @@ def _w4a8_2d(xq: jax.Array, xs: jax.Array, qvalues: jax.Array,
 
     return pl.pallas_call(
         functools.partial(_w4a8_kernel, group_size=G, k_tiles=k_tiles),
-        grid=(N // bn, k_tiles),
+        grid=(pl.cdiv(N, bn), k_tiles),
         in_specs=[
             pl.BlockSpec((M, bk), lambda n, k: (0, k)),
             pl.BlockSpec((M, 1), lambda n, k: (0, 0)),
@@ -572,7 +564,7 @@ def quantized_matmul(x: jax.Array, qw: QuantizedWeight,
     # layout class on hardware, ADVICE r4): plain XLA dequant matmul.
     import os
     dense_m = int(os.environ.get("VLLMINI_QMM_DENSE_M", "0"))
-    if (N % 128 != 0 or K % qw.group_size != 0
+    if (K % qw.group_size != 0
             or (qw.bits == 4 and qw.group_size < 64)
             # Opt-in large-M escape hatch (VERDICT r3 #7, quantized-prefill
             # TTFT): at burst-prefill row counts the matmul is MXU-bound,
