@@ -97,10 +97,11 @@ def test_engine_partitioned_generation_matches_plain():
 
 
 def test_auto_rule_picks_partitions_for_low_batch_long_context():
-    cache = CacheConfig(num_pages=2100, page_size=4, max_pages_per_seq=1024,
+    long_model = dataclasses.replace(MODEL, max_position_embeddings=8192)
+    cache = CacheConfig(num_pages=4200, page_size=8, max_pages_per_seq=1024,
                         kv_dtype="float32", head_pad_to=1)
     config = EngineConfig(
-        model=MODEL, cache=cache,
+        model=long_model, cache=cache,
         scheduler=SchedulerConfig(max_decode_slots=2, prefill_buckets=(16,)),
         hf_model=None)
     engine = LLMEngine(config, interpret=True)
@@ -111,3 +112,7 @@ def test_auto_rule_picks_partitions_for_low_batch_long_context():
                                           prefill_buckets=(16,)))
     engine2 = LLMEngine(config2, interpret=True)
     assert engine2.kv_partitions == 1
+    # Mid context (4k): measured a net loss on chip -> auto stays off.
+    config3 = dataclasses.replace(config, model=MODEL)
+    engine3 = LLMEngine(config3, interpret=True)
+    assert engine3.kv_partitions == 1

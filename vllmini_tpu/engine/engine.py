@@ -346,11 +346,15 @@ class LLMEngine:
         # Decode KV partitioning (paged_attention_v2 analog): split each
         # sequence over P grid programs + LSE merge when the batch alone
         # can't keep the gather pipeline busy on long contexts. Auto rule:
-        # bring batch x P up to ~8 programs, only for >=2k contexts (below
-        # that the extra programs cost more than the overlap buys).
+        # bring batch x P up to ~8 programs — only for >=8k contexts.
+        # Measured on a v5e (docs/BENCH_r05.md, llama3-8b int4, batch 4,
+        # ctx~4k): P=2 was a -2% LOSS vs P=1 — at 4k the weight stream
+        # still dominates the per-seq KV read, so the extra grid programs
+        # cost more than their gather overlap buys. Explicit
+        # scheduler.kv_partitions > 1 always wins over the auto rule.
         kp = config.scheduler.kv_partitions
         if kp == 0:
-            if self.max_context >= 2048 and self.local_slots < 8:
+            if self.max_context >= 8192 and self.local_slots < 8:
                 kp = max(1, 8 // self.local_slots)
             else:
                 kp = 1
